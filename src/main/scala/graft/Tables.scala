@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader over a scale-factor directory.
+  *
+  * Stands in for the reference's catalog walk + managed-table reads
+  * (reference `table_discovery.py:16-43` S1-S3, `customer_assets.py:11` S7):
+  * in our engine the "warehouse" is a directory of Parquet files and every
+  * read goes through Spark's vectorized Parquet reader, so filter pushdown
+  * and column pruning reach the scan for free.
+  *
+  * 100 TB design note: at scale each logical table would be a partitioned
+  * directory (`lineitem/ship_date=YYYY-MM-DD/part-N.parquet`) registered in a real
+  * catalog; the loader API stays identical — `spark.read.parquet(path)` —
+  * and partition pruning replaces file-level pruning automatically.
+  */
+object Tables {
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, dir) else
+      spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read nanos as long (legacy flag) and truncate to
+    * microseconds with integer `div` — a `/ 1000` double division would
+    * lose precision above 2^53 ns (~1970+104 days). DuckDB performs the
+    * same ns→µs truncation when reading, so oracle parity holds. */
+  private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+}

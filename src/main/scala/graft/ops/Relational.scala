@@ -1,0 +1,483 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator inventory — SURVEY.md §2.1-2.5, §2.7, §2.8.
+  *
+  * Every query is a pure function `(SparkSession, sfDir) => DataFrame` with
+  * a total output order (unique sort key) so the DuckDB oracle compare is
+  * deterministic. All plans are declarative DataFrame code: Catalyst gets
+  * predicate pushdown, column pruning and join selection; small dimension
+  * sides are explicitly `broadcast()` so the 100 TB plan never shuffles the
+  * fact table for a dim join.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Flagship: re-expression of the reference's one real Spark query
+    * (`customer_assets.py:8-28` — read, filter country=='USA', count,
+    * preview) over the star schema: customer ⋈ nation, nation filtered.
+    * Nation (25 rows) is broadcast: at 100 TB the customer scan never
+    * shuffles. SURVEY §7.2, ops S7/P1/J1/K1.
+    */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation").filter(col("n_name") === "NATION_1")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- aggregations (A1-A6) -------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: partial+final hash aggregation,
+    * map-side combine is automatic (`HashAggregateExec`). Sums rounded to
+    * 2dp for float-order-insensitive oracle compare. SURVEY A1/A2. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Per-table COUNT(*) batch — the reference issues one COUNT per table
+    * per hour (`dlt_assets.py:150-151`, N+1); here all counts are one job
+    * of parallel scans unioned. SURVEY A1, §4 N+1→batch rewrite. */
+  def tableCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.tpch
+      .map(n => t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("table_name"), col("n")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("table_name"))
+
+  /** Latest record per key via max_by-style window — the reference fetches
+    * `runs/list?limit=1` per entity (`job_discovery.py:67-74`); here one
+    * shuffle by key + in-partition sort. SURVEY A4/W1. */
+  def latestEventPerUser(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Latest order per customer (A4 on the star schema). */
+  def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ---- joins (J1-J3) ---------------------------------------------------
+
+  /** Fact ⋈ broadcast dim + grouped agg: lineitem ⋈ part by partkey.
+    * `broadcast(part)` keeps the 100 TB lineitem scan shuffle-free for the
+    * join; only the final groupBy(p_brand) exchanges ~25 rows per partition
+    * after partial aggregation. SURVEY J1/A1. */
+  def brandVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Anti join: customers with no URGENT order (SURVEY J3/P3 skip-list
+    * shape; the priority predicate keeps the result non-vacuous on the
+    * fixture). Broadcast-anti when the right side is small; at scale Spark
+    * picks shuffled hash anti on o_custkey. */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join (EXISTS): BUILDING-segment customers with ≥1 order.
+    * SURVEY J2-shape + P1 predicate, pushed to the parquet scan. */
+  def buildingCustomersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- dedup / distinct / set ops (D1-D3) ------------------------------
+
+  /** Distinct pairs (D2): dedup via hash aggregate, partial distinct
+    * map-side first — no full-row shuffle. */
+  def distinctFlagStatus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** First-seen dedup by key (D1, `dlt_assets.py:81,106-108` seen-set):
+    * deterministic variant of dropDuplicates — min ids per group instead of
+    * arbitrary row retention. */
+  def firstOrderPerCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("o_orderkey")).as("first_orderkey"),
+        min(col("o_orderdate")).as("first_orderdate"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_custkey"))
+
+  /** Heterogeneous union (D3, `__init__.py:17` asset-list splice):
+    * unionByName over normalized node shapes. */
+  def allParties(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_name").as("name"), lit("customer").as("kind"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_name").as("name"), lit("supplier").as("kind"))
+    c.unionByName(sup).orderBy(col("kind"), col("name"))
+  }
+
+  /** First doc per (lang, source) — D1 over the documents corpus. */
+  def firstDocPerLangSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("source"))
+
+  // ---- sorts / limits / top-k (L1/W1) ----------------------------------
+
+  /** Ordered top-k: Catalyst plans `TakeOrderedAndProject` — per-partition
+    * heap + driver merge of k rows, never a global sort. SURVEY L1. */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---- projections / scalar functions (P2-P9, F1-F9) -------------------
+
+  /** Kind/format normalization (P8, `dlt_assets.py:92-99,111-120`):
+    * lower + replace + CASE mapping, all codegen'd built-ins. */
+  def partKindNormalize(s: SparkSession, dir: String): DataFrame = {
+    val kind = regexp_replace(lower(col("p_type")), " ", "_")
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        kind.as("kind"),
+        when(kind === "promo", lit("promotional"))
+          .when(kind === "economy", lit(""))
+          .otherwise(kind).as("fmt"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Markdown link + dotted-key building (F3/F4, `dlt_assets.py:176-178`)
+    * over nation ⋈ broadcast region (J2 lookup-join shape). */
+  def markdownLinks(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        col("n_nationkey"),
+        concat_ws(".", col("r_name"), col("n_name")).as("key"),
+        format_string("[%s.%s](https://host/explore/data/%s/%s)",
+          col("r_name"), col("n_name"), col("r_name"), col("n_name")).as("md"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** `sanitize_name` (F1, `pipeline_discovery.py:6-7`): POSIX-simple
+    * regex replace, identical semantics in Spark and DuckDB ('g' flag). */
+  def sanitizeNames(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[^a-zA-Z0-9_]+", "_").as("sanitized"))
+      .orderBy(col("p_partkey"))
+
+  /** JSON path extraction + cast (F5/F6/F7, `dlt_sensor.py:12`,
+    * `job_discovery.py:18`): get_json_object stays inside codegen. */
+  def eventPropsJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Set-membership filter (F8/P2, `job_discovery.py:44` terminal-state
+    * sets): isin pushed down to the scan. */
+  def errorPurchaseByUser(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type").isin("error", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** Null-coalescing defaults (P9, `dlt_assets.py:94,156,216`):
+    * coalesce(nullif(...)) — nulls synthesized since fixtures are dense. */
+  def segmentDefaults(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+          .as("segment_or_default"))
+      .orderBy(col("c_custkey"))
+
+  /** Null-presence predicate (P6) + cast (F5): non-'O' order statuses. */
+  def nonOpenOrderCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(nullif(col("o_orderstatus"), lit("O")).as("st"))
+      .filter(col("st").isNotNull)
+      .groupBy(col("st")).agg(count(lit(1)).as("n"))
+      .orderBy(col("st"))
+
+  /** Time arithmetic (F9, `job_discovery.py:50` timeout predicates):
+    * inter-event gap in microseconds per user via lag window. Exact
+    * integer arithmetic (unix_micros) so the oracle compare is precise. */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Rising-edge detection, batch form (T1, `dlt_sensor.py:27-41`): emit a
+    * 'purchase' only when the previous event for the user was not a
+    * purchase — lag window ≅ sensor cursor diff. Streaming twin lives in
+    * graft.stream. */
+  def risingEdgePurchases(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("event_type") === "purchase" &&
+        (col("prev_type").isNull || col("prev_type") =!= "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Event-time tumbling bucket agg (batch twin of T3/windowed streaming):
+    * date_trunc to the hour, count + sum. */
+  def hourlyEventStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour"))
+
+  /** Single-pass multi-column profile (X6 exact flavor): one scan of
+    * lineitem computes per-column stats, unpivoted via stack(). The
+    * mergeable-sketch (HLL) variant is in graft.observe. */
+  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        countDistinct(col(c)).as(s"d_$c"),
+        round(min(col(c)), 4).as(s"min_$c"),
+        round(max(col(c)), 4).as(s"max_$c"),
+        round(avg(col(c)), 4).as(s"avg_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val stackExpr = cols
+      .map(c => s"'$c', d_$c, min_$c, max_$c, avg_$c")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    t(s, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"),
+        expr(s"$stackExpr as (col_name, n_distinct, min_v, max_v, avg_v)"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("avg_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_flagship_us_customers" -> flagship,
+    "q02_pricing_summary" -> pricingSummary,
+    "q03_top_orders" -> topOrders,
+    "q04_latest_order_per_customer" -> latestOrderPerCustomer,
+    "q05_brand_volume" -> brandVolume,
+    "q06_customers_without_orders" -> customersWithoutOrders,
+    "q07_building_customers_with_orders" -> buildingCustomersWithOrders,
+    "q08_distinct_flag_status" -> distinctFlagStatus,
+    "q09_first_order_per_customer" -> firstOrderPerCustomer,
+    "q10_all_parties" -> allParties,
+    "q11_part_kind_normalize" -> partKindNormalize,
+    "q12_markdown_links" -> markdownLinks,
+    "q13_sanitize_names" -> sanitizeNames,
+    "q14_event_props_json" -> eventPropsJson,
+    "q15_error_purchase_by_user" -> errorPurchaseByUser,
+    "q16_hourly_event_stats" -> hourlyEventStats,
+    "q17_rising_edge_purchases" -> risingEdgePurchases,
+    "q18_latest_event_per_user" -> latestEventPerUser,
+    "q21_table_counts" -> tableCounts,
+    "q22_profile_lineitem" -> profileLineitem,
+    "q23_first_doc_per_lang_source" -> firstDocPerLangSource,
+    "q25_segment_defaults" -> segmentDefaults,
+    "q26_non_open_order_counts" -> nonOpenOrderCounts,
+    "q27_event_gaps" -> eventGaps,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_flagship_us_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1' ORDER BY c_custkey""".stripMargin,
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q05_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_items, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q06_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_building_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_distinct_flag_status" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q09_first_order_per_customer" ->
+      """SELECT o_custkey, min(o_orderkey) AS first_orderkey,
+        |  min(o_orderdate) AS first_orderdate, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q10_all_parties" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, name""".stripMargin,
+    "q11_part_kind_normalize" ->
+      """SELECT p_partkey,
+        |  regexp_replace(lower(p_type), ' ', '_', 'g') AS kind,
+        |  CASE regexp_replace(lower(p_type), ' ', '_', 'g')
+        |    WHEN 'promo' THEN 'promotional'
+        |    WHEN 'economy' THEN ''
+        |    ELSE regexp_replace(lower(p_type), ' ', '_', 'g') END AS fmt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q12_markdown_links" ->
+      """SELECT n_nationkey, r_name || '.' || n_name AS key,
+        |  '[' || r_name || '.' || n_name || '](https://host/explore/data/'
+        |    || r_name || '/' || n_name || ')' AS md
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q13_sanitize_names" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[^a-zA-Z0-9_]+', '_', 'g') AS sanitized
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_event_props_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q15_error_purchase_by_user" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE event_type IN ('error', 'purchase')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q16_hourly_event_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q17_rising_edge_purchases" ->
+      """SELECT user_id, event_id, ts FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |  AND (prev_type IS NULL OR prev_type <> 'purchase')
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q18_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q21_table_counts" ->
+      """SELECT 'region' AS table_name, count(*) AS n FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |ORDER BY table_name""".stripMargin,
+    "q22_profile_lineitem" ->
+      """WITH s AS (
+        |  SELECT 'l_quantity' AS col_name, count(DISTINCT l_quantity) AS n_distinct,
+        |    round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+        |    round(avg(l_quantity), 4) AS avg_v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |    round(avg(l_extendedprice), 4) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', count(DISTINCT l_discount),
+        |    round(min(l_discount), 4), round(max(l_discount), 4),
+        |    round(avg(l_discount), 4) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', count(DISTINCT l_tax),
+        |    round(min(l_tax), 4), round(max(l_tax), 4),
+        |    round(avg(l_tax), 4) FROM lineitem)
+        |SELECT col_name, (SELECT count(*) FROM lineitem) AS n_rows,
+        |  n_distinct, min_v, max_v, avg_v
+        |FROM s ORDER BY col_name""".stripMargin,
+    "q23_first_doc_per_lang_source" ->
+      """SELECT lang, source, min(doc_id) AS first_doc, count(*) AS n_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q25_segment_defaults" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS segment_or_default
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q26_non_open_order_counts" ->
+      """SELECT nullif(o_orderstatus, 'O') AS st, count(*) AS n FROM orders
+        |WHERE nullif(o_orderstatus, 'O') IS NOT NULL
+        |GROUP BY 1 ORDER BY st""".stripMargin,
+    "q27_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  date_diff('microsecond', prev_ts, ts) AS gap_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |WHERE prev_ts IS NOT NULL ORDER BY user_id, event_id""".stripMargin,
+  )
+}
