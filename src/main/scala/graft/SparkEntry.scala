@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.Lineage.queries ++
-      catalog.Discovery.queries
+      catalog.Discovery.queries ++
+      ops.Llm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
       ops.Lineage.oracles ++
-      catalog.Discovery.oracles
+      catalog.Discovery.oracles ++
+      ops.Llm.oracles
 }

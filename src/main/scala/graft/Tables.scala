@@ -28,7 +28,12 @@ object Tables {
     * reader rejects. Read nanos as long (legacy flag) and truncate to
     * microseconds with integer `div` — a `/ 1000` double division would
     * lose precision above 2^53 ns (~1970+104 days). DuckDB performs the
-    * same ns→µs truncation when reading, so oracle parity holds. */
+    * same ns→µs truncation when reading, so oracle parity holds.
+    *
+    * The legacy flag is set at session build in Verify/Bench/test
+    * fixtures; the set below is an idempotent safety net (same constant
+    * value, so a concurrent duplicate set is harmless) for callers that
+    * hand us a session built without it. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the LLM-data operators (SURVEY.md §2.9,
+  * §2.11) — used where the equivalent built-in higher-order-function
+  * pipeline is correct but interpreted (lambda-per-element) and therefore
+  * orders of magnitude slower than a per-row native evaluation.
+  *
+  * Measured motivation (sf0.001, 500 docs): the `transform(sequence(0,23),
+  * h -> array_min(transform(shingles, s -> md5(...))))` formulation of the
+  * MinHash signature cost ~4.5 s to evaluate once and was re-evaluated per
+  * band reference by downstream projections — 192 s for the full pipeline.
+  * [[MinHashBands]] computes signature AND band hashes in one pass per row
+  * (~0.3 s), and because it is a single expression under a `posexplode`
+  * generator it is evaluated exactly once per row.
+  */
+object GraftFx {
+
+  /** 24-hash MinHash signature banded b=12 × r=2 → 12 band-hash strings.
+    * Hash family: h_i(s) = md5(i || "|" || s) compared as unsigned bytes
+    * (== lexicographic on lowercase hex, the form the DuckDB oracle
+    * computes); band hash = md5(hex(mh_{2b}) || "," || hex(mh_{2b+1})). */
+  def minhashBands(shingles: Column): Column =
+    GraftBridge.column(MinHashBands(GraftBridge.expression(shingles)))
+
+  /** Sequential-order dot product of two array<double> columns; codegen'd.
+    * Matches the fold order of both `aggregate(zip_with(...))` and DuckDB
+    * `list_dot_product`, so oracle compares are bit-stable. */
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(
+      DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+
+/** See [[GraftFx.minhashBands]]. One pass per row: for each of
+  * `numHashes` hash functions take the min digest over all shingles,
+  * then emit `numHashes / bandSize` band hashes. CodegenFallback: the
+  * eval is a tight per-row loop (md5 dominates); fallback costs one
+  * virtual call per row, not per element. */
+case class MinHashBands(
+    child: Expression,
+    numHashes: Int = 24,
+    bandSize: Int = 2)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned byte-array compare == lexicographic compare of hex form. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val ai = a(i) & 0xff
+      val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = MinHashBands.digest.get()
+    // Pre-render the "i|" prefixes' UTF-8 bytes once.
+    val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](numHashes)
+    var j = 0
+    while (j < n) {
+      val sBytes = arr.getUTF8String(j).getBytes
+      var h = 0
+      while (h < numHashes) {
+        md.reset()
+        md.update(prefixes(h))
+        md.update(sBytes)
+        val d = md.digest()
+        if (mins(h) == null || less(d, mins(h))) mins(h) = d
+        h += 1
+      }
+      j += 1
+    }
+    val nBands = numHashes / bandSize
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      md.reset()
+      var r = 0
+      while (r < bandSize) {
+        if (r > 0) md.update(','.toByte)
+        md.update(hex(mins(b * bandSize + r)).getBytes("UTF-8"))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(hex(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+}
+
+/** See [[GraftFx.dot]]. Whole-stage-codegen dot product over
+  * array<double>: a single fused loop over the two ArrayData buffers, no
+  * per-element lambda dispatch or boxing. Sequential accumulation order
+  * (index 0 → n-1) for cross-engine float determinism. */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

@@ -407,9 +407,11 @@ object Relational {
       """SELECT p_partkey,
         |  regexp_replace(p_name, '[^a-zA-Z0-9_]+', '_', 'g') AS sanitized
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // CAST the outer sum back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT
+    // (int128) while Spark yields BIGINT — values match, typed hash doesn't.
     "q14_event_props_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q15_error_purchase_by_user" ->
