@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Lineage.queries ++
       catalog.Discovery.queries ++
-      ops.Llm.queries
+      ops.Llm.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     ops.Relational.oracles ++
       ops.Lineage.oracles ++
       catalog.Discovery.oracles ++
-      ops.Llm.oracles
+      ops.Llm.oracles ++
+      ops.Multimodal.oracles
 }
