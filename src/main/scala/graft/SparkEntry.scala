@@ -20,7 +20,9 @@ object SparkEntry {
       ops.Lineage.queries ++
       catalog.Discovery.queries ++
       ops.Llm.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++
+      observe.Materialize.queries ++
+      model.Runs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +31,7 @@ object SparkEntry {
       ops.Lineage.oracles ++
       catalog.Discovery.oracles ++
       ops.Llm.oracles ++
-      ops.Multimodal.oracles
+      ops.Multimodal.oracles ++
+      observe.Materialize.oracles ++
+      model.Runs.oracles
 }

@@ -20,6 +20,20 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
   val all: Seq[String] = tpch ++ Seq("events", "documents", "embeddings")
 
+  /** REAL discovery (S1-S3): list `*.parquet` from the warehouse
+    * directory — a new file appears in the catalog without code changes.
+    * Driver-side O(#tables) metadata, like the reference's SHOW walk. */
+  def discover(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    val found = Option(d.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .toSeq
+      .sorted
+    if (found.nonEmpty) found else all // fallback: S1's literal-DF analog
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")

@@ -20,19 +20,22 @@ import graft.Tables
   */
 object Discovery {
 
-  /** `tables` metadata relation (S1-S4 collapsed). */
+  /** `tables` metadata relation (S1-S4 collapsed) — table names come
+    * from a real directory listing ([[Tables.discover]]), so a new
+    * parquet file in the warehouse dir is discovered, not declared. */
   def tablesMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.all
-      .map(n => (dir.replaceAll(".*/", ""), "main", n))
-      .toDF("table_catalog", "table_schema", "table_name")
+    Tables.discover(dir)
+      .map(n => (dir.replaceAll(".*/", ""), "main", n, "managed", "parquet"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type",
+        "data_source_format")
   }
 
   /** `columns` metadata relation (S5 collapsed): one row per column,
     * schema read from the Parquet footer — no data scan. */
   def columnsMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.all.flatMap { n =>
+    Tables.discover(dir).flatMap { n =>
       Tables.load(s, dir, n).schema.fields.zipWithIndex.map {
         // Normalize NTZ: fixture timestamps are naive (isAdjustedToUTC=false,
         // Spark reads TIMESTAMP_NTZ); the engine treats both as 'timestamp'.

@@ -1,0 +1,157 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The jobs / pipelines / runs data plane — SURVEY.md §1.1, §2.1
+  * S8/S9/S11/S12 (reference `job_discovery.py`, `pipeline_discovery.py`).
+  *
+  * The reference pages these out of REST endpoints (`/jobs/list`,
+  * `/pipelines`, `/jobs/runs/list?limit=1`, `/jobs/runs/get-output`); the
+  * engine models them as relations. `jobs`/`pipelines` are generated
+  * entity tables (S8/S9 list shapes, with the reference's
+  * `settings.name or f"job_{id}"` coalesce default, P9/F7); `runs` is
+  * derived deterministically from the `events` feed — each event becomes
+  * a run attempt of entity `user_id % 20` with the reference's lifecycle
+  * vocabulary (`job_discovery.py:42-48`): life-cycle states
+  * TERMINATED/SKIPPED/INTERNAL_ERROR/RUNNING/PENDING and result states
+  * SUCCESS/FAILED for terminal runs.
+  */
+object Runs {
+
+  val terminalStates: Seq[String] = Seq("TERMINATED", "SKIPPED", "INTERNAL_ERROR")
+
+  /** S8: the jobs list — entity table with P9 coalesce-default names. */
+  def jobs(s: SparkSession, dir: String): DataFrame =
+    s.range(0, 20)
+      .select(
+        col("id").as("job_id"),
+        // every 5th job has no settings.name → default name (P9)
+        coalesce(
+          when(col("id") % 5 =!= 0, concat(lit("job_name_"), col("id"))),
+          concat(lit("job_"), col("id"))).as("name"),
+        (col("id") % 3 === 0).as("is_pipeline"))
+
+  /** Runs derived from the events feed: state machine vocabulary of the
+    * reference mapped from event_type; run_id = event_id (unique),
+    * entity_id = user_id % 20. */
+  def runs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(
+        col("event_id").as("run_id"),
+        (col("user_id") % 20).as("entity_id"),
+        col("ts"),
+        when(col("event_type") === "purchase", "TERMINATED")
+          .when(col("event_type") === "error", "INTERNAL_ERROR")
+          .when(col("event_type") === "signup", "SKIPPED")
+          .when(col("event_type") === "view", "RUNNING")
+          .otherwise("PENDING").as("state"),
+        when(col("event_type") === "purchase", "SUCCESS")
+          .when(col("event_type") === "error", "FAILED")
+          .otherwise(lit(null).cast("string")).as("result_state"))
+
+  /** S11/A4: latest run per entity via max_by aggregation — partial
+    * aggregation is map-side (each partition keeps one candidate per
+    * entity before the shuffle), unlike a window sort which shuffles
+    * every row. The 100 TB-preferred plan for top-1-per-key. */
+  def latestRunPerEntity(s: SparkSession, dir: String): DataFrame =
+    runs(s, dir)
+      .groupBy(col("entity_id"))
+      .agg(max_by(
+        struct(col("run_id"), col("state"), col("result_state"), col("ts")),
+        struct(col("ts"), col("run_id"))).as("r"))
+      .select(col("entity_id"), col("r.run_id").as("run_id"),
+        col("r.state").as("state"), col("r.result_state").as("result_state"),
+        col("r.ts").as("ts"))
+      .orderBy(col("entity_id"))
+
+  /** F8: terminal-state set membership + per-entity outcome counts. */
+  def terminalRunStats(s: SparkSession, dir: String): DataFrame =
+    runs(s, dir)
+      .filter(col("state").isin(terminalStates: _*))
+      .groupBy(col("entity_id"))
+      .agg(
+        count(lit(1)).as("n_terminal"),
+        count(when(col("result_state") === "SUCCESS", 1)).as("n_success"),
+        count(when(col("result_state") === "FAILED", 1)).as("n_failed"))
+      .orderBy(col("entity_id"))
+
+  /** S12: run-output lookup — join the latest terminal run per entity to
+    * its output payload (to_json struct, F6) on run_id, the engine form
+    * of `/jobs/runs/get-output`. Both sides derive from runs. */
+  def runOutputLookup(s: SparkSession, dir: String): DataFrame = {
+    val latestTerminal = runs(s, dir)
+      .filter(col("state").isin(terminalStates: _*))
+      .groupBy(col("entity_id"))
+      .agg(max_by(struct(col("run_id"), col("result_state"), col("ts")),
+        struct(col("ts"), col("run_id"))).as("r"))
+      .select(col("entity_id"), col("r.run_id").as("run_id"),
+        col("r.result_state").as("result_state"))
+    val outputs = runs(s, dir)
+      .filter(col("state").isin(terminalStates: _*))
+      .select(col("run_id"),
+        to_json(struct(col("run_id"), col("state"),
+          coalesce(col("result_state"), lit("")).as("result_state")))
+          .as("output_json"))
+    latestTerminal
+      .join(broadcast(outputs), "run_id")
+      .select(col("entity_id"), col("run_id"), col("result_state"),
+        col("output_json"))
+      .orderBy(col("entity_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_jobs_list" -> jobs,
+    "q44_latest_run_per_entity" -> latestRunPerEntity,
+    "q45_terminal_run_stats" -> terminalRunStats,
+    "q46_run_output_lookup" -> runOutputLookup,
+  )
+
+  private val runsSql =
+    """runs AS (
+      |  SELECT event_id AS run_id, user_id % 20 AS entity_id, ts,
+      |    CASE event_type WHEN 'purchase' THEN 'TERMINATED'
+      |      WHEN 'error' THEN 'INTERNAL_ERROR' WHEN 'signup' THEN 'SKIPPED'
+      |      WHEN 'view' THEN 'RUNNING' ELSE 'PENDING' END AS state,
+      |    CASE event_type WHEN 'purchase' THEN 'SUCCESS'
+      |      WHEN 'error' THEN 'FAILED' ELSE NULL END AS result_state
+      |  FROM events)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q43_jobs_list" ->
+      """SELECT id AS job_id,
+        |  coalesce(CASE WHEN id % 5 <> 0 THEN 'job_name_' || id END,
+        |           'job_' || id) AS name,
+        |  id % 3 = 0 AS is_pipeline
+        |FROM range(20) t(id) ORDER BY job_id""".stripMargin,
+    "q44_latest_run_per_entity" ->
+      s"""WITH $runsSql
+         |SELECT entity_id, run_id, state, result_state, ts FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY entity_id
+         |    ORDER BY ts DESC, run_id DESC) AS rn FROM runs)
+         |WHERE rn = 1 ORDER BY entity_id""".stripMargin,
+    "q45_terminal_run_stats" ->
+      s"""WITH $runsSql
+         |SELECT entity_id, count(*) AS n_terminal,
+         |  count(*) FILTER (result_state = 'SUCCESS') AS n_success,
+         |  count(*) FILTER (result_state = 'FAILED') AS n_failed
+         |FROM runs
+         |WHERE state IN ('TERMINATED', 'SKIPPED', 'INTERNAL_ERROR')
+         |GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    "q46_run_output_lookup" ->
+      s"""WITH $runsSql,
+         |term AS (SELECT * FROM runs
+         |  WHERE state IN ('TERMINATED', 'SKIPPED', 'INTERNAL_ERROR')),
+         |latest AS (SELECT entity_id, run_id, result_state FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY entity_id
+         |    ORDER BY ts DESC, run_id DESC) AS rn FROM term) WHERE rn = 1),
+         |outputs AS (SELECT run_id,
+         |  '{"run_id":' || run_id || ',"state":"' || state ||
+         |  '","result_state":"' || coalesce(result_state, '') || '"}' AS output_json
+         |  FROM term)
+         |SELECT entity_id, latest.run_id AS run_id, result_state, output_json
+         |FROM latest JOIN outputs ON latest.run_id = outputs.run_id
+         |ORDER BY entity_id""".stripMargin,
+  )
+}

@@ -22,8 +22,47 @@ import org.apache.spark.sql.functions._
   */
 object Lineage {
 
-  /** The star schema's FK-implied lineage DAG plus a synthetic self-edge
-    * (filtered, mirroring `dlt_assets.py:68-69` P5). */
+  /** Lineage edges DERIVED from the warehouse's actual schemas AND data
+    * (replaces round 1's hardcoded literal). Convention: a column named
+    * `x_<suffix>key` in table A is a foreign key to the table whose
+    * FIRST column carries the same `<suffix>key` and is verifiably a
+    * primary key (count == countDistinct — checked against the data, so
+    * `lineitem.l_orderkey`, a non-unique first column, does NOT claim
+    * ownership of `orderkey`; `orders.o_orderkey` does). Each pk matches
+    * its own table, so dimensions emit self-edges — the reference's
+    * self-lineage case (`dlt_assets.py:68-69`), removed by the P5 filter
+    * downstream.
+    *
+    * Cost: footer-only schema walk plus one count-distinct agg per pk
+    * candidate (a single-column scan). At 100 TB this is a catalog-build
+    * step run once and cached, not a per-query cost. */
+  def edgesFromSchema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def suffix(c: String): Option[String] =
+      c.split("_", 2) match {
+        case Array(_, rest) if rest.endsWith("key") => Some(rest)
+        case _ => None
+      }
+    val schemas = graft.Tables.discover(dir)
+      .map(n => n -> graft.Tables.load(s, dir, n).schema.fields.map(_.name).toSeq)
+    val pkBySuffix: Map[String, String] = schemas.flatMap { case (t, cols) =>
+      suffix(cols.head).flatMap { sfx =>
+        val r = graft.Tables.load(s, dir, t)
+          .agg(count(lit(1)).as("n"), countDistinct(col(cols.head)).as("d"))
+          .head()
+        if (r.getLong(0) == r.getLong(1)) Some(sfx -> t) else None
+      }
+    }.toMap
+    val edges = for {
+      (t, cols) <- schemas
+      c <- cols
+      sfx <- suffix(c).toSeq
+      pkTable <- pkBySuffix.get(sfx).toSeq
+    } yield (t, pkTable)
+    edges.distinct.toDF("src", "dst")
+  }
+
+  /** Kept for property tests and as the reference shape of the DAG. */
   def edgeFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Seq(
@@ -38,9 +77,11 @@ object Lineage {
     ).toDF("src", "dst")
   }
 
-  /** Edge list with self-edges removed (P5), total order for the oracle. */
+  /** Edge list with self-edges removed (P5), total order for the oracle.
+    * The oracle is the documented FK contract of the star schema — this
+    * query verifies the schema-derived edges equal it. */
   def lineageEdges(s: SparkSession, dir: String): DataFrame =
-    edgeFixture(s, dir)
+    edgesFromSchema(s, dir)
       .filter(col("src") =!= col("dst"))
       .orderBy(col("src"), col("dst"))
 
@@ -71,9 +112,9 @@ object Lineage {
     acc
   }
 
-  /** Full ancestor set per table over the fixture DAG (§2.6). */
+  /** Full ancestor set per table over the schema-derived DAG (§2.6). */
   def lineageClosure(s: SparkSession, dir: String): DataFrame =
-    closure(edgeFixture(s, dir)).orderBy(col("src"), col("anc"))
+    closure(edgesFromSchema(s, dir)).orderBy(col("src"), col("anc"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lineage_edges" -> lineageEdges,
