@@ -33,6 +33,23 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** The flagship's full lifecycle, mirroring the reference end-to-end
+    * (`customer_assets.py:11-18`): filter → write (K1) → count (A2) →
+    * 5-row preview (K4) — plus the `cache()` the reference forgot
+    * (SURVEY §3.3), so the three actions scan the filtered result once
+    * instead of three times. Returns (rowCount, preview). */
+  def flagshipLifecycle(
+      s: SparkSession, dir: String, outPath: String): (Long, Seq[String]) = {
+    val us = flagship(s, dir).cache()
+    try {
+      us.write.mode("overwrite").parquet(outPath) // K1
+      val n = us.count() // A2 — served from cache
+      val preview = us.limit(5).collect() // L1/K4
+        .map(r => r.mkString(" | ")).toSeq
+      (n, preview)
+    } finally us.unpersist()
+  }
+
   // ---- aggregations (A1-A6) -------------------------------------------
 
   /** TPC-H Q1-shaped pricing summary: partial+final hash aggregation,

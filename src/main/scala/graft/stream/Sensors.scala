@@ -1,0 +1,134 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sensor semantics — SURVEY.md §2.10 (reference
+  * `dlt_sensor.py:8-46`, `job_discovery.py:22-55`), re-expressed as
+  * Structured Streaming over an update-event feed.
+  *
+  * The reference polls REST every ≥60 s and keeps a
+  * `{pipeline_id:update_id → state}` cursor JSON; here the cursor is the
+  * streaming state store (per-key `GroupState`, RocksDB/HDFS-backed on a
+  * real cluster — exactly-once across restarts without hand-rolled
+  * cursor serialization), and each micro-batch is one "poll".
+  *
+  * Scale: state is partitioned by group key across executors; a million
+  * concurrently-tracked pipelines is a few hundred bytes each of state,
+  * shuffled once per batch by key. Watermarks bound state for the
+  * dedup/window operators so state never grows unboundedly.
+  */
+object Sensors {
+
+  /** One observed update of a monitored entity (≅ DLT pipeline update /
+    * job run poll result). */
+  case class UpdateEvent(entityId: Long, updateId: Long, state: String, ts: Timestamp)
+
+  /** Sensor output: emitted at most once per (entityId, updateId). */
+  case class SensorEmit(entityId: Long, updateId: Long, state: String, ts: Timestamp)
+
+  /** Terminal pipeline-update states (`pipeline_discovery.py:74`). */
+  val terminal: Set[String] = Set("COMPLETED", "FAILED", "CANCELED")
+
+  /** T1 + T4 — rising-edge detection with at-most-once emission:
+    * emit when a key FIRST reaches a terminal state (`dlt_sensor.py:27`:
+    * `state == COMPLETED && last_recorded != COMPLETED`), never again
+    * (`:41` cursor update). State per (entityId, updateId): a Boolean
+    * "already emitted" flag — the smallest faithful cursor. */
+  def risingEdge(updates: Dataset[UpdateEvent]): Dataset[SensorEmit] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(u => (u.entityId, u.updateId))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(emitOnce)
+  }
+
+  private def emitOnce(
+      key: (Long, Long),
+      events: Iterator[UpdateEvent],
+      state: GroupState[Boolean]): Iterator[SensorEmit] = {
+    if (state.getOption.contains(true)) Iterator.empty
+    else {
+      // Batch arrival order is not event order: sort by event time.
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.state))
+      sorted.find(e => terminal(e.state)) match {
+        case Some(e) =>
+          state.update(true)
+          Iterator.single(SensorEmit(key._1, key._2, e.state, e.ts))
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Poll-until-terminal-or-timeout state machine output. */
+  case class PollResult(entityId: Long, outcome: String, state: String)
+
+  /** T2 — trigger-and-poll with timeout (`job_discovery.py:22-55`):
+    * per entity, succeed on the first terminal state; if the event-time
+    * watermark passes `timeout` past the entity's first-seen ts without
+    * one, emit a TIMEOUT row (the reference returns
+    * `{"status": "timeout"}` after 600 s of 5 s polls). Event-time
+    * timeout ⇒ deterministic under replay, unlike wall-clock. */
+  def pollWithTimeout(
+      updates: Dataset[UpdateEvent],
+      timeoutMs: Long = 600000L): Dataset[PollResult] = {
+    import updates.sparkSession.implicits._
+    updates
+      .withWatermark("ts", "1 second") // EventTimeTimeout needs a watermark
+      .groupByKey(_.entityId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (entityId: Long, events: Iterator[UpdateEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(PollResult(entityId, "timeout", ""))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.state))
+            sorted.find(e => terminal(e.state)) match {
+              case Some(e) =>
+                state.remove()
+                Iterator.single(PollResult(entityId, "done", e.state))
+              case None =>
+                val start = state.getOption
+                  .getOrElse(sorted.headOption.map(_.ts.getTime).getOrElse(0L))
+                state.update(start)
+                state.setTimeoutTimestamp(start + timeoutMs)
+                Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** T4 standalone — at-most-once per (entityId, updateId) via
+    * watermarked dropDuplicates: the streaming state analog of the
+    * reference's cursor-key dedup; the watermark lets Spark evict
+    * dedup state older than the lateness bound. */
+  def dedupUpdates(updates: Dataset[UpdateEvent]): Dataset[UpdateEvent] =
+    updates
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("entityId", "updateId"))
+
+  /** T3 — event-time tumbling window counts with watermark (the
+    * credible-observer windowed aggregation; append mode finalizes a
+    * window once the watermark passes its end). */
+  def windowedStateCounts(updates: Dataset[UpdateEvent]): DataFrame =
+    updates
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("state"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("state"), col("n"))
+
+  /** Batch twin of T1 for snapshot feeds (reference's sensor diff of
+    * current vs previously-recorded state): new-terminal keys are those
+    * terminal now and not terminal (or absent) before. Anti-join form —
+    * broadcast-friendly when the previous snapshot is the smaller side. */
+  def snapshotRisingEdge(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val terminalNow = curr.filter(col("state").isin(terminal.toSeq: _*))
+    val terminalBefore = prev.filter(col("state").isin(terminal.toSeq: _*))
+      .select(col("entityId"), col("updateId"))
+    terminalNow.join(terminalBefore, Seq("entityId", "updateId"), "left_anti")
+  }
+}

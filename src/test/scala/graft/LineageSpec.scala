@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.Lineage
+
+/** Transitive-closure correctness — SURVEY §5.3: random graphs
+  * (cycles and self-edges included) checked against a trivial in-memory
+  * reachability oracle. */
+class LineageSpec extends SparkSuite {
+
+  /** In-memory oracle: pairs (a, b), b reachable from a via ≥1 edge of
+    * the self-edge-filtered graph. */
+  private def reachOracle(edges: Seq[(String, String)]): Set[(String, String)] = {
+    val adj = edges.filter { case (a, b) => a != b }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def from(root: String): Set[String] = {
+      var seen = Set.empty[String]
+      var frontier = adj.getOrElse(root, Set.empty)
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+      }
+      seen
+    }
+    adj.keySet.flatMap(r => from(r).map(r -> _))
+  }
+
+  private def closureOf(edges: Seq[(String, String)]): Set[(String, String)] = {
+    val s = spark
+    import s.implicits._
+    val df =
+      if (edges.isEmpty) Seq.empty[(String, String)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+    Lineage.closure(df).collect().map(r => (r.getString(0), r.getString(1))).toSet
+  }
+
+  test("closure matches oracle on the star-schema fixture DAG") {
+    val fx = Lineage.edgeFixture(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(closureOf(fx) === reachOracle(fx))
+  }
+
+  test("closure handles a cycle without divergence") {
+    val cyc = Seq("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "x")
+    assert(closureOf(cyc) === reachOracle(cyc))
+    // every node in the 3-cycle reaches every node incl. itself
+    assert(closureOf(cyc).contains("a" -> "a"))
+  }
+
+  test("property: closure == reachability oracle on random graphs") {
+    val nodes = Gen.choose(0, 7).map(i => s"n$i")
+    val edgeGen = Gen.zip(nodes, nodes)
+    val graphGen = Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, edgeGen))
+    val prop = Prop.forAllNoShrink(graphGen) { edges =>
+      closureOf(edges) == reachOracle(edges)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("schema-derived edges equal the documented FK contract") {
+    val derived = Lineage.lineageEdges(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(derived === Set(
+      "nation" -> "region", "customer" -> "nation", "supplier" -> "nation",
+      "orders" -> "customer", "lineitem" -> "orders", "lineitem" -> "part",
+      "lineitem" -> "supplier"))
+  }
+
+  test("schema-derived raw edges contain pk self-edges (filtered by P5)") {
+    val raw = Lineage.edgesFromSchema(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(raw.contains("nation" -> "nation")) // n_nationkey is nation's pk
+    assert(!raw.contains("orders" -> "lineitem")) // l_orderkey is NOT a pk
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFx
+import graft.observe.Materialize
+import graft.ops.Llm
+
+/** LLM-operator properties: MinHash family behavior, ANN recall vs the
+  * brute-force baseline, HLL tolerance (the cross-engine-uncheckable
+  * sketch gets its gate here). */
+class LlmSpec extends SparkSuite {
+
+  test("minhash bands: identical shingle sets → identical bands; " +
+    "disjoint sets → (whp) different bands") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d")),
+      (2L, Seq("a b c", "b c d")), // identical to 1
+      (3L, Seq("x y z", "y z w"))  // disjoint from 1
+    ).toDF("id", "shingles")
+      .select(col("id"), GraftFx.minhashBands(col("shingles")).as("bands"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L).intersect(rows(3L)).isEmpty)
+    assert(rows(1L).size === 12)
+  }
+
+  test("minhash pairs ⊆ jaccard pairs (LSH candidates verified exactly)") {
+    val mh = Llm.minhashPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Llm.jaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty)
+    assert(mh.subsetOf(jac))
+  }
+
+  test("dot product expression matches a scala-side computation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.5), Array(2.0, 2.0))
+    ).toDF("a", "b")
+      .select(GraftFx.dot(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(32.0, -2.0))
+  }
+
+  test("IVF top-k achieves decent recall vs brute force") {
+    val exact = Llm.topkCosine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Llm.ivfTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // random near-orthogonal vectors: 3-of-13-cluster probes keep a
+    // meaningful fraction of the true top-5; the bound guards against
+    // the probe join degenerating (e.g. empty candidates)
+    assert(recall >= 0.2, s"recall $recall")
+    assert(approx.size === exact.size)
+  }
+
+  test("HLL profile within 2% of exact distinct counts (rsd=0.01)") {
+    val hll = Materialize.profileHll(spark, sf).head()
+    val li = Tables.load(spark, sf, "lineitem")
+    val cols = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice", "l_partkey")
+    val exact = li.agg(
+      countDistinct(col(cols.head)).as(cols.head),
+      cols.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val est = hll.getLong(i).toDouble
+      val ex = exact.getLong(i).toDouble
+      assert(math.abs(est - ex) / ex <= 0.02, s"$c: est=$est exact=$ex")
+    }
+  }
+
+  test("exact dedup counts: n_dups = n_docs - n_distinct, all ≥ 0") {
+    Llm.exactDedup(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(3))
+      assert(r.getLong(3) >= 0)
+    }
+  }
+
+  test("simhash is 16-bit bounded and deterministic") {
+    val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })
+    val b = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.observe.Materialize
+import graft.ops.Multimodal
+
+/** Materialization plane + multimodal decode + discovery behavior. */
+class ObserveSpec extends SparkSuite {
+
+  test("materializations: one row per discovered table, counts match") {
+    val m = Materialize.materializations(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === Tables.discover(sf).toSet)
+    assert(m("nation") === 25L)
+    assert(m("region") === 5L)
+  }
+
+  test("materializations freshness: ts tables non-null, dims null") {
+    val m = Materialize.materializations(spark, sf)
+      .collect().map(r => r.getString(0) -> Option(r.getTimestamp(2))).toMap
+    assert(m("events").nonEmpty)
+    assert(m("orders").nonEmpty)
+    assert(m("lineitem").nonEmpty)
+    assert(m("customer").isEmpty)
+  }
+
+  test("K2 sink: appendEvents appends with observation metadata") {
+    val out = Files.createTempDirectory("graft_events").toString + "/events"
+    val m = Materialize.materializations(spark, sf)
+    Materialize.appendEvents(m, out)
+    Materialize.appendEvents(m, out) // append, not overwrite
+    val evs = spark.read.parquet(out)
+    assert(evs.count() === 2 * m.count())
+    assert(evs.columns.contains("observed_at"))
+    assert(evs.columns.contains("event_kind"))
+  }
+
+  test("discovery reacts to directory contents (fallback on empty)") {
+    assert(Tables.discover(sf).contains("lineitem"))
+    assert(Tables.discover("/nonexistent_dir_xyz") === Tables.all)
+  }
+
+  test("multimodal decode: stub features are deterministic and typed") {
+    val d = Multimodal.decoded(spark, sf).collect()
+    assert(d.nonEmpty)
+    d.foreach { f =>
+      assert(Set("image", "audio", "video").contains(f.modality))
+      assert(f.frame_hashes.size === 3)
+      f.modality match {
+        case "image" => assert(f.duration_ms === 0L && f.width >= 64)
+        case "audio" => assert(f.width === 0L && f.duration_ms === f.payload_len * 8)
+        case _ => assert(f.width === 320L && f.duration_ms === f.payload_len * 40)
+      }
+    }
+  }
+
+  test("flagship lifecycle: cache → write → count → preview (K1/A2/K4)") {
+    val out = Files.createTempDirectory("graft_flagship").toString + "/us"
+    val (rowCount, preview) = graft.ops.Relational.flagshipLifecycle(spark, sf, out)
+    assert(rowCount > 0)
+    assert(preview.size <= 5 && preview.nonEmpty)
+    assert(spark.read.parquet(out).count() === rowCount)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.Relational
+import graft.stream.Sensors
+import graft.stream.Sensors.UpdateEvent
+
+/** Operator-family goldens + the rising-edge fold oracle (SURVEY §5.2). */
+class RelationalSpec extends SparkSuite {
+
+  test("every declared query returns rows with stable schema at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n > 0, s"$name returned 0 rows")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("every query has an oracle or a documented test-only gate") {
+    // Streaming ops are the only intentionally oracle-less operators;
+    // everything in SparkEntry.queries must carry oracle SQL.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("flagship golden: only NATION_1 customers, ordered by key") {
+    val rows = Relational.flagship(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(3) == "NATION_1"))
+    val keys = rows.map(_.getLong(0)).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("pricing summary totals equal full-table count") {
+    val total = Relational.pricingSummary(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("count_order")).head().getLong(0)
+    assert(total === Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("property: batch rising edge == fold oracle on random sequences") {
+    val s = spark
+    import s.implicits._
+    // random per-key event sequences; states from the sensor vocabulary
+    val stateGen = Gen.oneOf("RUNNING", "PENDING", "COMPLETED", "FAILED", "CANCELED")
+    val evGen = for {
+      ent <- Gen.choose(0L, 2L)
+      upd <- Gen.choose(0L, 2L)
+      st <- stateGen
+      t <- Gen.choose(0L, 9999L)
+    } yield UpdateEvent(ent, upd, st, new Timestamp(t * 1000))
+    val seqGen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, evGen))
+
+    def foldOracle(evs: Seq[UpdateEvent]): Set[(Long, Long, String)] =
+      evs.groupBy(e => (e.entityId, e.updateId)).flatMap { case ((en, up), g) =>
+        g.sortBy(e => (e.ts.getTime, e.state))
+          .find(e => Sensors.terminal(e.state))
+          .map(e => (en, up, e.state))
+      }.toSet
+
+    val prop = Prop.forAllNoShrink(seqGen) { evs =>
+      // batch execution of the streaming function: state starts empty,
+      // each group processed once — semantically the one-batch run
+      val got = Sensors.risingEdge(s.createDataset(evs))
+        .collect().map(e => (e.entityId, e.updateId, e.state)).toSet
+      got == foldOracle(evs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sanitize_name is idempotent (F1)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val once = Seq("a b-c!", "x__y", "0 9.z").toDF("n")
+      .select(regexp_replace(col("n"), "[^a-zA-Z0-9_]+", "_").as("s1"))
+      .select(col("s1"), regexp_replace(col("s1"), "[^a-zA-Z0-9_]+", "_").as("s2"))
+      .collect()
+    once.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.stream.Sensors
+import graft.stream.Sensors.{SensorEmit, UpdateEvent}
+
+/** MemoryStream replays of the sensor semantics — SURVEY §2.10 T1-T4
+  * (these operators are not SQL-expressible; this suite is their
+  * correctness gate, per the driver contract). */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("T1/T4: rising edge emits exactly once per (entity, update)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.risingEdge(in.toDS())
+      .writeStream.format("memory").queryName("rising_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      // batch 1: update running, then completed; a second update running
+      in.addData(
+        UpdateEvent(1, 10, "RUNNING", ts(0)),
+        UpdateEvent(1, 10, "COMPLETED", ts(60)),
+        UpdateEvent(2, 20, "RUNNING", ts(30)))
+      q.processAllAvailable()
+      // batch 2: update 10 reports COMPLETED AGAIN (redelivery) — must
+      // not re-emit; update 20 fails — first terminal, must emit
+      in.addData(
+        UpdateEvent(1, 10, "COMPLETED", ts(120)),
+        UpdateEvent(2, 20, "FAILED", ts(90)))
+      q.processAllAvailable()
+      val out = s.table("rising_out").as[SensorEmit].collect().toSeq
+        .sortBy(e => (e.entityId, e.updateId))
+      assert(out.map(e => (e.entityId, e.updateId, e.state)) ===
+        Seq((1L, 10L, "COMPLETED"), (2L, 20L, "FAILED")))
+      // at-most-once: exactly 2 rows total despite 3 terminal events
+      assert(out.size === 2)
+    }
+  }
+
+  test("T1: rising edge picks the FIRST terminal state by event time") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.risingEdge(in.toDS())
+      .writeStream.format("memory").queryName("rising_first")
+      .outputMode("append").start()
+    withQuery(q) {
+      // arrival order scrambled vs event time: CANCELED(t=50) arrives
+      // after COMPLETED(t=200) in the same batch
+      in.addData(
+        UpdateEvent(7, 1, "COMPLETED", ts(200)),
+        UpdateEvent(7, 1, "CANCELED", ts(50)))
+      q.processAllAvailable()
+      val out = s.table("rising_first").as[SensorEmit].collect()
+      assert(out.length === 1)
+      assert(out.head.state === "CANCELED")
+    }
+  }
+
+  test("T2: poll-with-timeout emits done on terminal, timeout otherwise") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.pollWithTimeout(in.toDS(), timeoutMs = 600000L)
+      .writeStream.format("memory").queryName("poll_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      // entity 1 starts and never terminates; entity 2 completes.
+      // (ts must be > 0: an event at exactly the initial watermark (0)
+      // is dropped by the late-event filter.)
+      in.addData(
+        UpdateEvent(1, 1, "RUNNING", ts(5)),
+        UpdateEvent(2, 2, "COMPLETED", ts(10)))
+      q.processAllAvailable()
+      // advance event time (and therefore the watermark) past 1's timeout
+      in.addData(UpdateEvent(3, 3, "RUNNING", ts(4000)))
+      q.processAllAvailable()
+      in.addData(UpdateEvent(3, 3, "RUNNING", ts(5000)))
+      q.processAllAvailable()
+      val out = s.table("poll_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sorted
+      assert(out.contains((1L, "timeout", "")))
+      assert(out.contains((2L, "done", "COMPLETED")))
+      // entity 3: first seen at t=4000s, deadline 4600s; the final
+      // watermark (4999s) passes it, so it times out too — and its
+      // deadline is anchored to FIRST-seen ts, not reset by the
+      // second RUNNING poll (the reference's start_time semantics)
+      assert(out.contains((3L, "timeout", "")))
+      assert(out.size === 3)
+    }
+  }
+
+  test("T4: watermarked dropDuplicates dedups redelivered updates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.dedupUpdates(in.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        UpdateEvent(1, 10, "RUNNING", ts(0)),
+        UpdateEvent(1, 10, "RUNNING", ts(5)),
+        UpdateEvent(1, 11, "RUNNING", ts(6)))
+      q.processAllAvailable()
+      in.addData(UpdateEvent(1, 10, "RUNNING", ts(7)))
+      q.processAllAvailable()
+      assert(s.table("dedup_out").count() === 2) // (1,10) and (1,11)
+    }
+  }
+
+  test("T3: tumbling window finalizes after watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.windowedStateCounts(in.toDS())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        UpdateEvent(1, 1, "RUNNING", ts(10)),
+        UpdateEvent(1, 2, "RUNNING", ts(300)),
+        UpdateEvent(2, 3, "COMPLETED", ts(500)))
+      q.processAllAvailable()
+      // push watermark past the first 10-minute window (600 + 1800s lateness)
+      in.addData(UpdateEvent(9, 9, "RUNNING", ts(3000)))
+      q.processAllAvailable()
+      val rows = s.table("win_out").collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set((0L, "RUNNING", 2L), (0L, "COMPLETED", 1L)))
+    }
+  }
+
+  test("batch twin: snapshot diff finds newly-terminal keys only") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      (1L, 10L, "COMPLETED"), (2L, 20L, "RUNNING"), (3L, 30L, "RUNNING"))
+      .toDF("entityId", "updateId", "state")
+    val curr = Seq(
+      (1L, 10L, "COMPLETED"), // already terminal before — no emit
+      (2L, 20L, "FAILED"),    // newly terminal — emit
+      (3L, 30L, "RUNNING"),   // still running — no emit
+      (4L, 40L, "CANCELED"))  // new key, terminal — emit
+      .toDF("entityId", "updateId", "state")
+    val out = Sensors.snapshotRisingEdge(prev, curr)
+      .select("entityId", "updateId", "state")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out === Set((2L, 20L, "FAILED"), (4L, 40L, "CANCELED")))
+  }
+}
