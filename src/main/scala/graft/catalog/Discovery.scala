@@ -56,11 +56,49 @@ object Discovery {
   def schemaCatalog(s: SparkSession, dir: String): DataFrame =
     columnsMeta(s, dir).orderBy(col("table_name"), col("ordinal"))
 
+  /** S4 six-col information_schema.tables projection (catalog column is
+    * sf-dir-dependent, so the oracle-checked projection exposes the
+    * stable columns; J1: the comments side is a 3-key left-outer
+    * broadcast join, the reference's table_info_map probe
+    * (`dlt_assets.py:92-110`) with its `{}` default (P9 coalesce). */
+  def tablesWithComments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comments = Seq(
+      ("main", "lineitem", "managed", "order line items"),
+      ("main", "orders", "managed", "customer orders"),
+      ("main", "events", "managed", "update event feed"))
+      .toDF("table_schema", "table_name", "table_type", "comment")
+    tablesMeta(s, dir)
+      .join(broadcast(comments),
+        Seq("table_schema", "table_name", "table_type"), "left_outer")
+      .select(
+        col("table_schema"), col("table_name"), col("table_type"),
+        col("data_source_format"),
+        coalesce(col("comment"), lit("(none)")).as("comment"))
+      .orderBy(col("table_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_schema_catalog" -> schemaCatalog,
+    "q47_tables_meta" -> tablesWithComments,
   )
 
   val oracles: Map[String, String] = Map(
+    "q47_tables_meta" ->
+      """SELECT table_schema, table_name, table_type, data_source_format,
+        |  coalesce(comment, '(none)') AS comment
+        |FROM (VALUES
+        |  ('main','customer','managed','parquet'),('main','documents','managed','parquet'),
+        |  ('main','embeddings','managed','parquet'),('main','events','managed','parquet'),
+        |  ('main','lineitem','managed','parquet'),('main','nation','managed','parquet'),
+        |  ('main','orders','managed','parquet'),('main','part','managed','parquet'),
+        |  ('main','region','managed','parquet'),('main','supplier','managed','parquet')
+        |) AS t(table_schema, table_name, table_type, data_source_format)
+        |LEFT JOIN (VALUES
+        |  ('lineitem', 'order line items'), ('orders', 'customer orders'),
+        |  ('events', 'update event feed')) AS c(cn, comment)
+        |ON table_name = cn
+        |ORDER BY table_name""".stripMargin,
     "q24_schema_catalog" ->
       """SELECT table_name, column_name, data_type, ordinal FROM (VALUES
         | ('region','r_regionkey','int',1),('region','r_name','string',2),

@@ -45,14 +45,24 @@ object Lineage {
       }
     val schemas = graft.Tables.discover(dir)
       .map(n => n -> graft.Tables.load(s, dir, n).schema.fields.map(_.name).toSeq)
-    val pkBySuffix: Map[String, String] = schemas.flatMap { case (t, cols) =>
-      suffix(cols.head).flatMap { sfx =>
-        val r = graft.Tables.load(s, dir, t)
-          .agg(count(lit(1)).as("n"), countDistinct(col(cols.head)).as("d"))
-          .head()
-        if (r.getLong(0) == r.getLong(1)) Some(sfx -> t) else None
-      }
-    }.toMap
+    // One unioned job for all pk-uniqueness checks (not one Spark job
+    // per table — the N+1 the rest of this engine exists to avoid).
+    val pkCandidates = schemas.flatMap { case (t, cols) =>
+      suffix(cols.head).map(sfx => (t, cols.head, sfx))
+    }
+    val pkBySuffix: Map[String, String] =
+      if (pkCandidates.isEmpty) Map.empty
+      else pkCandidates.map { case (t, c, _) =>
+        graft.Tables.load(s, dir, t)
+          .agg(count(lit(1)).as("n"), countDistinct(col(c)).as("d"))
+          .select(lit(t).as("t"), col("n"), col("d"))
+      }.reduce(_.unionByName(_))
+        .collect()
+        .filter(r => r.getLong(1) == r.getLong(2))
+        .map { r =>
+          val t = r.getString(0)
+          pkCandidates.find(_._1 == t).get._3 -> t
+        }.toMap
     val edges = for {
       (t, cols) <- schemas
       c <- cols

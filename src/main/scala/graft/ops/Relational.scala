@@ -330,7 +330,52 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** P7/F7 — nested-JSON array projection with explode and dot-path
+    * defaults (the reference's `upstreams[*].tableInfo.{...}` walk,
+    * `dlt_assets.py:48-55`): build a nested payload, parse with a typed
+    * `from_json` schema, `explode` the array, access nested fields with
+    * `coalesce` defaults. Typed from_json keeps the parse inside
+    * codegen; explode is the generator form of the reference's list
+    * comprehension. */
+  def propsArrayExplode(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(
+      lit("""{"tags":[""""), col("event_type"), lit("""","u"""),
+      pmod(col("user_id"), lit(3)), lit(""""],"k":"""),
+      get_json_object(col("props"), "$.k"), lit("}"))
+    t(s, dir, "events")
+      .withColumn("parsed", from_json(payload,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "tags array<string>, k bigint, missing string")))
+      .select(
+        explode(col("parsed.tags")).as("tag"),
+        col("parsed.k").as("k"),
+        coalesce(col("parsed.missing"), lit("none")).as("fallback"))
+      .groupBy(col("tag"), col("fallback"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("tag"))
+  }
+
+  /** T5 — error-tolerant per-element processing with a quarantine route
+    * (reference try/except-per-table, `dlt_assets.py:148-186`): corrupt
+    * a deterministic subset of the JSON feed, parse leniently
+    * (malformed → null), and split good rows from quarantined ones in
+    * one pass — the foreachBatch-split pattern as a batch relation. */
+  def quarantineSplit(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = when(col("event_id") % 97 === 0,
+      expr("substring(props, 1, length(props) - 1)")) // truncated JSON
+      .otherwise(col("props"))
+    t(s, dir, "events")
+      .withColumn("payload", corrupted)
+      .withColumn("k", get_json_object(col("payload"), "$.k").cast("bigint"))
+      .withColumn("route", when(col("k").isNotNull, "ok").otherwise("quarantine"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("route"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_props_array_explode" -> propsArrayExplode,
+    "q50_quarantine_split" -> quarantineSplit,
     "q01_flagship_us_customers" -> flagship,
     "q02_pricing_summary" -> pricingSummary,
     "q03_top_orders" -> topOrders,
@@ -358,6 +403,29 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // The oracle produces the documented semantics directly from the
+    // source columns (tags == [event_type, 'u'||user_id%3]) rather than
+    // re-parsing JSON — same result, engine-independent formulation.
+    "q48_props_array_explode" ->
+      """SELECT tag, 'none' AS fallback, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k FROM (
+        |  SELECT event_type AS tag,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+        |  UNION ALL
+        |  SELECT 'u' || (user_id % 3) AS tag,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+    "q50_quarantine_split" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN event_id % 97 = 0
+        |    THEN substr(props, 1, length(props) - 1) ELSE props END AS payload
+        |  FROM events),
+        |p AS (SELECT CASE WHEN json_valid(payload)
+        |    THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k
+        |  FROM c)
+        |SELECT CASE WHEN k IS NOT NULL THEN 'ok' ELSE 'quarantine' END AS route,
+        |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p GROUP BY 1 ORDER BY route""".stripMargin,
     "q01_flagship_us_customers" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
