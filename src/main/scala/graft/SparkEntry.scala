@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++
       ops.Lineage.queries ++
       catalog.Discovery.queries ++
+      catalog.Nodes.queries ++
       ops.Llm.queries ++
       ops.Multimodal.queries ++
       observe.Materialize.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     ops.Relational.oracles ++
       ops.Lineage.oracles ++
       catalog.Discovery.oracles ++
+      catalog.Nodes.oracles ++
       ops.Llm.oracles ++
       ops.Multimodal.oracles ++
       observe.Materialize.oracles ++

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the custom Catalyst expressions, so
+  * `spark.sql("SELECT minhash_bands(...), dot_product(...)")` works.
+  *
+  * Two entry points:
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection path)
+  *  - per-session: `GraftExtensions.register(spark)` for sessions built
+  *    without the conf (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private[functions] val definitions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("minhash_bands",
+      new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args.head)),
+    ("dot_product",
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, info, builder)
+    }
+}

@@ -81,6 +81,16 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1D, 2D), array(3D, 4D)) AS d,
+        |  size(minhash_bands(array('a b c', 'b c d'))) AS nb""".stripMargin)
+      .head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) === 12)
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })
