@@ -36,8 +36,19 @@ object Lineage {
     * Cost: footer-only schema walk plus one count-distinct agg per pk
     * candidate (a single-column scan). At 100 TB this is a catalog-build
     * step run once and cached, not a per-query cost. */
+  /** Derived-edge memo per warehouse dir: the FK catalog is a
+    * catalog-build artifact (footer walk + pk checks), not a per-query
+    * cost — compute once per directory and reuse across queries. Plain
+    * data (no session-bound handles), so caching is safe. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+
   def edgesFromSchema(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    edgeCache.getOrElseUpdate(dir, computeEdges(s, dir)).toDF("src", "dst")
+  }
+
+  private def computeEdges(s: SparkSession, dir: String): Seq[(String, String)] = {
     def suffix(c: String): Option[String] =
       c.split("_", 2) match {
         case Array(_, rest) if rest.endsWith("key") => Some(rest)
@@ -69,7 +80,7 @@ object Lineage {
       sfx <- suffix(c).toSeq
       pkTable <- pkBySuffix.get(sfx).toSeq
     } yield (t, pkTable)
-    edges.distinct.toDF("src", "dst")
+    edges.distinct
   }
 
   /** Kept for property tests and as the reference shape of the DAG. */
