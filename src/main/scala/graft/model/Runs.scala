@@ -33,6 +33,22 @@ object Runs {
           concat(lit("job_"), col("id"))).as("name"),
         (col("id") % 3 === 0).as("is_pipeline"))
 
+  /** S9: the pipelines list — the is_pipeline slice of the entity
+    * table, with the reference's sanitize_name (F1,
+    * `pipeline_discovery.py:6-7`), derived asset key (F4) and monitor
+    * URL (F3, `dlt_sensor.py:28`). */
+  def pipelines(s: SparkSession, dir: String): DataFrame =
+    jobs(s, dir)
+      .filter(col("is_pipeline"))
+      .select(
+        col("job_id").as("pipeline_id"),
+        regexp_replace(col("name"), "[^a-zA-Z0-9_]+", "_").as("safe_name"),
+        concat_ws(".", lit("dlt_pipeline"),
+          regexp_replace(col("name"), "[^a-zA-Z0-9_]+", "_")).as("asset_key"),
+        format_string("https://host/pipelines/%s/updates", col("job_id"))
+          .as("url"))
+      .orderBy(col("pipeline_id"))
+
   /** Runs derived from the events feed: state machine vocabulary of the
     * reference mapped from event_type; run_id = event_id (unique),
     * entity_id = user_id % 20. */
@@ -103,6 +119,7 @@ object Runs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_jobs_list" -> jobs,
+    "q54_pipelines_list" -> pipelines,
     "q44_latest_run_per_entity" -> latestRunPerEntity,
     "q45_terminal_run_stats" -> terminalRunStats,
     "q46_run_output_lookup" -> runOutputLookup,
@@ -125,6 +142,15 @@ object Runs {
         |           'job_' || id) AS name,
         |  id % 3 = 0 AS is_pipeline
         |FROM range(20) t(id) ORDER BY job_id""".stripMargin,
+    "q54_pipelines_list" ->
+      """SELECT id AS pipeline_id,
+        |  regexp_replace(coalesce(CASE WHEN id % 5 <> 0 THEN 'job_name_' || id END,
+        |    'job_' || id), '[^a-zA-Z0-9_]+', '_', 'g') AS safe_name,
+        |  'dlt_pipeline.' || regexp_replace(coalesce(
+        |    CASE WHEN id % 5 <> 0 THEN 'job_name_' || id END, 'job_' || id),
+        |    '[^a-zA-Z0-9_]+', '_', 'g') AS asset_key,
+        |  'https://host/pipelines/' || id || '/updates' AS url
+        |FROM range(20) t(id) WHERE id % 3 = 0 ORDER BY pipeline_id""".stripMargin,
     "q44_latest_run_per_entity" ->
       s"""WITH $runsSql
          |SELECT entity_id, run_id, state, result_state, ts FROM (

@@ -147,6 +147,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("fidelity: windowed counts over replayed events == batch groupBy") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // Real events table replayed through the streaming operator in two
+    // micro-batches, plus a far-future row to close every window.
+    val evs = Tables.load(s, sf, "events")
+      .orderBy(col("event_id")).limit(600)
+      .select(col("user_id").as("entityId"), col("event_id").as("updateId"),
+        col("event_type").as("state"), col("ts"))
+      .as[UpdateEvent].collect().toSeq
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.windowedStateCounts(in.toDS())
+      .writeStream.format("memory").queryName("replay_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      val (b1, b2) = evs.splitAt(300)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val closer = evs.map(_.ts.getTime).max + 100L * 3600 * 1000
+      in.addData(UpdateEvent(-1, -1, "closer", new Timestamp(closer)))
+      q.processAllAvailable()
+      val streamed = s.table("replay_out")
+        .filter(col("state") =!= "closer")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = s.createDataset(evs)
+        .groupBy(window(col("ts"), "10 minutes"), col("state"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("state"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+    }
+  }
+
   test("batch twin: snapshot diff finds newly-terminal keys only") {
     val s = spark
     import s.implicits._
