@@ -373,9 +373,48 @@ object Relational {
       .orderBy(col("route"))
   }
 
+  /** As-of join: each event is matched to the user's LATEST order at or
+    * before the event time — the standard event-enrichment join no
+    * single Spark primitive provides. Composed as an equi-join on the
+    * entity key with a range predicate, then max_by per event (partial
+    * agg map-side). At 100 TB both sides are bucketed by the entity key
+    * so the range scan stays within co-located partitions; per-entity
+    * order history is small, so fan-out is bounded. */
+  def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      .groupBy(col("event_id"))
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("event_id"), col("m.o_orderkey").as("asof_orderkey"),
+        col("m.o_orderdate").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Session windows over the event stream (batch form of the
+    * streaming `session_window`): events of a user belong to one
+    * session while gaps stay under 30 minutes. Built-in
+    * `session_window` keeps this identical in batch and streaming. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_props_array_explode" -> propsArrayExplode,
     "q50_quarantine_split" -> quarantineSplit,
+    "q56_asof_latest_order" -> asofLatestOrder,
+    "q57_session_stats" -> sessionStats,
     "q01_flagship_us_customers" -> flagship,
     "q02_pricing_summary" -> pricingSummary,
     "q03_top_orders" -> topOrders,
@@ -415,6 +454,34 @@ object Relational {
         |  SELECT 'u' || (user_id % 3) AS tag,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY tag ORDER BY tag""".stripMargin,
+    "q56_asof_latest_order" ->
+      """SELECT event_id, o_orderkey AS asof_orderkey,
+        |  o_orderdate AS asof_orderdate
+        |FROM (
+        |  SELECT event_id, o_orderkey, o_orderdate, row_number() OVER (
+        |    PARTITION BY event_id
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM events JOIN orders
+        |    ON user_id = o_custkey AND o_orderdate <= ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q57_session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked),
+        |per AS (SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q50_quarantine_split" ->
       """WITH c AS (
         |  SELECT CASE WHEN event_id % 97 = 0
