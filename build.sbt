@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must reach the real stdout UNPREFIXED: the
+// driver parses Bench's one-line JSON, and sbt's default logger wraps
+// forked output in "[info] " (round 1's BENCH json was unparseable).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
