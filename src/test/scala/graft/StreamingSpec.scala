@@ -184,6 +184,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("file-stream replay: readStream over events.parquet -> windowed agg") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // The real readStream path (SURVEY §2.10: events.parquet replayed as
+    // a stream): file source with explicit schema, ns->us normalization,
+    // watermarked tumbling agg, AvailableNow-style full drain.
+    val batchEvents = Tables.load(s, sf, "events")
+    // file-stream source wants a directory: stage the table file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$sf/events.parquet").schema) // ts as long (nanos)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("file_replay")
+      .outputMode("complete").start()
+    withQuery(q) {
+      q.processAllAvailable()
+      val streamed = s.table("file_replay").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      val batch = batchEvents
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      assert(streamed === batch)
+    }
+  }
+
+  test("K2 streaming sink: foreachBatch appends materialization events") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_k2").toString + "/events"
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.risingEdge(in.toDS()).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SensorEmit], _: Long) =>
+        graft.observe.Materialize.appendEvents(batch.toDF(), out)
+      }
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(UpdateEvent(1, 1, "COMPLETED", ts(10)))
+      q.processAllAvailable()
+      in.addData(UpdateEvent(2, 2, "FAILED", ts(20)))
+      q.processAllAvailable()
+      val evs = s.read.parquet(out)
+      assert(evs.count() === 2)
+      assert(evs.columns.contains("event_kind"))
+    }
+  }
+
   test("batch twin: snapshot diff finds newly-terminal keys only") {
     val s = spark
     import s.implicits._
