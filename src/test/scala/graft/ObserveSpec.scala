@@ -55,6 +55,34 @@ class ObserveSpec extends SparkSuite {
     }
   }
 
+  test("observed write: metrics harvested from the write's single pass") {
+    val out = Files.createTempDirectory("graft_obs").toString + "/us"
+    val m = graft.observe.Metrics.observedWrite(spark, sf, out)
+    val written = spark.read.parquet(out)
+    assert(m("row_count") === written.count())
+    // the observed sum matches a recomputation over the written result
+    val recomputed = written
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum("c_acctbal"), 2)).head().getDouble(0)
+    assert(m("sum_acctbal") === recomputed)
+  }
+
+  test("task-metrics listener surfaces execution metrics as a relation") {
+    graft.observe.Metrics.listen(spark)
+    Tables.load(spark, sf, "lineitem").count() // generate some stages
+    // listener events are async — poll until the snapshot fills
+    val deadline = System.currentTimeMillis() + 10000
+    while (graft.observe.Metrics.executionMetrics(spark).isEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val em = graft.observe.Metrics.executionMetrics(spark)
+    assert(em.columns.toSeq ===
+      Seq("stage_id", "records_read", "bytes_read",
+        "shuffle_bytes_written", "bytes_spilled"))
+    assert(em.count() > 0)
+    assert(em.agg(org.apache.spark.sql.functions.sum("records_read"))
+      .head().getLong(0) > 0)
+  }
+
   test("flagship lifecycle: cache → write → count → preview (K1/A2/K4)") {
     val out = Files.createTempDirectory("graft_flagship").toString + "/us"
     val (rowCount, preview) = graft.ops.Relational.flagshipLifecycle(spark, sf, out)
