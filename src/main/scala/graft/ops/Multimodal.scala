@@ -98,11 +98,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame-sample explode: one row per sampled frame with its hash —
+    * the downstream shape of per-frame feature extraction (the oracle
+    * recomputes every frame slice from the payload bytes, verifying
+    * the typed decode's array output element by element). */
+  def frameHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decoded(s, dir)
+      .select(col("doc_id"),
+        posexplode(col("frame_hashes")).as(Seq("frame_no", "frame_hash")))
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
+    "q58_frame_hashes" -> frameHashes,
   )
 
   val oracles: Map[String, String] = Map(
+    "q58_frame_hashes" ->
+      """WITH m AS (
+        |  SELECT doc_id, encode(text) AS payload FROM documents),
+        |f AS (
+        |  SELECT doc_id, i AS frame_no,
+        |    lower(substr(hex(payload),
+        |      CAST((octet_length(payload) * i) // 3 AS BIGINT) * 2 + 1, 32))
+        |      AS frame_hash
+        |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
+        |SELECT doc_id, frame_no, frame_hash FROM f
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "q40_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id,
