@@ -73,11 +73,15 @@ object Materialize {
     * engine-specific and gated by a ScalaTest tolerance check instead. */
   def profileSketch(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_discount", "l_tax")
+    // accuracy 1e6 ⇒ rank error < 1 row at sf0.1, so the sketch result
+    // equals the exact discrete quantile (at 10k, the ±60-row slack
+    // crossed a duplicate-value boundary at 600k rows and flipped p50).
+    // At 100 TB you would dial accuracy back down and accept ±n/accuracy.
     val aggs = cols.flatMap { c =>
       Seq(
-        percentile_approx(col(c), lit(0.25), lit(10000)).as(s"p25_$c"),
-        percentile_approx(col(c), lit(0.5), lit(10000)).as(s"p50_$c"),
-        percentile_approx(col(c), lit(0.75), lit(10000)).as(s"p75_$c"),
+        percentile_approx(col(c), lit(0.25), lit(1000000)).as(s"p25_$c"),
+        percentile_approx(col(c), lit(0.5), lit(1000000)).as(s"p50_$c"),
+        percentile_approx(col(c), lit(0.75), lit(1000000)).as(s"p75_$c"),
         round(min(col(c)), 4).as(s"min_$c"),
         round(max(col(c)), 4).as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")

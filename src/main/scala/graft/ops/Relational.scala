@@ -465,12 +465,16 @@ object Relational {
         |    ON user_id = o_custkey AND o_orderdate <= ts)
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q57_session_stats" ->
-      """WITH marked AS (
+      """WITH e AS (
+        |  -- µs truncation to match the engine's event-time precision
+        |  -- (raw parquet is TIMESTAMP_NS; Spark reads µs)
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+        |      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
         |      THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id,
         |    sum(new_session) OVER (PARTITION BY user_id
