@@ -57,6 +57,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
   }
 
+  test("partitioned write + read prunes partitions at the scan") {
+    val s = spark
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    Tables.load(s, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val read = s.read.parquet(out).filter(col("lang") === "en")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"partition filter not applied:\n$p")
+    // pruned read touches only the en partition
+    assert(read.count() ===
+      Tables.load(s, sf, "documents").filter(col("lang") === "en").count())
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val s = spark // tables land in ./spark-warehouse (gitignored)
     val n = 8
