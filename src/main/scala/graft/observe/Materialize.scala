@@ -109,9 +109,47 @@ object Materialize {
     Tables.load(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Incremental materialization: diff the current snapshot against the
+    * previous one and emit events ONLY for added/removed/changed tables
+    * — at 100 TB the hourly loop re-observes thousands of tables but
+    * only the drifted few produce events (full-outer join on the key,
+    * both sides metadata-thin). */
+  def snapshotDelta(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val p = prev.select(col("table_name"), col("row_count").as("prev_count"),
+      col("last_modified").as("prev_modified"))
+    val c = curr.select(col("table_name"), col("row_count"),
+      col("last_modified"))
+    c.join(p, Seq("table_name"), "full_outer")
+      .withColumn("change",
+        when(col("prev_count").isNull, "added")
+          .when(col("row_count").isNull, "removed")
+          .when(col("row_count") =!= col("prev_count") ||
+            (col("last_modified").isNotNull &&
+              col("last_modified") =!= col("prev_modified")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select(col("table_name"), col("change"),
+        col("prev_count"), col("row_count"))
+      .orderBy(col("table_name"))
+  }
+
+  /** q61 fixture: previous snapshot = current minus the events table,
+    * with lineitem's count off by one — yields one "added" and one
+    * "changed" row, deterministically. */
+  def materializationDelta(s: SparkSession, dir: String): DataFrame = {
+    val curr = materializations(s, dir)
+    val prev = curr
+      .filter(col("table_name") =!= "events")
+      .withColumn("row_count",
+        when(col("table_name") === "lineitem", col("row_count") - 1)
+          .otherwise(col("row_count")))
+    snapshotDelta(prev, curr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_materializations" -> materializations,
     "q42_profile_sketch" -> profileSketch,
+    "q61_materialization_delta" -> materializationDelta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +177,15 @@ object Materialize {
            |  '[main.$t](graft://main/$t)' AS md_link FROM $t""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     },
+    "q61_materialization_delta" ->
+      """SELECT 'events' AS table_name, 'added' AS change,
+        |  CAST(NULL AS BIGINT) AS prev_count,
+        |  (SELECT count(*) FROM events) AS row_count
+        |UNION ALL
+        |SELECT 'lineitem', 'changed',
+        |  (SELECT count(*) - 1 FROM lineitem),
+        |  (SELECT count(*) FROM lineitem)
+        |ORDER BY table_name""".stripMargin,
     "q42_profile_sketch" -> {
       val cols = Seq("l_discount", "l_quantity", "l_tax")
       cols.map { c =>

@@ -36,6 +36,23 @@ class ObserveSpec extends SparkSuite {
     assert(evs.columns.contains("event_kind"))
   }
 
+  test("snapshot delta: added/removed/changed/unchanged routing") {
+    val s = spark
+    import s.implicits._
+    val tNull = Option.empty[java.sql.Timestamp]
+    val prev = Seq(
+      ("a", 10L, tNull), ("b", 20L, tNull), ("gone", 1L, tNull))
+      .toDF("table_name", "row_count", "last_modified")
+    val curr = Seq(
+      ("a", 10L, tNull),   // unchanged — filtered out
+      ("b", 25L, tNull),   // changed
+      ("new", 5L, tNull))  // added
+      .toDF("table_name", "row_count", "last_modified")
+    val d = Materialize.snapshotDelta(prev, curr)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d === Map("b" -> "changed", "new" -> "added", "gone" -> "removed"))
+  }
+
   test("discovery reacts to directory contents (fallback on empty)") {
     assert(Tables.discover(sf).contains("lineitem"))
     assert(Tables.discover("/nonexistent_dir_xyz") === Tables.all)
