@@ -79,16 +79,17 @@ object Materialize {
     // discrete quantile with 4.5× margin. (At 10k accuracy the ±60-row
     // slack crossed that boundary and flipped p50.) At 100 TB you dial
     // accuracy down and accept ±n/accuracy.
+    // ONE sketch per column (array-of-percentiles form), not one per
+    // requested percentile — 3× less sketch building and merging.
     val aggs = cols.flatMap { c =>
       Seq(
-        percentile_approx(col(c), lit(0.25), lit(100000)).as(s"p25_$c"),
-        percentile_approx(col(c), lit(0.5), lit(100000)).as(s"p50_$c"),
-        percentile_approx(col(c), lit(0.75), lit(100000)).as(s"p75_$c"),
+        percentile_approx(col(c),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(100000)).as(s"pq_$c"),
         round(min(col(c)), 4).as(s"min_$c"),
         round(max(col(c)), 4).as(s"max_$c"))
     } :+ count(lit(1)).as("n_rows")
     val stackExpr = cols
-      .map(c => s"'$c', p25_$c, p50_$c, p75_$c, min_$c, max_$c")
+      .map(c => s"'$c', pq_$c[0], pq_$c[1], pq_$c[2], min_$c, max_$c")
       .mkString(s"stack(${cols.size}, ", ", ", ")")
     Tables.load(s, dir, "lineitem")
       .agg(aggs.head, aggs.tail: _*)
