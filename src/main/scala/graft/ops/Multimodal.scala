@@ -107,6 +107,8 @@ object Multimodal {
     decoded(s, dir)
       .select(col("doc_id"),
         posexplode(col("frame_hashes")).as(Seq("frame_no", "frame_hash")))
+      .withColumn("frame_no", col("frame_no").cast("bigint"))
+      .select(col("doc_id"), col("frame_no"), col("frame_hash"))
       .orderBy(col("doc_id"), col("frame_no"))
   }
 

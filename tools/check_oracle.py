@@ -77,6 +77,19 @@ def main(sf_dir, out_dir):
                   f"hash can't match: {suspect} — add explicit CASTs")
             n_fail += 1
             continue
+        # The driver's hash compare is typed: a Spark INT vs oracle
+        # BIGINT mismatch fails there even when values agree (q14 r1).
+        stypes = {c: str(t) for c, t in
+                  zip(spark_rel.columns, spark_rel.types)}
+        otypes = {c: str(t) for c, t in
+                  zip(oracle_rel.columns, oracle_rel.types)}
+        tmis = [(c, stypes[c], otypes[cl]) for c in stypes
+                for cl in otypes if c.lower() == cl.lower()
+                and stypes[c] != otypes[cl]]
+        if tmis:
+            print(f"FAIL {name}: column type mismatch spark vs oracle: {tmis}")
+            n_fail += 1
+            continue
         srows = spark_rel.select(*[f'"{c}"' for c in scols]).fetchall()
         orows = oracle_rel.select(*[f'"{c}"' for c in ocols]).fetchall()
         if len(srows) != len(orows):
