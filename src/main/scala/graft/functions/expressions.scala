@@ -52,6 +52,9 @@ case class MinHashBands(
 
   override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType)
   override def nullIntolerant: Boolean = true
+  // an empty shingle array yields null even when the input is non-null,
+  // so nullability must not be inherited from the child
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_bands"
 
   private val hexDigits = "0123456789abcdef".toCharArray

@@ -36,6 +36,22 @@ class LlmSpec extends SparkSuite {
     assert(mh.subsetOf(jac))
   }
 
+  test("custom expressions: null and empty-input handling") {
+    val s = spark
+    graft.functions.GraftExtensions.register(s)
+    val rows = s.sql(
+      """SELECT
+        |  dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS d_null,
+        |  dot_product(array(1D, 2D, 3D), array(2D)) AS d_shorter,
+        |  minhash_bands(CAST(NULL AS ARRAY<STRING>)) AS m_null,
+        |  minhash_bands(CAST(array() AS ARRAY<STRING>)) AS m_empty""".stripMargin)
+      .head()
+    assert(rows.isNullAt(0))              // null array -> null
+    assert(rows.getDouble(1) === 2.0)     // length mismatch -> min length
+    assert(rows.isNullAt(2))              // null shingles -> null
+    assert(rows.isNullAt(3))              // empty shingles -> null
+  }
+
   test("dot product expression matches a scala-side computation") {
     val s = spark
     import s.implicits._
