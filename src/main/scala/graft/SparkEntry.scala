@@ -21,6 +21,7 @@ object SparkEntry {
       catalog.Discovery.queries ++
       catalog.Nodes.queries ++
       ops.Llm.queries ++
+      functions.TopK.queries ++
       ops.Multimodal.queries ++
       observe.Materialize.queries ++
       model.Runs.queries
@@ -33,6 +34,7 @@ object SparkEntry {
       catalog.Discovery.oracles ++
       catalog.Nodes.oracles ++
       ops.Llm.oracles ++
+      functions.TopK.oracles ++
       ops.Multimodal.oracles ++
       observe.Materialize.oracles ++
       model.Runs.oracles

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+/** Bounded-heap top-k-per-key aggregation — SURVEY §2.11 (custom
+  * aggregation via `Aggregator`/`udaf`).
+  *
+  * The window formulation (`row_number().over(partitionBy(key).orderBy
+  * (v.desc)) <= k`) sorts EVERY row of every key group after a full
+  * shuffle. This Aggregator keeps only k candidates per key per
+  * partition (map-side partial aggregation), shuffles k rows per key,
+  * and merges heaps — the 100 TB plan for "top k orders per customer":
+  * shuffle volume drops from O(rows) to O(keys · k).
+  *
+  * Buffer is a sorted ≤k list ordered by (value desc, id asc) — the
+  * deterministic tie-break the oracle mirrors.
+  */
+object TopK {
+
+  type Item = (Double, Long) // (value, id)
+
+  private val K = 3
+
+  private def insert(buf: Seq[Item], it: Item): Seq[Item] = {
+    val better = (a: Item, b: Item) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    val merged = (buf :+ it).sortWith(better)
+    merged.take(K)
+  }
+
+  /** top-3 (value, id) per group. */
+  val topKAgg: Aggregator[Item, Seq[Item], Seq[Item]] =
+    new Aggregator[Item, Seq[Item], Seq[Item]] {
+      override def zero: Seq[Item] = Seq.empty
+      override def reduce(b: Seq[Item], a: Item): Seq[Item] = insert(b, a)
+      override def merge(b1: Seq[Item], b2: Seq[Item]): Seq[Item] =
+        b2.foldLeft(b1)(insert)
+      override def finish(r: Seq[Item]): Seq[Item] = r
+      override def bufferEncoder = ExpressionEncoder[Seq[Item]]()
+      override def outputEncoder = ExpressionEncoder[Seq[Item]]()
+    }
+
+  /** Top-3 orders per customer via the heap aggregation; output shape
+    * identical to the window formulation (custkey, rank, orderkey,
+    * price) so the DuckDB window oracle verifies it. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(topKAgg, ExpressionEncoder[Item]())
+    graft.Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"),
+        posexplode(col("top")).as(Seq("r", "item")))
+      .select(
+        col("o_custkey"),
+        (col("r") + 1).cast("bigint").as("rank"),
+        col("item._2").as("o_orderkey"),
+        col("item._1").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_topk_orders_per_customer" -> topOrdersPerCustomer,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q62_topk_orders_per_customer" ->
+      """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+  )
+}
