@@ -38,6 +38,19 @@ object Tables {
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Load + spread: round-robin repartition to the cluster's core count
+    * before CPU-heavy per-row transforms (shingling, hashing, JSON
+    * parsing). Parquet parallelism is bounded by row groups, and a
+    * corpus often arrives as few large single-row-group files (the
+    * fixture tables do; real corpora arrive as big gzip/WET dumps with
+    * the same problem) — without the spread, a 32-core executor runs
+    * the transform stage on one thread. The exchange moves only the raw
+    * rows once and is far cheaper than serializing the transform; ops
+    * whose cost is the scan or the aggregation (not per-row CPU) keep
+    * using [[load]] so their filters still push into the scan. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long (legacy flag) and truncate to
     * microseconds with integer `div` — a `/ 1000` double division would

@@ -342,7 +342,7 @@ object Relational {
       lit("""{"tags":[""""), col("event_type"), lit("""","u"""),
       pmod(col("user_id"), lit(3)), lit(""""],"k":"""),
       get_json_object(col("props"), "$.k"), lit("}"))
-    t(s, dir, "events")
+    graft.Tables.loadSpread(s, dir, "events") // JSON parse is per-row CPU
       .withColumn("parsed", from_json(payload,
         org.apache.spark.sql.types.StructType.fromDDL(
           "tags array<string>, k bigint, missing string")))
@@ -364,7 +364,7 @@ object Relational {
     val corrupted = when(col("event_id") % 97 === 0,
       expr("substring(props, 1, length(props) - 1)")) // truncated JSON
       .otherwise(col("props"))
-    t(s, dir, "events")
+    graft.Tables.loadSpread(s, dir, "events") // JSON parse is per-row CPU
       .withColumn("payload", corrupted)
       .withColumn("k", get_json_object(col("payload"), "$.k").cast("bigint"))
       .withColumn("route", when(col("k").isNotNull, "ok").otherwise("quarantine"))
