@@ -138,7 +138,10 @@ object Materialize {
     * with lineitem's count off by one — yields one "added" and one
     * "changed" row, deterministically. */
   def materializationDelta(s: SparkSession, dir: String): DataFrame = {
-    val curr = materializations(s, dir)
+    // The snapshot is 1 row per table but costs #tables scan jobs to
+    // build — pin the 10-row result instead of replaying every
+    // per-table agg on both diff sides.
+    val curr = materializations(s, dir).localCheckpoint()
     val prev = curr
       .filter(col("table_name") =!= "events")
       .withColumn("row_count",

@@ -137,6 +137,57 @@ object Lineage {
   def lineageClosure(s: SparkSession, dir: String): DataFrame =
     closure(edgesFromSchema(s, dir)).orderBy(col("src"), col("anc"))
 
+  /** Connected components of the undirected graph given as a 2-column
+    * pair DataFrame: iterative min-label propagation —
+    * `L(v) ← min(L(v), min over neighbors L(u))` each round, converging
+    * in diameter rounds to `label = min vertex id of the component`.
+    * Same semi-naïve machinery as [[closure]] (per-round
+    * `localCheckpoint` plan truncation, monotone state, join-per-round).
+    *
+    * This is the clustering step every near-dup pipeline needs after
+    * candidate verification: pairs → components → one canonical doc per
+    * component. At 100 TB the labels relation is one row per vertex
+    * *touched by a pair* (far smaller than the corpus), each round is
+    * one shuffle join keyed on the vertex, and rounds are bounded by
+    * component diameter — near-dup components are shallow (dup chains,
+    * not paths), so 2-4 rounds in practice; the large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce")
+    * is the drop-in upgrade if diameters ever grow.
+    *
+    * Returns (v, label). Vertices are the pair endpoints, so every
+    * component here has ≥ 2 members; singletons never enter the graph.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(c1, c2) = pairs.columns.toSeq.map(col)
+    val edges = pairs.select(c1.as("src"), c2.as("dst"))
+      .union(pairs.select(c2.as("src"), c1.as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "label propagation exceeded 64 rounds")
+      val prop = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+        .select(col("src").as("pv"), col("nl"))
+      val next = labels.join(prop, labels("v") === prop("pv"), "left_outer")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("v"), col("label").as("prev")), "v")
+        .filter(col("label") < col("prev"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lineage_edges" -> lineageEdges,
     "q20_lineage_closure" -> lineageClosure,

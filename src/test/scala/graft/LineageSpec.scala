@@ -60,6 +60,54 @@ class LineageSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** In-memory components oracle: BFS labeling with min-id labels. */
+  private def ccOracle(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(_.swap))
+      .filter { case (a, b) => a != b }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var label = Map.empty[Long, Long]
+    adj.keys.toSeq.sorted.foreach { root =>
+      if (!label.contains(root)) {
+        var comp = Set(root)
+        var frontier = adj(root)
+        while (frontier.nonEmpty) {
+          comp ++= frontier
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- comp
+        }
+        val m = comp.min
+        comp.foreach(v => label += v -> m)
+      }
+    }
+    label
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df =
+      if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+      else pairs.toDF("d1", "d2")
+    Lineage.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("property: connected components == BFS oracle on random graphs") {
+    val vGen = Gen.choose(0L, 9L)
+    val pairGen = Gen.zip(vGen, vGen)
+    val graphGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, pairGen))
+    val prop = Prop.forAllNoShrink(graphGen) { pairs =>
+      ccOf(pairs) == ccOracle(pairs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("connected components: empty input and self-edges-only are empty") {
+    assert(ccOf(Seq.empty).isEmpty)
+    assert(ccOf(Seq(3L -> 3L)).isEmpty)
+  }
+
   test("schema-derived edges equal the documented FK contract") {
     val derived = Lineage.lineageEdges(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet

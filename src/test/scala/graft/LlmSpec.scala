@@ -107,6 +107,41 @@ class LlmSpec extends SparkSuite {
     assert(r.getInt(1) === 12)
   }
 
+  test("vectorSum aggregator: element-wise sums with map-side merge") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vsum = udaf(graft.functions.VectorAgg.vectorSum,
+      ExpressionEncoder[Seq[Double]]())
+    val df = Seq(
+      ("a", Seq(1.0, 2.0)), ("a", Seq(3.0, 4.0)),
+      ("b", Seq(0.5, -0.5)))
+      .toDF("k", "v")
+      .repartition(4) // force cross-partition merge of partial buffers
+      .groupBy(col("k")).agg(vsum(col("v")).as("s"))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") === Seq(4.0, 6.0))
+    assert(got("b") === Seq(0.5, -0.5))
+  }
+
+  test("dup clusters: every member pair-reachable set collapses to one " +
+    "canonical min id") {
+    val clusters = Llm.dupClusters(spark, sf).collect()
+    assert(clusters.nonEmpty)
+    clusters.foreach { r =>
+      val id = r.getLong(0)
+      val n = r.getLong(1)
+      val members = r.getString(2).split(",").map(_.toLong)
+      assert(n >= 2) // pair endpoints only — no singleton clusters
+      assert(members.length === n)
+      assert(members.min === id) // canonical = min doc_id
+      assert(members.toSeq === members.sorted.toSeq)
+    }
+    // clusters partition the pair-endpoint vertex set
+    val all = clusters.flatMap(_.getString(2).split(",")).toSeq
+    assert(all.distinct.size === all.size)
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })
