@@ -100,6 +100,27 @@ object Materialize {
       .orderBy(col("col_name"))
   }
 
+  /** Grouped sketch profile (X6 per-key flavor): per-language document-
+    * length quantiles — one `percentile_approx` sketch per group, built
+    * map-side and merged, so a 100 TB corpus profiles every language in
+    * a single pass with `groups × sketch` shuffle bytes. Accuracy 1e5
+    * makes the sketch exact below 100 k rows per group (fixture groups
+    * are ≤ ~21 k at sf0.1); at real scale you dial accuracy down and
+    * accept rank error n/accuracy, as q42 documents. */
+  def langLengthProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(100000)).as("pq"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"),
+        col("pq")(0).as("p25"), col("pq")(1).as("p50"), col("pq")(2).as("p75"),
+        col("min_chars"), col("max_chars"))
+      .orderBy(col("lang"))
+
   /** Full HLL profile (engine-specific estimates; ScalaTest asserts
     * within-2% of exact — no cross-engine oracle is possible because
     * HLL++ implementations differ). rsd=0.01. */
@@ -154,6 +175,7 @@ object Materialize {
     "q41_materializations" -> materializations,
     "q42_profile_sketch" -> profileSketch,
     "q61_materialization_delta" -> materializationDelta,
+    "q65_lang_length_profile" -> langLengthProfile,
   )
 
   val oracles: Map[String, String] = Map(
@@ -190,6 +212,13 @@ object Materialize {
         |  (SELECT count(*) - 1 FROM lineitem),
         |  (SELECT count(*) FROM lineitem)
         |ORDER BY table_name""".stripMargin,
+    "q65_lang_length_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_disc(n_chars, 0.25) AS p25,
+        |  quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.75) AS p75,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q42_profile_sketch" -> {
       val cols = Seq("l_discount", "l_quantity", "l_tax")
       cols.map { c =>
