@@ -45,11 +45,33 @@ object Bench {
       }
       name -> times.min
     }
+    // Second pass: full materialization through the noop sink. count()
+    // lets Catalyst prune per-row work for projection-only queries
+    // (simhash, fingerprints, sanitize...), so the count-based numbers
+    // above understate them; the noop sink executes every expression
+    // and discards rows at the sink. Headline stays count-based for
+    // round-over-round comparability; this is the honest per-row cost.
+    val matResults = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          if (!errors.contains(name)) errors += name
+          System.err.println(s"[bench] $name (materialized) failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMat = matResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir"}""")
+    val totalMat = if (matResults.nonEmpty) matResults.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"queries_materialized":$qsMat}""")
     spark.stop()
   }
 }

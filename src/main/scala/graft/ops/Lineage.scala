@@ -175,15 +175,15 @@ object Lineage {
       val prop = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
         .select(col("src").as("pv"), col("nl"))
-      val next = labels.join(prop, labels("v") === prop("pv"), "left_outer")
-        .select(col("v"),
+      // Carry the previous label through the round so convergence is a
+      // filter over the (already materialized) round output, not an
+      // extra join against the previous state.
+      val step = labels.join(prop, labels("v") === prop("pv"), "left_outer")
+        .select(col("v"), col("label").as("prev"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next
-        .join(labels.select(col("v"), col("label").as("prev")), "v")
-        .filter(col("label") < col("prev"))
-        .isEmpty
-      labels = next
+      converged = step.filter(col("label") < col("prev")).isEmpty
+      labels = step.select(col("v"), col("label"))
     }
     labels
   }
