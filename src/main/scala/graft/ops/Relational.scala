@@ -410,7 +410,32 @@ object Relational {
         sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** SQL surface: the reference talks to its warehouse exclusively in SQL
+    * text (`table_discovery.py:16-43`, `dlt_assets.py:87-91,159-165`); this
+    * entry runs a classic customer⋈orders⋈lineitem revenue aggregation
+    * through `spark.sql` over temp views registered from the *discovered*
+    * warehouse (S1-S3 → views → SQL). Catalyst plans it identically to the
+    * DataFrame formulation: broadcast of the filtered customer side,
+    * partial+final hash agg, TakeOrderedAndProject for the top-10. */
+  def sqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.discover(dir).foreach { name =>
+      Tables.load(s, dir, name).createOrReplaceTempView(name)
+    }
+    s.sql("""
+      SELECT o_orderkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             o_orderdate
+      FROM customer
+      JOIN orders   ON c_custkey  = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_sql_surface" -> sqlSurface,
     "q48_props_array_explode" -> propsArrayExplode,
     "q50_quarantine_split" -> quarantineSplit,
     "q56_asof_latest_order" -> asofLatestOrder,
@@ -442,6 +467,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_sql_surface" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders   ON c_custkey  = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     // The oracle produces the documented semantics directly from the
     // source columns (tags == [event_type, 'u'||user_id%3]) rather than
     // re-parsing JSON — same result, engine-independent formulation.
