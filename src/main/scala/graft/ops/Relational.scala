@@ -434,8 +434,63 @@ object Relational {
       LIMIT 10""")
   }
 
+  /** X6-adjacent profiling: fixed-width value histogram of
+    * `l_extendedprice` per return flag (the reference's per-table
+    * profiling plane, `dlt_assets.py:148-156`, extended with the value
+    * distribution a data-quality dashboard shows). Bucketing is a pure
+    * projection (`floor(x / width)`) so the histogram is ONE map-side-
+    * combinable hash aggregation over the fact table — no sort, no
+    * window, shuffle volume bounded by O(flags × buckets), not rows. */
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("bucket", floor(col("l_extendedprice") / 5000).cast("bigint"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+
+  /** Rolling 7-day revenue (freshness trend for the materialization
+    * plane — reference's hourly observation loop aggregated over time,
+    * `dlt_assets.py:172-179`). Scale shape: the fact table collapses to
+    * ONE row per day in a partial-aggregated groupBy first; the range-
+    * frame window then runs over the day-grain relation (O(days), driver-
+    * sized), never over raw rows. Daily revenue is rounded before the
+    * rolling sum so the window adds identical doubles in identical order
+    * on any engine. */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy(col("dn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rolling_7d", round(sum(col("revenue")).over(w), 2))
+      .select(col("d"), col("revenue"), col("rolling_7d"))
+      .orderBy(col("d"))
+  }
+
+  /** Rollup totals over the corpus dimensions (lang, source) — the
+    * subtotal/grand-total view a catalog landing page shows. One Expand
+    * of the *pre-aggregated* (lang, source) relation: Catalyst plans
+    * partial aggregation below the Expand, so the ×3 row replication
+    * applies to O(groups), not O(corpus). */
+  def rollupDocCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_l"),
+        coalesce(col("source"), lit("ALL")).as("source_l"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang_l"), col("source_l"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q66_sql_surface" -> sqlSurface,
+    "q69_price_histogram" -> priceHistogram,
+    "q70_rolling_revenue" -> rollingRevenue,
+    "q71_rollup_doc_counts" -> rollupDocCounts,
     "q48_props_array_explode" -> propsArrayExplode,
     "q50_quarantine_split" -> quarantineSplit,
     "q56_asof_latest_order" -> asofLatestOrder,
@@ -467,6 +522,28 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_price_histogram" ->
+      """SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, bucket""".stripMargin,
+    "q70_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    round(sum(o_totalprice), 2) AS revenue,
+        |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dn
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT d, revenue,
+        |  round(sum(revenue) OVER (ORDER BY dn
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+        |FROM daily ORDER BY d""".stripMargin,
+    "q71_rollup_doc_counts" ->
+      """SELECT coalesce(lang, 'ALL') AS lang_l,
+        |  coalesce(source, 'ALL') AS source_l,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang_l, source_l""".stripMargin,
     "q66_sql_surface" ->
       """SELECT o_orderkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,

@@ -142,6 +142,80 @@ class LlmSpec extends SparkSuite {
     assert(all.distinct.size === all.size)
   }
 
+  test("containment pairs equal an in-memory inverted-index oracle") {
+    // Recompute the full pipeline in plain Scala on the sf0.001 corpus:
+    // word 3-shingles, df>100 stop list, overlap = common/min ≥ 0.8.
+    val corpus = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> {
+        val ws = r.getString(1).split(" ", -1)
+        val n = math.max(ws.length - 2, 1)
+        (0 until n).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+      }).toMap
+    val df = corpus.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val pruned = corpus.map { case (id, sh) => id -> sh.filter(df(_) <= 100) }
+    val expect = (for {
+      (d1, s1) <- pruned; (d2, s2) <- pruned if d1 < d2
+      common = s1.intersect(s2).size
+      m = math.min(s1.size, s2.size)
+      if m > 0 && common.toDouble / m >= 0.8
+    } yield (d1, d2, common.toLong, s1.size.toLong, s2.size.toLong)).toSet
+    val got = Llm.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("containment dominates jaccard: every pair with jaccard ≥ 0.8 " +
+    "is also a containment pair") {
+    val jac = Llm.jaccardPairs(spark, sf).collect()
+      .filter(_.getDouble(2) >= 0.8)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = Llm.containmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cont))
+  }
+
+  test("tfidf top terms: exactly 5 ranked terms per lang, scores " +
+    "dominate every unranked term (in-memory oracle)") {
+    val docsRows = Tables.load(spark, sf, "documents")
+      .select("lang", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1).toSeq))
+    val nTotal = docsRows.length.toDouble
+    val tf = docsRows.flatMap { case (l, _, ws) => ws.map(w => (l, w)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val dfc = docsRows.flatMap { case (_, id, ws) => ws.distinct.map(w => (id, w)) }
+      .map(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    def score(l: String, w: String): Double =
+      tf((l, w)) * math.log(nTotal / dfc(w))
+    val got = Llm.tfidfTopTerms(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val perLang = got.groupBy(_._1)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      val ranked = rows.map(_._3).toSet
+      val worstRanked = rows.map(t => score(lang, t._3)).min
+      val unranked = tf.keys.collect { case (l, w) if l == lang && !ranked(w) => w }
+      unranked.foreach { w =>
+        assert(score(lang, w) <= worstRanked + 1e-9,
+          s"$lang/$w outscores a ranked term")
+      }
+      rows.foreach { case (l, _, w, tfv, dfv) =>
+        assert(tfv === tf((l, w)).toLong)
+        assert(dfv === dfc(w).toLong)
+      }
+    }
+  }
+
+  test("char-ngram langid: confusion counts partition the corpus") {
+    val rows = Llm.charNgramLangId(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum ===
+      Tables.load(spark, sf, "documents").count())
+    val preds = rows.map(_.getString(1)).distinct.toSet
+    assert(preds.subsetOf(Set("en", "fr", "de")))
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })

@@ -75,6 +75,46 @@ class RelationalSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("price histogram partitions the table: bucket counts sum to row " +
+    "count and min/max stay inside bucket bounds") {
+    val rows = Relational.priceHistogram(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val flags = Tables.load(spark, sf, "lineitem").count()
+    assert(total === flags)
+    rows.foreach { r =>
+      val bucket = r.getLong(1)
+      val lo = bucket * 5000.0
+      assert(r.getDouble(3) >= lo && r.getDouble(3) < lo + 5000.0)
+      assert(r.getDouble(4) >= r.getDouble(3) && r.getDouble(4) < lo + 5000.0)
+    }
+  }
+
+  test("rolling 7-day revenue equals an in-memory trailing-window fold") {
+    val rows = Relational.rollingRevenue(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (d, _, rolling) =>
+      val expect = BigDecimal(
+        (0 to 6).flatMap(k => byDay.get(d.minusDays(k.toLong))).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rolling - expect) < 1e-6, s"day $d: $rolling != $expect")
+    }
+  }
+
+  test("rollup: grand total row equals corpus size; per-lang subtotals " +
+    "sum to it") {
+    val rows = Relational.rollupDocCounts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val grand = rows.collect { case ("ALL", "ALL", n) => n }
+    assert(grand.length === 1)
+    assert(grand.head === Tables.load(spark, sf, "documents").count())
+    val langTotals = rows.collect { case (l, "ALL", n) if l != "ALL" => n }.sum
+    assert(langTotals === grand.head)
+    val leaves = rows.collect { case (l, s, n) if l != "ALL" && s != "ALL" => n }.sum
+    assert(leaves === grand.head)
+  }
+
   test("sanitize_name is idempotent (F1)") {
     val s = spark
     import s.implicits._
