@@ -21,9 +21,12 @@ object Bench {
     } catch { case _: Throwable => () }
     // A failed query must NOT masquerade as a fast one: track errors
     // explicitly and surface them in the JSON (extra key, same contract).
-    // Per-query time = min of two runs (steady-state; single runs vary
-    // ±30% on shared hardware from JIT/GC/scheduler noise).
-    val runs = 2
+    // Per-query time = min of three runs: measured single runs on this
+    // host vary far more than JIT/GC alone explains (a full count pass
+    // once measured 212 s vs 38 s minutes apart with identical code —
+    // multi-tenant CPU steal), and min-of-3 keeps one contended window
+    // from poisoning a whole pass.
+    val runs = 3
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // Optional comma-separated query filter for local iteration
     // (SPARK_GRAFT_ONLY=q33_jaccard_pairs,q30_minhash_pairs); the

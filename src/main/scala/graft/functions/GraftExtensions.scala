@@ -14,10 +14,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    without the conf (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Post-hoc (after the main optimizer batches, so projections have
+    // collapsed): window-top-1 → partial-aggregating min_by/max_by.
+    ext.injectOptimizerRule(_ => graft.plans.TopOnePerKey)
+  }
 }
 
 object GraftExtensions {

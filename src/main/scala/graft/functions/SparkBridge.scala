@@ -13,6 +13,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Execute a hand-built/rewritten logical plan as a DataFrame —
+    * used by the plan-rewrite tests to run a rule's output and compare
+    * it against the original query's result. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Session-local function registration (the non-extensions path). */
   def registerFunction(
       spark: SparkSession,

@@ -12,9 +12,11 @@ class PlanSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
   /** Queries that intentionally use a broadcast nested-loop: a handful
-    * of broadcast query vectors / centroids against the streaming side. */
+    * of broadcast query vectors / centroids (or a 1-row global count,
+    * q67) against the streaming side. */
   private val bnljAllowed = Set(
-    "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup")
+    "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
+    "q67_tfidf_top_terms")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.foreach { name =>
@@ -95,5 +97,87 @@ class PlanSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS orders_b")
       s.sql("DROP TABLE IF EXISTS customer_b")
     }
+  }
+
+  // ---- TopOnePerKey rewrite rule --------------------------------------
+
+  import org.apache.spark.sql.{DataFrame, GraftBridge}
+  import org.apache.spark.sql.expressions.Window
+  import graft.plans.TopOnePerKey
+
+  private def rewritten(df: DataFrame): (String, DataFrame) = {
+    val out = TopOnePerKey(df.queryExecution.optimizedPlan)
+    (out.toString, GraftBridge.ofRows(spark, out))
+  }
+
+  test("TopOnePerKey rewrites asc window-top-1 to min_by and preserves " +
+    "the result") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val df = Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val (planStr, rw) = rewritten(df)
+    assert(planStr.contains("min_by"), s"no min_by in:\n$planStr")
+    assert(!planStr.contains("Window"), s"Window survived:\n$planStr")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val expect = df.collect().sortBy(r => key(r)).map(_.toSeq).toSeq
+    val got = rw.collect().sortBy(r => key(r)).map(_.toSeq).toSeq
+    assert(got === expect)
+  }
+
+  test("TopOnePerKey rewrites desc window-top-1 to max_by and preserves " +
+    "the result (q18 shape)") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val df = Tables.load(spark, sf, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "rn")
+    val (planStr, rw) = rewritten(df)
+    assert(planStr.contains("max_by"), s"no max_by in:\n$planStr")
+    assert(!planStr.contains("Window"), s"Window survived:\n$planStr")
+    val expect = df.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    val got = rw.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    assert(got === expect)
+  }
+
+  test("TopOnePerKey handles null ordering keys like the window sort " +
+    "(asc nulls first)") {
+    val s = spark
+    import s.implicits._
+    val df0 = Seq(
+      (1L, Some(5L), "a"), (1L, None, "b"), (1L, Some(2L), "c"),
+      (2L, None, "d"), (2L, None, "e"),
+      (3L, Some(7L), "f")
+    ).toDF("k", "o", "v")
+    val w = Window.partitionBy(col("k")).orderBy(col("o"), col("v"))
+    val df = df0.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val (planStr, rw) = rewritten(df)
+    assert(planStr.contains("min_by"), s"no min_by in:\n$planStr")
+    val expect = df.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    val got = rw.collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+    assert(got === expect)
+  }
+
+  test("TopOnePerKey leaves top-k (k>1), mixed-direction, and " +
+    "unpartitioned windows untouched") {
+    val base = Tables.load(spark, sf, "orders")
+    val wAsc = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val top2 = base.withColumn("rn", row_number().over(wAsc))
+      .filter(col("rn") <= 2)
+    assert(TopOnePerKey(top2.queryExecution.optimizedPlan).toString
+      .contains("Window"))
+    val wMixed = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val mixed = base.withColumn("rn", row_number().over(wMixed))
+      .filter(col("rn") === 1)
+    assert(TopOnePerKey(mixed.queryExecution.optimizedPlan).toString
+      .contains("Window"))
+    val wGlobal = Window.orderBy(col("o_orderdate"))
+    val global = base.withColumn("rn", row_number().over(wGlobal))
+      .filter(col("rn") === 1)
+    assert(TopOnePerKey(global.queryExecution.optimizedPlan).toString
+      .contains("Window"))
   }
 }
