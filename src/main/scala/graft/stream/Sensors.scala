@@ -121,6 +121,38 @@ object Sensors {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("state"), col("n"))
 
+  /** T6 — watermarked stream-stream interval join: pair each terminal
+    * update with the start poll of the same (entity, update) observed
+    * at most 2 hours earlier, emitting the update's wall-clock
+    * duration — the metric the reference computes imperatively inside
+    * its trigger-and-poll loops (`job_discovery.py:22-55` `time.time()`
+    * deltas, `pipeline_discovery.py:43-66`).
+    *
+    * Both sides carry a 1 hour watermark and the join condition bounds
+    * `end_ts - start_ts` to [0, 2 h], so Spark can evict join state for
+    * starts older than the bound — state stays O(in-flight updates),
+    * never O(history). Emits one row per (start poll, terminal poll)
+    * pair; feed starts through [[dedupUpdates]] first for exactly one
+    * row per update. */
+  def updateDurations(updates: Dataset[UpdateEvent]): DataFrame = {
+    val starts = updates.filter(u => u.state == "RUNNING").toDF()
+      .select(col("entityId"), col("updateId"), col("ts").as("start_ts"))
+      .withWatermark("start_ts", "1 hour")
+    val ends = updates.filter(u => terminal(u.state)).toDF()
+      .select(col("entityId").as("end_entity"), col("updateId").as("end_update"),
+        col("state").as("end_state"), col("ts").as("end_ts"))
+      .withWatermark("end_ts", "1 hour")
+    starts.join(ends,
+      col("entityId") === col("end_entity") &&
+        col("updateId") === col("end_update") &&
+        col("end_ts") >= col("start_ts") &&
+        col("end_ts") <= col("start_ts") + expr("INTERVAL 2 HOURS"))
+      .select(col("entityId"), col("updateId"), col("end_state"),
+        col("start_ts"), col("end_ts"),
+        (unix_millis(col("end_ts")) - unix_millis(col("start_ts")))
+          .as("duration_ms"))
+  }
+
   /** Batch twin of T1 for snapshot feeds (reference's sensor diff of
     * current vs previously-recorded state): new-terminal keys are those
     * terminal now and not terminal (or absent) before. Anti-join form —

@@ -147,6 +147,30 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("T6: stream-stream interval join emits duration per matched " +
+    "start/terminal pair; unmatched terminals never emit") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.updateDurations(in.toDS())
+      .writeStream.format("memory").queryName("dur_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        UpdateEvent(1, 10, "RUNNING", ts(100)),
+        UpdateEvent(2, 20, "FAILED", ts(150)), // terminal with no start
+        UpdateEvent(1, 10, "COMPLETED", ts(400)))
+      q.processAllAvailable()
+      // a start arriving AFTER its terminal, outside the [0, 2h] band
+      in.addData(UpdateEvent(2, 20, "RUNNING", ts(8000)))
+      q.processAllAvailable()
+      val rows = s.table("dur_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      assert(rows.toSet === Set((1L, 10L, "COMPLETED", 300000L)))
+    }
+  }
+
   test("fidelity: windowed counts over replayed events == batch groupBy") {
     val s = spark
     import s.implicits._
