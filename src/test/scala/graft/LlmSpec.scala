@@ -216,6 +216,13 @@ class LlmSpec extends SparkSuite {
     assert(preds.subsetOf(Set("en", "fr", "de")))
   }
 
+  test("bloom decontamination equals exact decontamination (no false " +
+    "negatives; false positives removed by the verify join)") {
+    val exact = Llm.decontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    val bloom = Llm.bloomDecontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })
