@@ -22,6 +22,7 @@ object SparkEntry {
       catalog.Nodes.queries ++
       ops.Llm.queries ++
       functions.TopK.queries ++
+      functions.Sketches.queries ++
       ops.Multimodal.queries ++
       observe.Materialize.queries ++
       model.Runs.queries
@@ -35,6 +36,7 @@ object SparkEntry {
       catalog.Nodes.oracles ++
       ops.Llm.oracles ++
       functions.TopK.oracles ++
+      functions.Sketches.oracles ++
       ops.Multimodal.oracles ++
       observe.Materialize.oracles ++
       model.Runs.oracles

@@ -61,8 +61,33 @@ object TopK {
       .orderBy(col("o_custkey"), col("rank"))
   }
 
+  /** Deterministic stratified fixed-size sample: 3 docs per language,
+    * selected by a Knuth multiplicative hash of `doc_id` — the
+    * reproducible alternative to rng sampling for eval-set carving
+    * (same docs on any engine, any run, any partitioning; the sampling
+    * companion of `Llm.splitAssignment`). Selection reuses [[topKAgg]]
+    * on the negated hash, so each stratum's sample is a map-side
+    * bounded heap: shuffle volume is O(strata · k), and no stratum ever
+    * sorts — the window formulation is only the oracle. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(topKAgg, ExpressionEncoder[Item]())
+    graft.Tables.load(s, dir, "documents")
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      .groupBy(col("lang"))
+      // min-k by hash == max-k of the negated hash (exact for h < 2^53)
+      .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("r", "item")))
+      .select(
+        col("lang"),
+        (col("r") + 1).cast("bigint").as("rank"),
+        col("item._2").as("doc_id"),
+        (-col("item._1")).cast("bigint").as("h"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_topk_orders_per_customer" -> topOrdersPerCustomer,
+    "q74_stratified_sample" -> stratifiedSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,5 +98,12 @@ object TopK {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "q74_stratified_sample" ->
+      """SELECT lang, rank, doc_id, h FROM (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 1000000007 AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
   )
 }

@@ -223,6 +223,39 @@ class LlmSpec extends SparkSuite {
     assert(bloom === exact)
   }
 
+  test("spacesaving sketch: exact at cap ≥ vocab; under eviction " +
+    "pressure keeps the SpaceSaving guarantees") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    // exact regime: q75 == q53 head-to-head
+    val exact = graft.ops.Llm.tokenFreq(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketched = graft.functions.Sketches.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketched === exact)
+    // eviction regime: zipf-ish stream, cap 4 « vocab 20
+    val truth = (1 to 20).flatMap(i => Seq.fill(220 / i)(s"t$i"))
+    val n = truth.length.toLong
+    val cap = 4
+    val ss = udaf(graft.functions.Sketches.spaceSavingAgg(cap, cap),
+      ExpressionEncoder[String]())
+    val got = truth.toDF("token").repartition(4)
+      .agg(ss(col("token")).as("top"))
+      .select(explode(col("top")).as("it"))
+      .collect().map(r => r.getStruct(0)).map(x => x.getString(0) -> x.getLong(1))
+      .toMap
+    val trueCounts = truth.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // any token with true freq > n/cap must be present
+    trueCounts.collect { case (t, c) if c > n / cap => t }
+      .foreach(t => assert(got.contains(t), s"frequent $t missing"))
+    // every sketched count is an overestimate bounded by n/cap
+    got.foreach { case (t, c) =>
+      val tc = trueCounts.getOrElse(t, 0L)
+      assert(c >= tc && c <= tc + n / cap, s"$t: sketch $c true $tc")
+    }
+  }
+
   test("simhash is 16-bit bounded and deterministic") {
     val a = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.forall { case (_, h) => h >= 0 && h < (1L << 16) })
