@@ -306,6 +306,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour"))
 
+  /** Sliding (hopping) event-time windows — the batch twin of the
+    * streaming T3 window family: 10-minute windows every 5 minutes, so
+    * each event lands in exactly size/slide = 2 windows. Spark's
+    * `window()` generator replicates each row per overlapping window
+    * BEFORE the partial aggregation, so the shuffle carries
+    * O(windows × types) aggregated rows, not 2× the events. */
+  def slidingEventStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Single-pass multi-column profile (X6 exact flavor): one scan of
     * lineitem computes per-column stats, unpivoted via stack(). The
     * mergeable-sketch (HLL) variant is in graft.observe. */
@@ -511,6 +525,7 @@ object Relational {
     "q14_event_props_json" -> eventPropsJson,
     "q15_error_purchase_by_user" -> errorPurchaseByUser,
     "q16_hourly_event_stats" -> hourlyEventStats,
+    "q76_sliding_event_stats" -> slidingEventStats,
     "q17_rising_edge_purchases" -> risingEdgePurchases,
     "q18_latest_event_per_user" -> latestEventPerUser,
     "q21_table_counts" -> tableCounts,
@@ -691,6 +706,19 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    // each event belongs to exactly two 10-min/5-min-slide windows:
+    // starts floor(epoch/300)*300 and that minus 300 (µs-truncated ts,
+    // matching the engine's event-time precision)
+    "q76_sliding_event_stats" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM events),
+        |x AS (SELECT event_type, value,
+        |    CAST(to_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300)
+        |      AS TIMESTAMP) AS window_start
+        |  FROM e, LATERAL unnest([0, 1]) AS t(k))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q17_rising_edge_purchases" ->
       """SELECT user_id, event_id, ts FROM (
         |  SELECT user_id, event_id, ts, event_type,

@@ -115,6 +115,13 @@ class RelationalSpec extends SparkSuite {
     assert(leaves === grand.head)
   }
 
+  test("sliding windows double-count: sum(n) == 2 x events (each event " +
+    "in exactly size/slide windows)") {
+    val total = Relational.slidingEventStats(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total === 2 * Tables.load(spark, sf, "events").count())
+  }
+
   test("sanitize_name is idempotent (F1)") {
     val s = spark
     import s.implicits._
