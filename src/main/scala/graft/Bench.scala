@@ -67,6 +67,23 @@ object Bench {
       }
       name -> times.min
     }
+    // Like-for-like comparability: BENCH_r01/BASELINE totals cover the
+    // original 27-query set; the full total now spans 76 queries, so
+    // also publish the sum over exactly the round-1 set.
+    val r1Set = Set(
+      "q01_flagship_us_customers", "q02_pricing_summary", "q03_top_orders",
+      "q04_latest_order_per_customer", "q05_brand_volume",
+      "q06_customers_without_orders", "q07_building_customers_with_orders",
+      "q08_distinct_flag_status", "q09_first_order_per_customer",
+      "q10_all_parties", "q11_part_kind_normalize", "q12_markdown_links",
+      "q13_sanitize_names", "q14_event_props_json",
+      "q15_error_purchase_by_user", "q16_hourly_event_stats",
+      "q17_rising_edge_purchases", "q18_latest_event_per_user",
+      "q19_lineage_edges", "q20_lineage_closure", "q21_table_counts",
+      "q22_profile_lineitem", "q23_first_doc_per_lang_source",
+      "q24_schema_catalog", "q25_segment_defaults",
+      "q26_non_open_order_counts", "q27_event_gaps")
+    val totalR1 = results.collect { case (k, v) if r1Set(k) => v }.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMat = matResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -74,7 +91,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMat = if (matResults.nonEmpty) matResults.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"queries_materialized":$qsMat}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"queries_materialized":$qsMat,"total_r1_query_set":$totalR1,"n_queries":${results.size}}""")
     spark.stop()
   }
 }
