@@ -188,6 +188,62 @@ object Lineage {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014 — public algorithm): the O(log²)-round
+    * upgrade over [[connectedComponents]]' O(diameter) min-label
+    * propagation, for graphs with DEEP components (long dup chains,
+    * crawl-frontier paths) where diameter-bounded rounds don't scale.
+    *
+    *  - large-star(u): attach every strictly-larger neighbor to
+    *    `min(Γ(u) ∪ u)` — hooks tall trees onto small ids in one hop;
+    *  - small-star(u): orient each edge to its larger endpoint, attach
+    *    the smaller neighbors and u itself to their minimum — contracts
+    *    local stars.
+    *
+    * Each half-round is one groupBy(min) + one equi-join on the node id
+    * (both map-side combinable), edge multiplicity stays ≤ the input
+    * edge count, and per-round `localCheckpoint` truncates the plan.
+    * Terminates when the edge set is a fixpoint (a union of stars
+    * rooted at component minima); labels then read directly off the
+    * star edges. Same contract as [[connectedComponents]]: input is a
+    * 2-column pair relation, output (v, label = component min). */
+  def connectedComponentsBigStar(pairs: DataFrame): DataFrame = {
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("a"), col("b"))
+        .union(df.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    val Seq(c1, c2) = pairs.columns.toSeq.map(col)
+    var edges = sym(pairs.select(c1.as("a"), c2.as("b"))).localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star contraction exceeded 64 rounds")
+      // large-star: for every u, (v > u) ↦ min(Γ(u) ∪ u)
+      val minsL = edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a").as("u"), least(col("mn"), col("a")).as("m"))
+      val large = edges.filter(col("b") > col("a"))
+        .join(minsL, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val afterLarge = sym(large).localCheckpoint()
+      // small-star: orient to the larger endpoint, attach its smaller
+      // neighborhood (and itself) to the neighborhood minimum
+      val oriented = afterLarge.filter(col("b") < col("a"))
+      val minsS = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = sym(
+        oriented.join(minsS.select(col("a").as("u"), col("m")), col("a") === col("u"))
+          .select(col("b").as("a"), col("m").as("b"))
+          .union(minsS.select(col("a"), col("m").as("b"))))
+        .localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+    }
+    edges.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a").as("v"), least(col("a"), col("mn")).as("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lineage_edges" -> lineageEdges,
     "q20_lineage_closure" -> lineageClosure,

@@ -108,6 +108,43 @@ class LineageSpec extends SparkSuite {
     assert(ccOf(Seq(3L -> 3L)).isEmpty)
   }
 
+  private def ccStarOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    val df =
+      if (pairs.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+      else pairs.toDF("d1", "d2")
+    Lineage.connectedComponentsBigStar(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("property: big-star components == BFS oracle on random graphs") {
+    val vGen = Gen.choose(0L, 9L)
+    val pairGen = Gen.zip(vGen, vGen)
+    val graphGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, pairGen))
+    val prop = Prop.forAllNoShrink(graphGen) { pairs =>
+      ccStarOf(pairs) == ccOracle(pairs)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("big-star labels a 60-node path without hitting the round cap") {
+    // A path this deep needs ~60 min-label rounds but only O(log²) star
+    // rounds — the case the algorithm exists for. Cap is 64, so passing
+    // here means contraction, not diameter, bounded the rounds.
+    val path = (0L until 60L).map(i => i -> (i + 1))
+    val labels = ccStarOf(path)
+    assert(labels.keySet === (0L to 60L).toSet)
+    assert(labels.values.toSet === Set(0L))
+  }
+
+  test("big-star: empty input and self-edges-only are empty") {
+    assert(ccStarOf(Seq.empty).isEmpty)
+    assert(ccStarOf(Seq(5L -> 5L)).isEmpty)
+  }
+
   test("schema-derived edges equal the documented FK contract") {
     val derived = Lineage.lineageEdges(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
