@@ -49,6 +49,37 @@ object Runs {
           .as("url"))
       .orderBy(col("pipeline_id"))
 
+  /** S8 in its true wire form: the jobs list parsed from raw JSON
+    * payload strings (the reference consumes `/jobs/list` JSON bodies)
+    * with `from_json` against an explicit schema — never schema
+    * inference, which at 100 TB is an extra full scan of the payloads.
+    * Every 7th payload is corrupt; `from_json` yields a null struct for
+    * it (PERMISSIVE), which is surfaced as `ok = false` with null
+    * fields rather than failing the batch — the reference's
+    * per-element error tolerance (T5, `table_discovery.py` try/except)
+    * as a row-level contract. Name defaulting is the P9 coalesce. */
+  def jobsFromJson(s: SparkSession, dir: String): DataFrame = {
+    val payloads = s.range(0, 21)
+      .select(
+        col("id").as("payload_id"),
+        when(col("id") % 7 === 6, lit("{not json"))
+          .otherwise(format_string(
+            """{"job_id":%d,"settings":{"name":"j%d"}}""",
+            col("id"), col("id"))).as("payload"))
+    payloads
+      .withColumn("p",
+        from_json(col("payload"), org.apache.spark.sql.types.StructType
+          .fromDDL("job_id BIGINT, settings STRUCT<name: STRING>")))
+      .select(
+        col("payload_id"),
+        col("p.job_id").as("job_id"),
+        when(col("p.job_id").isNotNull,
+          coalesce(col("p.settings.name"),
+            concat(lit("job_"), col("p.job_id")))).as("name"),
+        col("p.job_id").isNotNull.as("ok"))
+      .orderBy(col("payload_id"))
+  }
+
   /** Runs derived from the events feed: state machine vocabulary of the
     * reference mapped from event_type; run_id = event_id (unique),
     * entity_id = user_id % 20. */
@@ -119,6 +150,7 @@ object Runs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q43_jobs_list" -> jobs,
+    "q80_jobs_from_json" -> jobsFromJson,
     "q54_pipelines_list" -> pipelines,
     "q44_latest_run_per_entity" -> latestRunPerEntity,
     "q45_terminal_run_stats" -> terminalRunStats,
@@ -142,6 +174,19 @@ object Runs {
         |           'job_' || id) AS name,
         |  id % 3 = 0 AS is_pipeline
         |FROM range(20) t(id) ORDER BY job_id""".stripMargin,
+    "q80_jobs_from_json" ->
+      """WITH p AS (SELECT id AS payload_id,
+        |  CASE WHEN id % 7 = 6 THEN '{not json'
+        |    ELSE '{"job_id":' || id || ',"settings":{"name":"j' || id || '"}}'
+        |  END AS payload FROM range(21) t(id))
+        |SELECT payload_id,
+        |  CASE WHEN json_valid(payload)
+        |    THEN CAST(payload->>'$.job_id' AS BIGINT) END AS job_id,
+        |  CASE WHEN json_valid(payload)
+        |    THEN coalesce(payload->>'$.settings.name',
+        |      'job_' || (payload->>'$.job_id')) END AS name,
+        |  json_valid(payload) AS ok
+        |FROM p ORDER BY payload_id""".stripMargin,
     "q54_pipelines_list" ->
       """SELECT id AS pipeline_id,
         |  regexp_replace(coalesce(CASE WHEN id % 5 <> 0 THEN 'job_name_' || id END,

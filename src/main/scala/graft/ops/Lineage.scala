@@ -205,18 +205,31 @@ object Lineage {
     * (both map-side combinable), edge multiplicity stays ≤ the input
     * edge count, and per-round `localCheckpoint` truncates the plan.
     * Terminates when the edge set is a fixpoint (a union of stars
-    * rooted at component minima); labels then read directly off the
-    * star edges. Same contract as [[connectedComponents]]: input is a
-    * 2-column pair relation, output (v, label = component min). */
+    * rooted at component minima), detected by a single-action
+    * (count, order-independent `bit_xor(xxhash64)` checksum)
+    * comparison per round — NOT a pairwise `exceptAll` diff, which
+    * costs two extra shuffle joins per round and dominated wall-clock
+    * when this was first measured (28 s at sf0.1). A checksum
+    * collision masking a real change needs equal count AND equal
+    * 64-bit xor over distinct edge sets — vanishing, and correctness
+    * stays oracle-gated. Same contract as
+    * [[connectedComponents]]: input is a 2-column pair relation,
+    * output (v, label = component min). */
   def connectedComponentsBigStar(pairs: DataFrame): DataFrame = {
     def sym(df: DataFrame): DataFrame =
       df.select(col("a"), col("b"))
         .union(df.select(col("b").as("a"), col("a").as("b")))
         .filter(col("a") =!= col("b"))
         .distinct()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val Seq(c1, c2) = pairs.columns.toSeq.map(col)
     var edges = sym(pairs.select(c1.as("a"), c2.as("b"))).localCheckpoint()
-    var converged = edges.isEmpty
+    var edgeSig = sig(edges)
+    var converged = edgeSig._1 == 0L
     var rounds = 0
     while (!converged) {
       rounds += 1
@@ -227,9 +240,11 @@ object Lineage {
       val large = edges.filter(col("b") > col("a"))
         .join(minsL, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
-      val afterLarge = sym(large).localCheckpoint()
       // small-star: orient to the larger endpoint, attach its smaller
-      // neighborhood (and itself) to the neighborhood minimum
+      // neighborhood (and itself) to the neighborhood minimum.
+      // afterLarge stays lazy — only `next` materializes per round, so
+      // a full round is two shuffles + one checkpoint + one agg action.
+      val afterLarge = sym(large)
       val oriented = afterLarge.filter(col("b") < col("a"))
       val minsS = oriented.groupBy(col("a")).agg(min(col("b")).as("m"))
       val next = sym(
@@ -237,7 +252,9 @@ object Lineage {
           .select(col("b").as("a"), col("m").as("b"))
           .union(minsS.select(col("a"), col("m").as("b"))))
         .localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == edgeSig
+      edgeSig = nextSig
       edges = next
     }
     edges.groupBy(col("a")).agg(min(col("b")).as("mn"))

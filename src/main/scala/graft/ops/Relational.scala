@@ -500,7 +500,23 @@ object Relational {
         col("n_docs"), col("sum_chars"))
       .orderBy(col("lang_l"), col("source_l"))
 
+  /** Pivot / crosstab (§2.4 extension): per-source doc counts spread
+    * into one column per language. The pivot value list is pinned
+    * (`Seq("de",...)`) so the output schema is static and Catalyst
+    * plans ONE partial-aggregating pass — an unpinned `.pivot("lang")`
+    * runs a values-discovery job first, which at 100 TB is a full extra
+    * scan. Absent (source, lang) combos surface as null counts;
+    * `na.fill(0)` restores the crosstab contract. */
+  def pivotLangSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_lang_source_pivot" -> pivotLangSource,
     "q66_sql_surface" -> sqlSurface,
     "q69_price_histogram" -> priceHistogram,
     "q70_rolling_revenue" -> rollingRevenue,
@@ -537,6 +553,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_lang_source_pivot" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE lang = 'de') AS de,
+        |  count(*) FILTER (WHERE lang = 'en') AS en,
+        |  count(*) FILTER (WHERE lang = 'es') AS es,
+        |  count(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  count(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q69_price_histogram" ->
       """SELECT l_returnflag, CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
         |  count(*) AS n,

@@ -59,6 +59,20 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window "))
   }
 
+  test("length-outlier threshold joins broadcast, never a per-lang window sort") {
+    val p = plan("q78_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    assert(!p.contains("Window "), s"q78 fell back to a window sort:\n$p")
+  }
+
+  test("pivot with pinned values plans one aggregation pass, no Expand") {
+    val p = plan("q79_lang_source_pivot")
+    // pinned pivot values → a single grouping pass; an unpinned pivot
+    // would first run a values-discovery job, an Expand-style blowup
+    assert(!p.contains("Expand"), s"pivot planned an Expand:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("partitioned write + read prunes partitions at the scan") {
     val s = spark
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
