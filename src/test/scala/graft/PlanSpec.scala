@@ -113,6 +113,41 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    // One key owns ~95% of the rows: the classic skew that stalls a
+    // shuffle join on one straggler task. With AQE skew-join enabled
+    // (and thresholds scaled down to fixture size), the planner must
+    // split that partition at runtime — `isSkew=true` in the final plan.
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val skewed = s.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as(("pay")))
+      val dim = s.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("d"))
+      val joined = skewed.join(dim, "k")
+      // collect() executes THIS DataFrame's queryExecution (count()
+      // would spawn a fresh one and leave this plan un-finalized);
+      // k=7 rows (190 000) all match; the spread ids match only below
+      // the dim's 1 000-key range: ids 0,20,…,980 → 50 rows.
+      assert(joined.collect().length === 190050)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skew:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   // ---- TopOnePerKey rewrite rule --------------------------------------
 
   import org.apache.spark.sql.{DataFrame, GraftBridge}
