@@ -85,9 +85,37 @@ object TopK {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Deterministic WEIGHTED sample without replacement, 3 docs per
+    * language, weight = `n_chars` — A-Res (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006, public
+    * algorithm): each item draws u ∈ (0,1) and the k largest
+    * `u^(1/weight)` keys ARE a weighted sample. u comes from the same
+    * Knuth multiplicative hash as [[stratifiedSample]], so the sample
+    * is reproducible on any engine/partitioning; selection reuses
+    * [[topKAgg]], so it stays a map-side bounded heap (O(strata · k)
+    * through the shuffle) rather than a per-stratum sort. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(topKAgg, ExpressionEncoder[Item]())
+    graft.Tables.load(s, dir, "documents")
+      .withColumn("u",
+        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) + lit(0.5)) /
+          lit(1000000007L))
+      .withColumn("akey", pow(col("u"), lit(1.0) / col("n_chars")))
+      .groupBy(col("lang"))
+      .agg(topk(col("akey"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("r", "item")))
+      .select(
+        col("lang"),
+        (col("r") + 1).cast("bigint").as("rank"),
+        col("item._2").as("doc_id"),
+        round(col("item._1"), 6).as("akey"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_topk_orders_per_customer" -> topOrdersPerCustomer,
     "q74_stratified_sample" -> stratifiedSample,
+    "q82_weighted_sample" -> weightedSample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +132,17 @@ object TopK {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank
         |  FROM documents)
+        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q82_weighted_sample" ->
+      """WITH k AS (SELECT lang, doc_id,
+        |  pow(((doc_id * 2654435761) % 1000000007 + 0.5) / 1000000007,
+        |      1.0 / n_chars) AS akey
+        |  FROM documents)
+        |SELECT lang, rank, doc_id, round(akey, 6) AS akey FROM (
+        |  SELECT lang, doc_id, akey,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY akey DESC, doc_id) AS rank
+        |  FROM k)
         |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
   )
 }

@@ -16,7 +16,7 @@ class PlanSpec extends SparkSuite {
     * q67) against the streaming side. */
   private val bnljAllowed = Set(
     "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
-    "q67_tfidf_top_terms")
+    "q67_tfidf_top_terms", "q83_filtered_topk")
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.foreach { name =>
