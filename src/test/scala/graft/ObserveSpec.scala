@@ -107,4 +107,48 @@ class ObserveSpec extends SparkSuite {
     assert(preview.size <= 5 && preview.nonEmpty)
     assert(spark.read.parquet(out).count() === rowCount)
   }
+
+  test("compact: fragmented table rewritten into few even files, rows kept") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val frag = s"$base/frag"
+    val tidy = s"$base/tidy"
+    // fragment orders into 50 small files
+    Tables.load(spark, sf, "orders").repartition(50)
+      .write.mode("overwrite").parquet(frag)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === 50)
+    val n = spark.read.parquet(frag).count()
+    graft.observe.Compact.compact(spark, frag, tidy, targetRows = 1000L)
+    val expect = ((n + 999) / 1000).toInt
+    assert(parquetFiles(tidy) === expect)
+    assert(spark.read.parquet(tidy).count() === n)
+    // round-robin compaction: file sizes even within one row of ideal
+    val inv = graft.observe.Compact.fileInventory(spark, tidy, "o_orderkey")
+    val counts = inv.collect().map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("clusteredWrite: files hold disjoint key ranges (pruning layout)") {
+    val base = Files.createTempDirectory("graft_cluster").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    Tables.load(spark, sf, "orders").repartition(8) // destroy any order
+      .write.mode("overwrite").parquet(in)
+    graft.observe.Compact.clusteredWrite(spark, in, out, 4, Seq("o_orderdate"))
+    val inv = graft.observe.Compact.fileInventory(spark, out, "o_orderdate")
+      .collect()
+    assert(inv.length === 4)
+    // ranges must not overlap: each file's min is ≥ the previous max
+    inv.sliding(2).foreach {
+      case Array(a, b) =>
+        val (prevMax, nextMin) = (a.getAs[java.time.LocalDateTime](3),
+          b.getAs[java.time.LocalDateTime](2))
+        assert(nextMin.compareTo(prevMax) >= 0,
+          s"overlap: $nextMin < $prevMax")
+      case _ => ()
+    }
+    assert(spark.read.parquet(out).count() ===
+      spark.read.parquet(in).count())
+  }
 }
