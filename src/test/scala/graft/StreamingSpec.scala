@@ -266,6 +266,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming SpaceSaving: sketch merges across micro-batches") {
+    // The mergeable-summary property is what makes the sketch usable in
+    // Structured Streaming: each micro-batch folds into the same bounded
+    // buffer under complete-mode aggregation, so a vocabulary stream
+    // keeps an O(CAP) state regardless of how many batches arrive.
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val ss = udaf(
+      graft.functions.Sketches.spaceSavingAgg(cap = 4, topn = 3),
+      ExpressionEncoder[String]())
+    val in = MemoryStream[String]
+    val q = in.toDS().toDF("token")
+      .agg(ss(col("token")).as("top"))
+      .select(explode(col("top")).as("it"))
+      .select(col("it._1").as("token"), col("it._2").as("n"))
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode("complete").start()
+    withQuery(q) {
+      in.addData(Seq.fill(10)("alpha") ++ Seq.fill(3)("beta"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(7)("alpha") ++ Seq.fill(5)("gamma") ++
+        Seq("rare1", "rare2", "rare3"): _*)
+      q.processAllAvailable()
+      val out = s.table("ss_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // n = 28 tokens, cap = 4 → ε = 7: every count is within [true,
+      // true + ε], and the true heavy hitter is present and dominant.
+      assert(out.contains("alpha"))
+      assert(out("alpha") >= 17L && out("alpha") <= 24L)
+      assert(out.keySet.size === 3)
+      assert(out("alpha") === out.values.max)
+    }
+  }
+
   test("batch twin: snapshot diff finds newly-terminal keys only") {
     val s = spark
     import s.implicits._
