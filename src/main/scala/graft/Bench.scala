@@ -36,7 +36,7 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    val timed = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -46,8 +46,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
+    val results = timed.map { case (name, times) => name -> times.min }
+    // Host-contention tripwire: on an idle host max/min within a query's
+    // 3 runs stays near 1 (JIT/GC); multi-tenant CPU steal has produced
+    // 5-10× swings here. Flag the pass when the MEDIAN per-query spread
+    // exceeds 2× — a whole-pass signal, robust to one slow outlier.
+    val spreads = timed.values.map(t => if (t.min > 0) t.max / t.min else 1.0).toSeq.sorted
+    val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
+    val contended = medianSpread > 2.0
     // Second pass: full materialization through the noop sink. count()
     // lets Catalyst prune per-row work for projection-only queries
     // (simhash, fingerprints, sanitize...), so the count-based numbers
@@ -91,7 +99,12 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMat = if (matResults.nonEmpty) matResults.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"queries_materialized":$qsMat,"total_r1_query_set":$totalR1,"n_queries":${results.size}}""")
+    // Two lines, detail FIRST and the compact headline LAST: the
+    // driver's tail capture truncates from the front, so the line that
+    // must always parse (headline totals + count-based per-query dict)
+    // is the short final one — truncation can only ever eat detail.
+    println(s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"contended":$contended}""")
     spark.stop()
   }
 }

@@ -61,6 +61,21 @@ object TopK {
       .orderBy(col("o_custkey"), col("rank"))
   }
 
+  /** The shared Knuth multiplicative hash, overflow-safe: `doc_id` is
+    * reduced mod M BEFORE the multiply, so the intermediate product is
+    * ≤ (M−1)·A ≈ 2.7e18 < 2^63 for the ENTIRE 64-bit id range — the
+    * naive `id * A` wraps silently in Spark (and errors in DuckDB) for
+    * id ≳ 3.46e9, i.e. exactly at web-corpus scale. By modular
+    * arithmetic `((id mod M) · A) mod M = (id · A) mod M`, so values
+    * are unchanged wherever the naive form didn't wrap. `pmod` keeps
+    * the result non-negative for negative ids. */
+  def knuthHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id, lit(1000000007L)) * lit(2654435761L), lit(1000000007L))
+
+  /** The DuckDB-portable rendering of [[knuthHash]] (nonneg ids). */
+  def knuthHashSql(idExpr: String): String =
+    s"(($idExpr % 1000000007) * 2654435761) % 1000000007"
+
   /** Deterministic stratified fixed-size sample: 3 docs per language,
     * selected by a Knuth multiplicative hash of `doc_id` — the
     * reproducible alternative to rng sampling for eval-set carving
@@ -72,7 +87,7 @@ object TopK {
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val topk = udaf(topKAgg, ExpressionEncoder[Item]())
     graft.Tables.load(s, dir, "documents")
-      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("h", knuthHash(col("doc_id")))
       .groupBy(col("lang"))
       // min-k by hash == max-k of the negated hash (exact for h < 2^53)
       .agg(topk((-col("h")).cast("double"), col("doc_id")).as("top"))
@@ -98,8 +113,7 @@ object TopK {
     val topk = udaf(topKAgg, ExpressionEncoder[Item]())
     graft.Tables.load(s, dir, "documents")
       .withColumn("u",
-        ((col("doc_id") * lit(2654435761L)) % lit(1000000007L) + lit(0.5)) /
-          lit(1000000007L))
+        (knuthHash(col("doc_id")) + lit(0.5)) / lit(1000000007L))
       .withColumn("akey", pow(col("u"), lit(1.0) / col("n_chars")))
       .groupBy(col("lang"))
       .agg(topk(col("akey"), col("doc_id")).as("top"))
@@ -127,17 +141,17 @@ object TopK {
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
     "q74_stratified_sample" ->
-      """SELECT lang, rank, doc_id, h FROM (
-        |  SELECT lang, doc_id, (doc_id * 2654435761) % 1000000007 AS h,
-        |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rank
-        |  FROM documents)
-        |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+      s"""SELECT lang, rank, doc_id, h FROM (
+         |  SELECT lang, doc_id, ${knuthHashSql("doc_id")} AS h,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${knuthHashSql("doc_id")}, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "q82_weighted_sample" ->
-      """WITH k AS (SELECT lang, doc_id,
-        |  pow(((doc_id * 2654435761) % 1000000007 + 0.5) / 1000000007,
-        |      1.0 / n_chars) AS akey
-        |  FROM documents)
+      s"""WITH k AS (SELECT lang, doc_id,
+         |  pow((${knuthHashSql("doc_id")} + 0.5) / 1000000007,
+         |      1.0 / n_chars) AS akey
+         |  FROM documents)
         |SELECT lang, rank, doc_id, round(akey, 6) AS akey FROM (
         |  SELECT lang, doc_id, akey,
         |    row_number() OVER (PARTITION BY lang

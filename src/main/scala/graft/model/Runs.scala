@@ -126,7 +126,13 @@ object Runs {
 
   /** S12: run-output lookup — join the latest terminal run per entity to
     * its output payload (to_json struct, F6) on run_id, the engine form
-    * of `/jobs/runs/get-output`. Both sides derive from runs. */
+    * of `/jobs/runs/get-output`. Both sides derive from runs.
+    *
+    * 100 TB note: the broadcast hint MUST sit on `latestTerminal` — it is
+    * ≤|entities| rows (one per entity after the max_by), while `outputs`
+    * is O(terminal runs), i.e. a constant fraction of the full events
+    * feed. Broadcasting the outputs side would collect the runs relation
+    * to the driver at scale. */
   def runOutputLookup(s: SparkSession, dir: String): DataFrame = {
     val latestTerminal = runs(s, dir)
       .filter(col("state").isin(terminalStates: _*))
@@ -141,8 +147,8 @@ object Runs {
         to_json(struct(col("run_id"), col("state"),
           coalesce(col("result_state"), lit("")).as("result_state")))
           .as("output_json"))
-    latestTerminal
-      .join(broadcast(outputs), "run_id")
+    broadcast(latestTerminal)
+      .join(outputs, "run_id")
       .select(col("entity_id"), col("run_id"), col("result_state"),
         col("output_json"))
       .orderBy(col("entity_id"))

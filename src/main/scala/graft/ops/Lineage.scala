@@ -253,7 +253,14 @@ object Lineage {
           .union(minsS.select(col("a"), col("m").as("b"))))
         .localCheckpoint()
       val nextSig = sig(next)
-      converged = nextSig == edgeSig
+      // A signature match is only a candidate fixpoint: confirm with one
+      // exact set diff so a (count, xor)-collision can never end the
+      // loop early. Both relations are distinct()ed with equal counts
+      // here, so a one-sided exceptAll emptiness check proves equality.
+      // The exact diff runs at most once per convergence (plus once per
+      // vanishing collision), so the per-round cost argument for the
+      // checksum is untouched.
+      converged = nextSig == edgeSig && next.exceptAll(edges).isEmpty
       edgeSig = nextSig
       edges = next
     }

@@ -333,17 +333,27 @@ object Relational {
     * one-column scans read the same bytes as one four-column scan, so
     * the extra passes are I/O-free while shuffle volume drops from
     * O(rows·groups) to O(Σ distinct). Sketch variant: q42. */
-  def profileLineitem(s: SparkSession, dir: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  def profileLineitem(s: SparkSession, dir: String): DataFrame =
+    profileExact(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** The reusable exact-profile core of [[profileLineitem]], over any
+    * frame/columns (unit-tested on nullable columns in RelationalSpec). */
+  def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {
     cols.map { c =>
-      t(s, dir, "lineitem")
+      df
         .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
         .agg(
+          // NULL semantics match SQL exactly even on nullable columns:
+          // n_rows counts every row (count(*)), n_distinct counts the
+          // non-NULL value groups (count(DISTINCT c) excludes NULLs),
+          // and avg divides by the non-NULL row count only (avg(c)).
           sum(col("cnt")).as("n_rows"),
-          count(lit(1)).as("n_distinct"),
+          count(col("v")).as("n_distinct"),
           round(min(col("v")), 4).as("min_v"),
           round(max(col("v")), 4).as("max_v"),
-          round(sum(col("v") * col("cnt")) / sum(col("cnt")), 4).as("avg_v"))
+          round(sum(col("v") * col("cnt")) /
+            sum(when(col("v").isNotNull, col("cnt"))), 4).as("avg_v"))
         .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
           col("min_v"), col("max_v"), col("avg_v"))
     }.reduce(_.unionByName(_)).orderBy(col("col_name"))

@@ -223,6 +223,38 @@ class LlmSpec extends SparkSuite {
     assert(bloom === exact)
   }
 
+  test("derived constants respond to corpus size (no fixture tuning)") {
+    // Stop-shingle threshold: absolute floor at fixture scale, a
+    // document-frequency fraction (n/5) as the corpus grows.
+    assert(Llm.stopDfThreshold(500) === 100L)
+    assert(Llm.stopDfThreshold(5000) === 1000L)
+    assert(Llm.stopDfThreshold(1000000000L) === 200000000L)
+    // Bloom sizing: m tracks ~10 bits/key (next pow2), k stays in
+    // [2, 8], and both respect the floor/cap bounds.
+    val (m1, k1) = Llm.bloomParams(1000)
+    val (m2, k2) = Llm.bloomParams(100000)
+    val (m3, k3) = Llm.bloomParams(1000000000L)
+    assert(m1 === (1 << 14)) // floor engages for tiny key sets
+    assert(m2 > m1 && m3 > m2, "bitset must grow with the key count")
+    assert(m3 === (1 << 27)) // broadcast cap engages at web scale
+    for (k <- Seq(k1, k2, k3)) assert(k >= 2 && k <= 8)
+    // pow2 m keeps pmod cheap and the word array exact
+    for (m <- Seq(m1, m2, m3)) assert(Integer.bitCount(m) === 1)
+    // Overflow-safe Knuth hash: equals the naive form where the naive
+    // form is defined, and stays non-negative past the wrap point.
+    val s = spark
+    import s.implicits._
+    val ids = Seq(0L, 1L, 12345L, 3460000000L, Long.MaxValue).toDF("id")
+    val rows = ids.select(col("id"),
+      graft.functions.TopK.knuthHash(col("id")).as("h")).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val h = r.getLong(1)
+      assert(h >= 0 && h < 1000000007L, s"hash out of range for $id")
+      if (id < 3000000000L) // naive product doesn't wrap here
+        assert(h === (id * 2654435761L) % 1000000007L)
+    }
+  }
+
   test("spacesaving sketch: exact at cap ≥ vocab; under eviction " +
     "pressure keeps the SpaceSaving guarantees") {
     val s = spark

@@ -53,6 +53,33 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("o_orderpriority"))
   }
 
+  test("q46 broadcasts the latest-per-entity side, never the O(runs) outputs") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val qe = SparkEntry.queries("q46_run_output_lookup")(spark, sf).queryExecution
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhjs = physical.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, s"q46 lost its broadcast hash join:\n$physical")
+    bhjs.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val b = build.toString
+      // the broadcast (build) side must be the ≤|entities|-row max_by
+      // aggregate; the to_json outputs projection is O(terminal runs)
+      // and must stay on the streamed side
+      assert(b.contains("max_by"),
+        s"broadcast side is not the latest-per-entity aggregate:\n$b")
+      assert(!b.contains("to_json"),
+        s"broadcast side carries the O(runs) outputs projection:\n$b")
+    }
+  }
+
   test("latest-run uses partial max_by aggregation, not a window sort") {
     val p = plan("q44_latest_run_per_entity")
     assert(p.contains("partial_max_by"))

@@ -122,6 +122,20 @@ class RelationalSpec extends SparkSuite {
     assert(total === 2 * Tables.load(spark, sf, "events").count())
   }
 
+  test("exact profile matches SQL NULL semantics on a nullable column") {
+    val s = spark
+    import s.implicits._
+    // 5 rows, one NULL: count(*) = 5, count(DISTINCT c) = 2 (NULL
+    // excluded), avg = mean of the 4 non-NULL values only.
+    val df = Seq(Some(1.0), Some(1.0), Some(3.0), Some(3.0), None)
+      .toDF("c")
+    val r = graft.ops.Relational.profileExact(df, Seq("c")).head()
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("n_distinct") === 2L)
+    assert(r.getAs[Double]("avg_v") === 2.0)
+    assert(r.getAs[Double]("min_v") === 1.0 && r.getAs[Double]("max_v") === 3.0)
+  }
+
   test("sanitize_name is idempotent (F1)") {
     val s = spark
     import s.implicits._
