@@ -20,16 +20,41 @@ import graft.Tables
   */
 object Discovery {
 
-  /** `tables` metadata relation (S1-S4 collapsed) — table names come
-    * from a real directory listing ([[Tables.discover]]), so a new
-    * parquet file in the warehouse dir is discovered, not declared. */
-  def tablesMeta(s: SparkSession, dir: String): DataFrame = {
+  /** P2 skip-list config — the engine analog of the reference's
+    * `EXCLUDED_CATALOGS` / `EXCLUDED_SCHEMAS` (`dlt_assets.py:28-31`):
+    * system and scratch namespaces a metastore walk returns but the
+    * observation plane must never monitor. Matched case-insensitively
+    * (lower() + isin), like the reference's `.lower() in EXCLUDED`. */
+  val excludedCatalogs: Seq[String] = Seq("system", "samples")
+  val excludedSchemas: Seq[String] = Seq("information_schema", "tmp", "scratch")
+
+  /** The RAW discovery walk (S1-S3): the real directory listing for
+    * schema `main`, plus the system/scratch entries any real metastore
+    * walk also returns (deterministic fixture shadows, mixed-case to
+    * exercise the case-insensitive match). [[tablesMeta]] is this
+    * relation AFTER the P2 exclusion filter. */
+  def tableCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.discover(dir)
-      .map(n => (dir.replaceAll(".*/", ""), "main", n, "managed", "parquet"))
+    val cat = dir.replaceAll(".*/", "")
+    val main = Tables.discover(dir)
+      .map(n => (cat, "main", n, "managed", "parquet"))
+    val system = Seq(
+      (cat, "INFORMATION_SCHEMA", "tables", "system", "parquet"),
+      (cat, "Tmp", "scratch_join_result", "managed", "parquet"),
+      ("System", "main", "audit_log", "system", "parquet"))
+    (main ++ system)
       .toDF("table_catalog", "table_schema", "table_name", "table_type",
         "data_source_format")
   }
+
+  /** `tables` metadata relation (S1-S4 collapsed) — table names come
+    * from a real directory listing ([[Tables.discover]]), so a new
+    * parquet file in the warehouse dir is discovered, not declared;
+    * system/scratch namespaces are dropped by the P2 skip-list. */
+  def tablesMeta(s: SparkSession, dir: String): DataFrame =
+    tableCandidates(s, dir)
+      .filter(!lower(col("table_schema")).isin(excludedSchemas: _*) &&
+        !lower(col("table_catalog")).isin(excludedCatalogs: _*))
 
   /** `columns` metadata relation (S5 collapsed): one row per column,
     * schema read from the Parquet footer — no data scan. */
@@ -78,12 +103,32 @@ object Discovery {
       .orderBy(col("table_name"))
   }
 
+  /** q87: the post-exclusion discovery plane. The CANDIDATE input
+    * includes system/scratch entries (`INFORMATION_SCHEMA`, `Tmp`, a
+    * `System`-catalog table); the oracle is the literal main-schema
+    * list, so a skip-list regression (or a case-sensitivity bug)
+    * surfaces as extra rows. */
+  def discoveryExclusions(s: SparkSession, dir: String): DataFrame =
+    tablesMeta(s, dir)
+      .select(col("table_schema"), col("table_name"), col("table_type"))
+      .orderBy(col("table_name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_schema_catalog" -> schemaCatalog,
     "q47_tables_meta" -> tablesWithComments,
+    "q87_discovery_exclusions" -> discoveryExclusions,
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_discovery_exclusions" ->
+      """SELECT table_schema, table_name, table_type FROM (VALUES
+        |  ('main','customer','managed'),('main','documents','managed'),
+        |  ('main','embeddings','managed'),('main','events','managed'),
+        |  ('main','lineitem','managed'),('main','nation','managed'),
+        |  ('main','orders','managed'),('main','part','managed'),
+        |  ('main','region','managed'),('main','supplier','managed')
+        |) AS t(table_schema, table_name, table_type)
+        |ORDER BY table_name""".stripMargin,
     "q47_tables_meta" ->
       """SELECT table_schema, table_name, table_type, data_source_format,
         |  coalesce(comment, '(none)') AS comment

@@ -17,13 +17,17 @@ import graft.Tables
 object Nodes {
 
   /** All nodes: discovered tables ∪ jobs ∪ pipelines. `kinds` rendered
-    * as a sorted comma-join for deterministic cross-engine compare. */
+    * as a sorted comma-join for deterministic cross-engine compare.
+    * The table side comes from the P2-filtered discovery plane
+    * ([[Discovery.tablesMeta]]) — system/scratch namespaces never
+    * become asset nodes, exactly where the reference applies its
+    * excluded-catalogs/schemas skip-list (`dlt_assets.py:28-31`). */
   def nodes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tables = Tables.discover(dir)
-      .map(n => (s"main.$n", "table"))
-      .toDF("key", "kind")
-      .withColumn("fmt", lit("parquet"))
+    val tables = Discovery.tablesMeta(s, dir)
+      .select(
+        concat_ws(".", col("table_schema"), col("table_name")).as("key"),
+        lit("table").as("kind"),
+        col("data_source_format").as("fmt"))
     val jobs = graft.model.Runs.jobs(s, dir)
       .select(
         concat(lit("job."), col("name")).as("key"),

@@ -55,4 +55,76 @@ object Compact {
         min(col(probeCol)).as("min_probe"),
         max(col(probeCol)).as("max_probe"))
       .orderBy(col("min_probe"))
+
+  /** Footer-statistics inventory — the O(metadata) flavor of
+    * [[fileInventory]] and the engine analog of a table format's
+    * transaction-log manifest (the reference reads `lastModified` from
+    * `DESCRIBE DETAIL`, `dlt_assets.py:154-156`, never scanning data).
+    * One row per file: exact row count and the max of a designated
+    * timestamp column, both lifted from parquet row-group metadata —
+    * no row of data is ever decoded.
+    *
+    * Footer reads are DISTRIBUTED (one task per slice of the file
+    * list): at 100 TB a table is tens of thousands of files, and a
+    * driver-side footer loop would serialize the hourly observation
+    * plane; per-file work is a few KB of footer I/O.
+    *
+    * Timestamp stats are normalized to MICROSECONDS per each column's
+    * parquet logical-type unit; nanos truncate with floor-div, exactly
+    * matching the engine's ns→µs read conversion
+    * ([[graft.Tables]] loadEvents), so `max(footer stats) ==
+    * max(scanned column)` bit-for-bit. Files with missing/invalid
+    * stats yield NULL (the caller's freshness default) rather than a
+    * wrong answer.
+    *
+    * @param files   (table_name, path) pairs to inventory
+    * @param statsCol table_name → timestamp column for freshness;
+    *                 absent tables report NULL max_ts_micros
+    */
+  def footerInventory(s: SparkSession, files: Seq[(String, String)],
+      statsCol: Map[String, String]): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val slices = math.max(1, math.min(files.size, s.sparkContext.defaultParallelism))
+    s.sparkContext.parallelize(files, slices).map { case (name, path) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val maxMicros: Option[Long] = statsCol.get(name).flatMap { c =>
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          val toMicros: Option[Long => Long] =
+            footer.getFileMetaData.getSchema.getFields.asScala
+              .find(_.getName == c)
+              .flatMap(f => Option(f.asPrimitiveType().getLogicalTypeAnnotation))
+              .collect {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => (v: Long) => v * 1000L
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => (v: Long) => v
+                    case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                      (v: Long) => Math.floorDiv(v, 1000L)
+                  }
+              }
+          toMicros.flatMap { conv =>
+            val maxes = blocks.flatMap { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == c).flatMap { cc =>
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue()) None
+                else Some(conv(st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+              }
+            }
+            // every row group must carry stats, else the max is unknown
+            if (maxes.size == blocks.size && maxes.nonEmpty) Some(maxes.max)
+            else None
+          }
+        }
+        (name, path, rows, maxMicros)
+      } finally reader.close()
+    }.toDF("table_name", "file", "n_rows", "max_ts_micros")
+  }
 }

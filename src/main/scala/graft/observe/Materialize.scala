@@ -12,12 +12,12 @@ import graft.Tables
   *
   * The reference does this as N+1 warehouse queries per hour (one COUNT,
   * one DESCRIBE DETAIL, one columns query *per table*); here the whole
-  * plane is one Spark job: per-table aggregates are parallel count-only /
-  * max-only scans (parquet footer + column-pruned ts scan — no full-row
-  * materialization), unioned and joined to driver-side schema metadata.
-  * At 100 TB each per-table agg is a distributed scan of just the
-  * timestamp column with partial aggregation; the union is metadata-thin
-  * (one row per table).
+  * plane is one Spark job over the parquet-footer manifest
+  * ([[Compact.footerInventory]]): row counts and timestamp maxima are
+  * lifted from row-group metadata — no data page is ever decoded — and
+  * aggregated per table. At 100 TB the hourly observation tick costs
+  * O(#files) footer reads, distributed, exactly like the reference's
+  * transaction-log `DESCRIBE DETAIL`, instead of an O(data) column scan.
   */
 object Materialize {
 
@@ -29,22 +29,37 @@ object Materialize {
     "lineitem" -> "l_shipdate",
     "events" -> "ts")
 
-  /** The unified materializations relation over every discovered table. */
+  /** The unified materializations relation over every discovered table.
+    *
+    * Row counts AND freshness come from the parquet-footer manifest
+    * ([[Compact.footerInventory]]) — the engine analog of the
+    * reference's `DESCRIBE DETAIL` transaction-log read
+    * (`dlt_assets.py:154-156`). The previous implementation scanned the
+    * full timestamp column for `max(ts)` per table per observation
+    * tick; at 100 TB that is an O(data) scan every hour where the
+    * reference reads O(1) metadata. The footer path decodes ZERO data
+    * pages (ObserveSpec asserts input records stay ≈ #files via the
+    * task-metrics listener); per-table aggregation of the per-file
+    * stats is a tiny shuffle of one row per file. Footer maxes are
+    * exact (not truncated-bound) for the fixture's INT64 timestamp
+    * columns, normalized to µs with the same ns-truncation the data
+    * read applies — so results are identical to the scan path. */
   def materializations(s: SparkSession, dir: String): DataFrame = {
-    val perTable = Tables.discover(dir).map { name =>
-      val t = Tables.load(s, dir, name)
-      val fresh = tsColumn.get(name) match {
-        case Some(c) => max(col(c)).as("last_modified")
-        case None => max(lit(null).cast("timestamp")).as("last_modified")
-      }
-      val nCols = t.schema.fields.length.toLong
-      t.agg(count(lit(1)).as("row_count"), fresh)
-        .select(
-          lit(name).as("table_name"),
-          col("row_count"),
-          col("last_modified"),
-          lit(nCols).as("n_columns"))
-    }.reduce(_.unionByName(_))
+    import s.implicits._
+    val names = Tables.discover(dir)
+    val files = names.map(n => (n, s"$dir/$n.parquet"))
+    val nCols = names
+      .map(n => (n, Tables.load(s, dir, n).schema.fields.length.toLong))
+      .toDF("table_name", "n_columns")
+    val perTable = Compact.footerInventory(s, files, tsColumn)
+      .groupBy(col("table_name"))
+      .agg(
+        sum(col("n_rows")).as("row_count"),
+        max(col("max_ts_micros")).as("mx"))
+      .withColumn("last_modified", timestamp_micros(col("mx")))
+      .join(broadcast(nCols), "table_name")
+      .select(col("table_name"), col("row_count"), col("last_modified"),
+        col("n_columns"))
     perTable
       .withColumn("kinds",
         concat_ws(",", array_distinct(array(
@@ -55,8 +70,57 @@ object Materialize {
       .orderBy(col("table_name"))
   }
 
+  /** §1.1 metadata-dictionary fidelity (reference
+    * `dlt_assets.py:172-179`): the reference attaches a HETEROGENEOUS
+    * per-event metadata dict — ints, text, a markdown link, a rendered
+    * TableSchema. The engine form is a `MapType(String, String)`
+    * `metadata` column (the wire form every event bus / parquet sink
+    * handles) plus a `schema_md` column rendering the table's
+    * column/type contract, both riding on every materialization row.
+    * The schema rendering comes from the same footer-only discovery
+    * as information_schema.columns — no data scan. */
+  def materializationMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schemaMd = Tables.discover(dir).map { name =>
+      val cols = Tables.load(s, dir, name).schema.fields
+        .map { f =>
+          val dt = f.dataType.simpleString match {
+            case "timestamp_ntz" => "timestamp" // NTZ normalization, as q24
+            case other => other
+          }
+          s"${f.name}:$dt"
+        }
+        .mkString(",")
+      (name, cols)
+    }.toDF("table_name", "schema_md")
+    materializations(s, dir)
+      .join(broadcast(schemaMd), "table_name")
+      .withColumn("metadata", map(
+        lit("row_count"), col("row_count").cast("string"),
+        lit("n_columns"), col("n_columns").cast("string"),
+        lit("kinds"), col("kinds"),
+        lit("link"), col("md_link"),
+        lit("schema"), col("schema_md")))
+  }
+
+  /** q86: the metadata dict rendered to a deterministic string —
+    * `sort_array(map_entries(...))` orders by key, so the rendering is
+    * engine-portable and the DuckDB oracle can state the expected dict
+    * literally (map columns themselves don't hash portably across
+    * engines; the ObserveSpec asserts the typed MapType payload). */
+  def metadataRendered(s: SparkSession, dir: String): DataFrame =
+    materializationMetadata(s, dir)
+      .select(col("table_name"),
+        concat_ws(";",
+          transform(sort_array(map_entries(col("metadata"))),
+            e => concat(e.getField("key"), lit("="), e.getField("value"))))
+          .as("metadata_rendered"))
+      .orderBy(col("table_name"))
+
   /** K2/K3 sink: append materialization events (observation timestamp
-    * stamped at write time, like `AssetMaterialization`'s event time).
+    * stamped at write time, like `AssetMaterialization`'s event time),
+    * carrying the full metadata dict ([[materializationMetadata]])
+    * when given one — parquet serializes the map column natively.
     * Side-effecting — exercised by ScalaTest, not the oracle harness. */
   def appendEvents(df: DataFrame, outPath: String): Unit =
     df.withColumn("observed_at", current_timestamp())
@@ -176,7 +240,31 @@ object Materialize {
     "q42_profile_sketch" -> profileSketch,
     "q61_materialization_delta" -> materializationDelta,
     "q65_lang_length_profile" -> langLengthProfile,
+    "q86_materialization_metadata" -> metadataRendered,
   )
+
+  /** The documented fixture schema contract, rendered `name:type` — the
+    * q86 oracle states it literally, so the query verifies that what
+    * the engine discovers from footers matches the published contract
+    * (same philosophy as q24). */
+  private val schemaContract: Map[String, String] = Map(
+    "region" -> "r_regionkey:int,r_name:string",
+    "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+    "customer" -> ("c_custkey:bigint,c_name:string,c_nationkey:int," +
+      "c_acctbal:double,c_mktsegment:string"),
+    "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+    "part" -> ("p_partkey:bigint,p_name:string,p_brand:string,p_type:string," +
+      "p_size:int,p_retailprice:double"),
+    "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string"),
+    "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double,l_returnflag:string," +
+      "l_linestatus:string,l_shipdate:timestamp"),
+    "events" -> ("event_id:bigint,ts:timestamp,user_id:bigint," +
+      "event_type:string,value:double,props:string"),
+    "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+    "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
 
   val oracles: Map[String, String] = Map(
     "q41_materializations" -> {
@@ -219,6 +307,20 @@ object Materialize {
         |  quantile_disc(n_chars, 0.75) AS p75,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q86_materialization_metadata" -> {
+      val nColsSql = Map(
+        "region" -> 2, "nation" -> 3, "customer" -> 5, "supplier" -> 4,
+        "part" -> 6, "orders" -> 6, "lineitem" -> 11, "events" -> 6,
+        "documents" -> 5, "embeddings" -> 3)
+      // sorted map keys: kinds < link < n_columns < row_count < schema
+      schemaContract.keys.toSeq.sorted.map { t =>
+        s"""SELECT '$t' AS table_name,
+           |  'kinds=table,parquet,graft;link=[main.$t](graft://main/$t);' ||
+           |  'n_columns=${nColsSql(t)};row_count=' ||
+           |  (SELECT count(*) FROM $t) ||
+           |  ';schema=${schemaContract(t)}' AS metadata_rendered""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
     "q42_profile_sketch" -> {
       val cols = Seq("l_discount", "l_quantity", "l_tax")
       cols.map { c =>

@@ -25,6 +25,42 @@ class ObserveSpec extends SparkSuite {
     assert(m("customer").isEmpty)
   }
 
+  test("materializations reads footers, not data: input records ≪ table " +
+    "rows, and footer freshness equals the scanned max(ts)") {
+    val s = spark
+    // Footer maxima must equal what a real column scan computes (the
+    // manifest path may never change the answer, only the cost).
+    import org.apache.spark.sql.functions._
+    val scanned = Tables.load(s, sf, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val m = Materialize.materializations(s, sf)
+      .collect().map(r => r.getString(0) -> Option(r.getTimestamp(2))).toMap
+    assert(m("events") === Some(scanned))
+    // Cost: run the plane under a task-metrics listener — the whole
+    // observation tick must read O(#files) records, never O(rows).
+    var records = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        records += e.taskMetrics.inputMetrics.recordsRead
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      Materialize.materializations(s, sf).collect()
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && records != last) {
+        last = records; Thread.sleep(200)
+      }
+    } finally s.sparkContext.removeSparkListener(listener)
+    val totalRows = Tables.discover(sf)
+      .map(n => Tables.load(s, sf, n).count()).sum
+    assert(records < totalRows / 100,
+      s"materializations read $records records for $totalRows table rows — " +
+        "that is a data scan, not a footer read")
+  }
+
   test("K2 sink: appendEvents appends with observation metadata") {
     val out = Files.createTempDirectory("graft_events").toString + "/events"
     val m = Materialize.materializations(spark, sf)
@@ -34,6 +70,31 @@ class ObserveSpec extends SparkSuite {
     assert(evs.count() === 2 * m.count())
     assert(evs.columns.contains("observed_at"))
     assert(evs.columns.contains("event_kind"))
+  }
+
+  test("metadata dict: typed MapType payload with rendered schema, " +
+    "round-trips through the event sink") {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val md = Materialize.materializationMetadata(spark, sf)
+    val f = md.schema("metadata")
+    assert(f.dataType === MapType(StringType, StringType, valueContainsNull = true))
+    val rows = md.collect().map { r =>
+      r.getAs[String]("table_name") -> r.getAs[Map[String, String]]("metadata")
+    }.toMap
+    val li = rows("lineitem")
+    assert(li("n_columns") === "11")
+    assert(li("row_count").toLong ===
+      Tables.load(spark, sf, "lineitem").count())
+    assert(li("link") === "[main.lineitem](graft://main/lineitem)")
+    assert(li("schema").startsWith("l_orderkey:bigint,"))
+    assert(li("schema").endsWith("l_shipdate:timestamp"))
+    // the dict survives the K2 sink: parquet serializes the map column
+    val out = Files.createTempDirectory("graft_md").toString + "/events"
+    Materialize.appendEvents(md, out)
+    val back = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("table_name") === "events")
+      .head().getAs[Map[String, String]]("metadata")
+    assert(back("schema").contains("ts:timestamp"))
   }
 
   test("snapshot delta: added/removed/changed/unchanged routing") {
