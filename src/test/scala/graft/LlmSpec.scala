@@ -63,7 +63,8 @@ class LlmSpec extends SparkSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq === Seq(32.0, -2.0))
   }
 
-  test("IVF top-k achieves decent recall vs brute force") {
+  test("IVF top-k achieves decent recall vs brute force; trained " +
+    "quantizer beats the raw every-40th init") {
     val exact = Llm.topkCosine(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val approx = Llm.ivfTopk(spark, sf)
@@ -74,6 +75,21 @@ class LlmSpec extends SparkSuite {
     // the probe join degenerating (e.g. empty candidates)
     assert(recall >= 0.2, s"recall $recall")
     assert(approx.size === exact.size)
+    // the Lloyd-trained quantizer must not regress the raw init: the
+    // k-means objective can only tighten clusters, and on this fixture
+    // that shows up as ≥ recall at equal probe budget
+    val initCent = Llm.centroidFrame(spark, Llm.initCentroids(spark, sf))
+    val initClusters = Llm.assignToCentroids(
+      graft.Tables.loadSpread(spark, sf, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(GraftFx.dot(col("v"), col("v")))),
+      initCent)
+    val standIn = Llm.ivfTopkWith(spark, sf, initCent, initClusters)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallInit = exact.intersect(standIn).size.toDouble / exact.size
+    assert(recall >= recallInit,
+      s"trained recall $recall < every-40th recall $recallInit")
+    info(f"recall trained=$recall%.3f init=$recallInit%.3f")
   }
 
   test("HLL profile within 2% of exact distinct counts (rsd=0.01)") {
