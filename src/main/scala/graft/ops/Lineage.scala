@@ -36,17 +36,16 @@ object Lineage {
     * Cost: footer-only schema walk plus one count-distinct agg per pk
     * candidate (a single-column scan). At 100 TB this is a catalog-build
     * step run once and cached, not a per-query cost. */
-  /** Derived-edge memo per warehouse dir: the FK catalog is a
-    * catalog-build artifact (footer walk + pk checks), not a per-query
-    * cost — compute once per directory and reuse across queries. Plain
-    * data (no session-bound handles), so caching is safe. */
-  private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
-
-  def edgesFromSchema(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    edgeCache.getOrElseUpdate(dir, computeEdges(s, dir)).toDF("src", "dst")
-  }
+  /** The FK catalog is a catalog-build artifact (footer walk + pk
+    * checks), not a per-query cost — persisted per warehouse state via
+    * [[graft.observe.IndexStore]] and rebuilt automatically when the
+    * source tables' fingerprint changes (a process-lifetime memo served
+    * stale edges after a dir rewrite). */
+  def edgesFromSchema(s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuild(s, "fk_edges", dir) {
+      import s.implicits._
+      computeEdges(s, dir).toDF("src", "dst")
+    }
 
   private def computeEdges(s: SparkSession, dir: String): Seq[(String, String)] = {
     def suffix(c: String): Option[String] =
@@ -109,24 +108,39 @@ object Lineage {
   /** Transitive closure of an arbitrary (src, dst) edge DataFrame.
     * Cycle-safe: the anti-join against the accumulated closure guarantees
     * termination (a cycle stops producing new pairs after one lap). */
+  /** `localCheckpoint` re-wrapped as a constraint-free LogicalRDD. The
+    * checkpoint copies the pre-checkpoint plan's constraints, which can
+    * reference pre-checkpoint attribute ids; when the checkpointed
+    * frame is then unioned with plans DERIVED from it (the semi-naïve
+    * loop below), Union's constraint rewrite looks those stale ids up
+    * in the child output and dies with "key not found: src#N"
+    * (observed once the edge source became a parquet scan with
+    * isnotnull filter constraints). Rebuilding the frame over the
+    * already-materialized RDD keeps the data and the truncated lineage
+    * and drops the stale constraint set. */
+  private def checkpointed(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def closure(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    val e = checkpointed(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
     var acc = e.select(col("src"), col("dst").as("anc"))
     var frontier = acc
     var done = frontier.isEmpty
     while (!done) {
-      val next = frontier.as("f")
-        .join(e.as("g"), col("f.anc") === col("g.src"))
-        .select(col("f.src").as("src"), col("g.dst").as("anc"))
-        .distinct()
-        .join(acc, Seq("src", "anc"), "left_anti") // visited guard (D4)
-        .localCheckpoint()
+      val next = checkpointed(
+        frontier.as("f")
+          .join(e.as("g"), col("f.anc") === col("g.src"))
+          .select(col("f.src").as("src"), col("g.dst").as("anc"))
+          .distinct()
+          .join(acc, Seq("src", "anc"), "left_anti")) // visited guard (D4)
       done = next.isEmpty
       if (!done) {
-        acc = acc.union(next).localCheckpoint()
+        acc = checkpointed(acc.union(next))
         frontier = next
       }
     }

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.observe.IndexStore
+
+/** Lifecycle properties of the persisted index-artifact store: build
+  * once / read thereafter, rebuild on source change (no stale reads),
+  * explicit invalidation, version bumps, and bounded retention. */
+class IndexStoreSpec extends SparkSuite {
+
+  // Each test uses its own artifact name + scratch source dir so suites
+  // (and reruns in a warm JVM) never interfere.
+  private def freshName(tag: String): String =
+    s"spec_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def writeSource(dir: String, values: Seq[Long]): Unit = {
+    val s = spark
+    import s.implicits._
+    values.toDF("x").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def scratch(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString + "/src"
+
+  test("artifact builds once and is read back unchanged thereafter") {
+    val name = freshName("once")
+    val src = scratch("once")
+    writeSource(src, 1L to 10L)
+    var builds = 0
+    def get() = IndexStore.readOrBuild(spark, name, src) {
+      builds += 1
+      spark.read.parquet(src).agg(sum(col("x")).as("s"))
+    }
+    val first = get().head().getLong(0)
+    val second = get().head().getLong(0)
+    assert(builds === 1, "second read must come from the persisted artifact")
+    assert(first === 55L && second === 55L)
+  }
+
+  test("changed source data rebuilds; the stale artifact is never read") {
+    val name = freshName("stale")
+    val src = scratch("stale")
+    writeSource(src, 1L to 10L)
+    var builds = 0
+    def get() = IndexStore.readOrBuild(spark, name, src) {
+      builds += 1
+      spark.read.parquet(src).agg(sum(col("x")).as("s"))
+    }
+    assert(get().head().getLong(0) === 55L)
+    // rewrite the warehouse dir: new files → new fingerprint
+    writeSource(src, 1L to 20L)
+    assert(get().head().getLong(0) === 210L,
+      "post-rewrite read must reflect the new source, not the old artifact")
+    assert(builds === 2)
+  }
+
+  test("explicit invalidate forces a rebuild") {
+    val name = freshName("inval")
+    val src = scratch("inval")
+    writeSource(src, 1L to 5L)
+    var builds = 0
+    def get() = IndexStore.readOrBuild(spark, name, src) {
+      builds += 1
+      spark.read.parquet(src).agg(count(lit(1)).as("n"))
+    }
+    get(); get()
+    assert(builds === 1)
+    IndexStore.invalidate(spark, name)
+    get()
+    assert(builds === 2)
+  }
+
+  test("version bump invalidates artifacts built by older logic") {
+    val name = freshName("ver")
+    val src = scratch("ver")
+    writeSource(src, 1L to 5L)
+    val v1 = IndexStore.readOrBuild(spark, name, src, version = 1) {
+      spark.range(1).select(lit("old").as("logic"))
+    }.head().getString(0)
+    val v2 = IndexStore.readOrBuild(spark, name, src, version = 2) {
+      spark.range(1).select(lit("new").as("logic"))
+    }.head().getString(0)
+    assert(v1 === "old" && v2 === "new")
+  }
+
+  test("retention: superseded fingerprints are reclaimed, bounded count kept") {
+    val name = freshName("ret")
+    val src = scratch("ret")
+    (1 to 6).foreach { i =>
+      writeSource(src, 1L to (i * 3).toLong)
+      IndexStore.readOrBuild(spark, name, src) {
+        spark.read.parquet(src).agg(count(lit(1)).as("n"))
+      }
+      // parquet overwrite within the same millisecond can produce an
+      // identical (path,len,mtime) fingerprint for same-sized data;
+      // distinct row counts above keep lengths distinct, and a small
+      // sleep keeps mtimes monotonic for the retention sort
+      Thread.sleep(5)
+    }
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val kept = new java.io.File(s"$root/$name").list().count(_.startsWith("fp="))
+    assert(kept >= 1 && kept <= 4, s"kept $kept fingerprints")
+  }
+
+  test("fingerprint: stable for unchanged sources, sensitive to content " +
+    "and version, defined for missing dirs") {
+    val src = scratch("fp")
+    writeSource(src, 1L to 5L)
+    val a = IndexStore.fingerprint(spark, src, 1)
+    val b = IndexStore.fingerprint(spark, src, 1)
+    assert(a === b)
+    assert(IndexStore.fingerprint(spark, src, 2) !== a)
+    Thread.sleep(5)
+    writeSource(src, 1L to 6L)
+    assert(IndexStore.fingerprint(spark, src, 1) !== a)
+    val missing = IndexStore.fingerprint(spark, src + "/nope", 1)
+    assert(missing.nonEmpty)
+  }
+}

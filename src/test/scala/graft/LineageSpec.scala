@@ -41,6 +41,20 @@ class LineageSpec extends SparkSuite {
     assert(closureOf(fx) === reachOracle(fx))
   }
 
+  test("closure over parquet-backed edges (the q20 shape: scan " +
+    "constraints must survive the checkpoint/union loop)") {
+    val s = spark
+    import s.implicits._
+    val fx = Lineage.edgeFixture(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_edges")
+      .toString + "/edges"
+    fx.toDF("src", "dst").write.parquet(dir)
+    val got = Lineage.closure(spark.read.parquet(dir))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === reachOracle(fx))
+  }
+
   test("closure handles a cycle without divergence") {
     val cyc = Seq("a" -> "b", "b" -> "c", "c" -> "a", "x" -> "x")
     assert(closureOf(cyc) === reachOracle(cyc))

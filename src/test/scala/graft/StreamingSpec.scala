@@ -244,6 +244,85 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("T3 cadence: Trigger.AvailableNow drains the staged backlog, " +
+    "self-terminates, and equals the batch twin") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    // The cron-run analog (the reference's */15 schedule as a
+    // scheduled drain): AvailableNow processes everything staged at
+    // start, then stops the query ON ITS OWN — self-termination after
+    // a full drain IS the cadence property under test.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$sf/events.parquet").schema) // ts as long (nanos)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("avnow_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query must stop itself after draining the backlog")
+    val streamed = s.table("avnow_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val batch = Tables.load(s, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+
+  test("T3 cadence: Trigger.ProcessingTime micro-batches produce the " +
+    "same closed windows as the batch twin") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val evs = Tables.load(s, sf, "events")
+      .orderBy(col("event_id")).limit(400)
+      .select(col("user_id").as("entityId"), col("event_id").as("updateId"),
+        col("event_type").as("state"), col("ts"))
+      .as[UpdateEvent].collect().toSeq
+    val in = MemoryStream[UpdateEvent]
+    // wall-clock cadence configured on the query — the schedule analog
+    // the replay tests never exercised (they drain ASAP)
+    val q = Sensors.windowedStateCounts(in.toDS())
+      .writeStream.format("memory").queryName("proctime_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    withQuery(q) {
+      val (b1, b2) = evs.splitAt(200)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val closer = evs.map(_.ts.getTime).max + 100L * 3600 * 1000
+      in.addData(UpdateEvent(-1, -1, "closer", new Timestamp(closer)))
+      q.processAllAvailable()
+      val streamed = s.table("proctime_out")
+        .filter(col("state") =!= "closer")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = s.createDataset(evs)
+        .groupBy(window(col("ts"), "10 minutes"), col("state"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("state"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+    }
+  }
+
   test("K2 streaming sink: foreachBatch appends materialization events") {
     val s = spark
     import s.implicits._
