@@ -256,6 +256,15 @@ class LlmSpec extends SparkSuite {
     for (k <- Seq(k1, k2, k3)) assert(k >= 2 && k <= 8)
     // pow2 m keeps pmod cheap and the word array exact
     for (m <- Seq(m1, m2, m3)) assert(Integer.bitCount(m) === 1)
+    // IVF geometry: stride ≈ √n (nlist ≈ √n, not nlist ∝ n), floored
+    // at the fixture value; nprobe tracks nlist/16 with a floor of 3,
+    // so probed coverage doesn't vanish as the quantizer grows.
+    assert(Llm.ivfStride(500) === 40L)
+    assert(Llm.ivfStride(2000) === 44L)
+    assert(Llm.ivfStride(1000000000L) === 31622L) // nlist ≈ 31.6k at 1e9
+    assert(Llm.ivfNprobe(13) === 3L)
+    assert(Llm.ivfNprobe(50) === 3L)
+    assert(Llm.ivfNprobe(31622) === 1976L) // ~6% of clusters probed
     // Overflow-safe Knuth hash: equals the naive form where the naive
     // form is defined, and stays non-negative past the wrap point.
     val s = spark
