@@ -1,9 +1,12 @@
 package graft.observe
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Persisted index-artifact lifecycle — build / persist / invalidate.
+/** Persisted index-artifact lifecycle — build / persist / invalidate,
+  * with optional INCREMENTAL maintenance on corpus append.
   *
   * Derived artifacts (near-dup pair graphs, inverted shingle postings,
   * IVF centroids and cluster assignments, the FK-edge catalog) are
@@ -29,6 +32,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - **Version**: the `version` component covers the build LOGIC —
   *    bump it when an artifact's semantics change so old files from a
   *    previous code revision are never served.
+  *  - **Incremental (snapshot chain)**: when the source change is a
+  *    pure APPEND (every old file byte-identical by (path, len, mtime),
+  *    only new files added), [[readOrBuildIncremental]] writes a DELTA
+  *    segment computed from just the added files and links it to the
+  *    previous artifact with a parent pointer — the table-format
+  *    snapshot-lineage pattern. A read unions the chain's segments in
+  *    one multi-path parquet scan. At 100 TB this is the difference
+  *    between re-indexing the corpus on every append and indexing only
+  *    the appended slice.
   *
   * At 100 TB the same layout holds with `indexDir` on the object store
   * next to the warehouse: build-once cost is amortized across every
@@ -41,29 +53,43 @@ object IndexStore {
     s.conf.getOption("spark.graft.indexDir").getOrElse(
       sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index")
 
-  private def fs(s: SparkSession, p: Path) =
+  private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Content fingerprint of a source directory: md5 over the sorted
-    * (path, length, mtime) of every data file plus the artifact
-    * version. Footer-free and O(files) — the cost of one `ls -R`. */
-  def fingerprint(s: SparkSession, srcDir: String, version: Int): String = {
+  /** Sorted (path, length, mtime) lines of every data file under
+    * `srcDir` — the fingerprint's preimage, also saved next to each
+    * artifact so a later build can compute the file-level delta. */
+  private def sourceManifest(s: SparkSession, srcDir: String): Seq[String] = {
     val p = new Path(srcDir)
     val f = fs(s, p)
     def walk(q: Path): Seq[FileStatus] =
       f.listStatus(q).toSeq.flatMap(st =>
         if (st.isDirectory) walk(st.getPath) else Seq(st))
-    val lines =
-      if (!f.exists(p)) Seq("<missing>")
-      else walk(p)
-        .filterNot(_.getPath.getName.startsWith("_"))
-        .map(st => s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
-        .sorted
+    if (!f.exists(p)) Seq("<missing>")
+    else walk(p)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(st => s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+      .sorted
+  }
+
+  /** Content fingerprint of a source directory: md5 over the manifest
+    * plus the artifact version. Footer-free and O(files) — the cost of
+    * one `ls -R`. */
+  def fingerprint(s: SparkSession, srcDir: String, version: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"v$version".getBytes("UTF-8"))
-    lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    md.update(s"v$version".getBytes(StandardCharsets.UTF_8))
+    sourceManifest(s, srcDir).foreach(l =>
+      md.update(l.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** Fingerprints retained per artifact name (chain ancestors of the
+    * live artifact are always kept): enough that warehouses at several
+    * scale factors (tests, verify, bench) coexist without
+    * rebuild-thrash, small enough that superseded source states are
+    * eventually reclaimed. */
+  private val keepFingerprints = 4
 
   // One lock per artifact name: concurrent suites/queries in this JVM
   // build an artifact once instead of racing the directory rename.
@@ -72,18 +98,61 @@ object IndexStore {
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Fingerprints retained per artifact name: enough that warehouses at
-    * several scale factors (tests, verify, bench) coexist without
-    * rebuild-thrash, small enough that superseded source states are
-    * eventually reclaimed. */
-  private val keepFingerprints = 4
+  private def writeSmall(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readSmall(f: FileSystem, p: Path): Option[String] =
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Segment paths of the chain rooted at `fp`, child first. */
+  private def chainPaths(f: FileSystem, base: Path, fp: String): Seq[Path] = {
+    val seg = new Path(base, s"fp=$fp")
+    readSmall(f, new Path(seg, "_PARENT")) match {
+      case Some(parent) if parent.nonEmpty =>
+        seg +: chainPaths(f, base, parent.trim)
+      case _ => Seq(seg)
+    }
+  }
+
+  /** One multi-path parquet scan over the chain's segments. */
+  private def readChain(s: SparkSession, base: Path, fp: String): DataFrame = {
+    val f = fs(s, base)
+    s.read.parquet(chainPaths(f, base, fp).map(_.toString): _*)
+  }
 
   /** Read artifact `name` for source `srcDir`, building and persisting
     * it first if no artifact matches the current source fingerprint.
     * `build` runs at most once per (source state, version) per store —
     * across sessions and JVMs, since the artifact lives on disk. */
   def readOrBuild(s: SparkSession, name: String, srcDir: String,
-      version: Int = 1)(build: => DataFrame): DataFrame = {
+      version: Int = 1)(build: => DataFrame): DataFrame =
+    readOrBuildIncremental(s, name, srcDir, version)(build)(null)
+
+  /** [[readOrBuild]] with an append-aware incremental path: when a
+    * previous artifact's saved manifest is a strict subset of the
+    * current source manifest (pure append — old files byte-stable by
+    * (path, len, mtime)), `incr(previous, addedFiles)` builds only the
+    * DELTA segment, which is chained to the previous artifact via a
+    * parent pointer; otherwise `full` rebuilds from scratch. The delta
+    * contract is the caller's: `union(previous, delta)` must equal the
+    * full rebuild (true for monotone indexes like band tables and
+    * pair graphs, where appended docs only ADD entries). */
+  def readOrBuildIncremental(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1)(full: => DataFrame)(
+      incr: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
+    val manifest = sourceManifest(s, srcDir)
     val fp = fingerprint(s, srcDir, version)
     val base = new Path(s"${root(s)}/$name")
     val dest = new Path(base, s"fp=$fp")
@@ -91,17 +160,50 @@ object IndexStore {
     lock.synchronized {
       val f = fs(s, dest)
       if (!f.exists(new Path(dest, "_SUCCESS"))) {
-        build.write.mode("overwrite").parquet(dest.toString)
-        // reclaim superseded source states beyond the retention bound
-        // (never the artifact just written), oldest first
+        // candidate parent: a finished artifact whose manifest is the
+        // largest strict subset of ours (pure append since its build)
+        val parent: Option[(String, Seq[String])] =
+          if (incr == null) None
+          else if (!f.exists(base)) None
+          else {
+            val mset = manifest.toSet
+            f.listStatus(base).toSeq
+              .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
+              .flatMap { st =>
+                readSmall(f, new Path(st.getPath, "_MANIFEST")).flatMap { m =>
+                  val lines = m.split("\n").toSeq.filter(_.nonEmpty)
+                  val ok = lines.nonEmpty && lines.forall(mset) &&
+                    lines.size < manifest.size
+                  if (ok)
+                    Some((st.getPath.getName.stripPrefix("fp="), lines))
+                  else None
+                }
+              }
+              .sortBy(-_._2.size)
+              .headOption
+          }
+        parent match {
+          case Some((pfp, plines)) =>
+            val added = manifest.filterNot(plines.toSet)
+              .map(_.split('|').head)
+            incr(readChain(s, base, pfp), added)
+              .write.mode("overwrite").parquet(dest.toString)
+            writeSmall(f, new Path(dest, "_PARENT"), pfp)
+          case None =>
+            full.write.mode("overwrite").parquet(dest.toString)
+        }
+        writeSmall(f, new Path(dest, "_MANIFEST"), manifest.mkString("\n"))
+        // reclaim superseded source states beyond the retention bound —
+        // never the artifact just written or its chain ancestors
+        val live = chainPaths(f, base, fp).map(_.getName).toSet
         f.listStatus(base)
-          .filter(_.getPath.getName != dest.getName)
+          .filterNot(st => live(st.getPath.getName))
           .sortBy(-_.getModificationTime)
           .drop(keepFingerprints - 1)
           .foreach(st => f.delete(st.getPath, true))
       }
     }
-    s.read.parquet(dest.toString)
+    readChain(s, base, fp)
   }
 
   /** Drop artifact `name` entirely; the next read rebuilds it. */

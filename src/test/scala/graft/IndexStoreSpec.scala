@@ -105,6 +105,41 @@ class IndexStoreSpec extends SparkSuite {
     assert(kept >= 1 && kept <= 4, s"kept $kept fingerprints")
   }
 
+  test("incremental: pure append builds a delta segment chained to the " +
+    "parent; read = parent ∪ delta; non-append falls back to full") {
+    val name = freshName("incr")
+    val src = scratch("incr")
+    val s = spark
+    import s.implicits._
+    var fullBuilds = 0
+    var incrBuilds = 0
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      { fullBuilds += 1; s.read.parquet(src) })(
+      { (_, added) => incrBuilds += 1; s.read.parquet(added: _*) })
+    // base corpus
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert((fullBuilds, incrBuilds) === ((1, 0)))
+    // pure append: old part files untouched → delta path
+    Thread.sleep(5)
+    Seq(4L, 5L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert((fullBuilds, incrBuilds) === ((1, 1)),
+      "append must take the incremental path, not rebuild")
+    // second append chains one level deeper
+    Thread.sleep(5)
+    Seq(6L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert((fullBuilds, incrBuilds) === ((1, 2)))
+    // rewrite (not append): old files replaced → full rebuild
+    Thread.sleep(5)
+    Seq(7L, 8L).toDF("x").coalesce(1).write.mode("overwrite").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === Set(7L, 8L))
+    assert((fullBuilds, incrBuilds) === ((2, 2)),
+      "a rewrite must fall back to the full build")
+  }
+
   test("fingerprint: stable for unchanged sources, sensitive to content " +
     "and version, defined for missing dirs") {
     val src = scratch("fp")

@@ -36,6 +36,39 @@ class LlmSpec extends SparkSuite {
     assert(mh.subsetOf(jac))
   }
 
+  test("incremental near-dup maintenance: pair index after a corpus " +
+    "append equals a full rebuild, via the delta path") {
+    val s = spark
+    // a scratch warehouse whose documents table is a directory of part
+    // files, so an append adds files without touching existing ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def pairs() = Llm.minhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val basePairs = pairs()
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incrPairs = pairs()
+    // the delta path must actually have been taken: the live pair
+    // artifact is a chained segment, not a parentless full build
+    val fp = graft.observe.IndexStore.fingerprint(spark, dir, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/neardup_pairs/fp=$fp/_PARENT").exists(),
+      "append must extend the snapshot chain, not rebuild")
+    assert(new java.io.File(s"$root/minhash_bands/fp=$fp/_PARENT").exists())
+    // correctness: incremental result == full rebuild from scratch
+    graft.observe.IndexStore.invalidate(spark, "neardup_pairs")
+    graft.observe.IndexStore.invalidate(spark, "minhash_bands")
+    val fullPairs = pairs()
+    assert(incrPairs === fullPairs)
+    assert(basePairs.subsetOf(incrPairs),
+      "append can only add pairs; old-old pairs are untouched")
+  }
+
   test("custom expressions: null and empty-input handling") {
     val s = spark
     graft.functions.GraftExtensions.register(s)
