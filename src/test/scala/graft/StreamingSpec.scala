@@ -323,6 +323,47 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("near-dup admission: a streamed crawler feed gated against the " +
+    "persisted corpus index equals the batch plan; novel docs pass") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // incoming feed: exact copies of 3 corpus docs under new ids, plus
+    // one genuinely novel doc that must NOT be flagged
+    val srcDocs = Tables.load(s, sf, "documents")
+      .filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incoming = srcDocs.zipWithIndex.map { case ((_, text), i) =>
+      (100001L + i, text)
+    } :+ ((100999L, "zzqx wvut plomk jrds entirely novel text qqaa bbcc"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Llm.nearDupAdmission(
+      s, sf, in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("admission_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      s.table("admission_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    // every copied doc is flagged as a dup of its source at jaccard 1.0
+    srcDocs.zipWithIndex.foreach { case ((srcId, _), i) =>
+      assert(streamed.contains((100001L + i, srcId, 1.0)),
+        s"copy of doc $srcId must be flagged against its source")
+    }
+    // the novel doc is admitted (no flag at all)
+    assert(!streamed.exists(_._1 == 100999L), "novel doc must not be flagged")
+    // batch/stream parity: the SAME operator over a batch frame emits
+    // the same flags — one plan for backfill and crawler gate
+    val batch = graft.ops.Llm.nearDupAdmission(
+      s, sf, incoming.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("K2 streaming sink: foreachBatch appends materialization events") {
     val s = spark
     import s.implicits._
