@@ -168,6 +168,7 @@ object IndexStore {
           else {
             val mset = manifest.toSet
             f.listStatus(base).toSeq
+              .filter(_.getPath.getName.startsWith("fp="))
               .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
               .flatMap { st =>
                 readSmall(f, new Path(st.getPath, "_MANIFEST")).flatMap { m =>
@@ -182,21 +183,31 @@ object IndexStore {
               .sortBy(-_._2.size)
               .headOption
           }
+        // Build into a hidden staging dir, then publish with one atomic
+        // rename: the JVM lock above doesn't cover OTHER processes
+        // (driver verify + a local run share the store), and two
+        // writers into the final path would interleave their task
+        // commits. With rename-commit the loser just reads the
+        // winner's finished artifact.
+        val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
         parent match {
           case Some((pfp, plines)) =>
             val added = manifest.filterNot(plines.toSet)
               .map(_.split('|').head)
             incr(readChain(s, base, pfp), added)
-              .write.mode("overwrite").parquet(dest.toString)
-            writeSmall(f, new Path(dest, "_PARENT"), pfp)
+              .write.mode("overwrite").parquet(tmp.toString)
+            writeSmall(f, new Path(tmp, "_PARENT"), pfp)
           case None =>
-            full.write.mode("overwrite").parquet(dest.toString)
+            full.write.mode("overwrite").parquet(tmp.toString)
         }
-        writeSmall(f, new Path(dest, "_MANIFEST"), manifest.mkString("\n"))
+        writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
+        if (f.exists(dest)) f.delete(dest, true) // incomplete earlier build
+        if (!f.rename(tmp, dest)) f.delete(tmp, true) // lost a cross-JVM race
         // reclaim superseded source states beyond the retention bound —
         // never the artifact just written or its chain ancestors
         val live = chainPaths(f, base, fp).map(_.getName).toSet
         f.listStatus(base)
+          .filter(_.getPath.getName.startsWith("fp="))
           .filterNot(st => live(st.getPath.getName))
           .sortBy(-_.getModificationTime)
           .drop(keepFingerprints - 1)
