@@ -125,6 +125,16 @@ class LlmSpec extends SparkSuite {
     info(f"recall trained=$recall%.3f init=$recallInit%.3f")
   }
 
+  test("vector routing (map-only fold argmax) reproduces the window-" +
+    "rank IVF assignment exactly") {
+    val routed = Llm.vectorRouting(spark, sf,
+      graft.Tables.load(spark, sf, "embeddings"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val assigned = Llm.ivfClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(routed === assigned)
+  }
+
   test("HLL profile within 2% of exact distinct counts (rsd=0.01)") {
     val hll = Materialize.profileHll(spark, sf).head()
     val li = Tables.load(spark, sf, "lineitem")

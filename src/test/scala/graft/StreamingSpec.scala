@@ -364,6 +364,35 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("vector routing runs under readStream: streamed IVF assignments " +
+    "equal the batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq.take(50)
+    val in = MemoryStream[(Long, Seq[Float])]
+    // the map-only fold-argmax routing is window-free, so the SAME
+    // operator starts as a streaming query (window-rank cannot)
+    val q = graft.ops.Llm.vectorRouting(
+      s, sf, in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("routing_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(vecs: _*)
+      q.processAllAvailable()
+      s.table("routing_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val batch = graft.ops.Llm.vectorRouting(
+      s, sf, vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 50)
+  }
+
   test("K2 streaming sink: foreachBatch appends materialization events") {
     val s = spark
     import s.implicits._
