@@ -99,12 +99,15 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMat = if (matResults.nonEmpty) matResults.values.sum else 0.0
-    // Two lines, detail FIRST and the compact headline LAST: the
-    // driver's tail capture truncates from the front, so the line that
-    // must always parse (headline totals + count-based per-query dict)
-    // is the short final one — truncation can only ever eat detail.
+    // Two lines, detail FIRST and the compact headline LAST. The
+    // headline keeps the one-JSON-line contract, but every scalar that
+    // must survive a truncated capture ("value", the totals, the flags)
+    // sits AFTER the ~90-entry per-query dict: tail captures that eat
+    // the line's FRONT (observed in r2 AND r3) can then only ever lose
+    // per-query detail, never the headline numbers. JSON key order is
+    // irrelevant to any parser.
     println(s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"contended":$contended}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"contended":$contended,"value":$total}""")
     spark.stop()
   }
 }

@@ -75,7 +75,18 @@ object IndexStore {
 
   /** Content fingerprint of a source directory: md5 over the manifest
     * plus the artifact version. Footer-free and O(files) — the cost of
-    * one `ls -R`. */
+    * one `ls -R`.
+    *
+    * CAVEAT — preimage strength: the manifest entry is (path, length,
+    * mtime), the same identity `spark.sql.files` caching and classic
+    * Hive metastore staleness checks rely on. A rewrite that produces
+    * same-named files of identical length within the filesystem's mtime
+    * granularity is indistinguishable from "unchanged" and would serve
+    * the previous artifact. Engines that commit through a writer
+    * (Spark's job-UUID part file names, table-format snapshot ids)
+    * never produce such a rewrite; on object stores a stronger signal
+    * (etag/checksum from FileStatus) can be folded into the manifest
+    * line where the FS exposes one. */
   def fingerprint(s: SparkSession, srcDir: String, version: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"v$version".getBytes(StandardCharsets.UTF_8))
@@ -126,6 +137,14 @@ object IndexStore {
     }
   }
 
+  /** A chain is servable only if EVERY segment (the head and all parent
+    * segments) still has its `_SUCCESS` marker. A head whose ancestor
+    * was reclaimed must not be served OR reused as an incremental
+    * parent — it rebuilds (or re-parents) instead of throwing
+    * path-not-found forever. */
+  private def chainIntact(f: FileSystem, base: Path, fp: String): Boolean =
+    chainPaths(f, base, fp).forall(p => f.exists(new Path(p, "_SUCCESS")))
+
   /** One multi-path parquet scan over the chain's segments. */
   private def readChain(s: SparkSession, base: Path, fp: String): DataFrame = {
     val f = fs(s, base)
@@ -159,7 +178,13 @@ object IndexStore {
     val lock = locks.getOrElseUpdate(name, new Object)
     lock.synchronized {
       val f = fs(s, dest)
-      if (!f.exists(new Path(dest, "_SUCCESS"))) {
+      // Servable = published head AND every chain ancestor still present;
+      // a head orphaned by ancestor reclamation is rebuilt here instead
+      // of failing path-not-found at scan time forever.
+      val servable = f.exists(new Path(dest, "_SUCCESS")) &&
+        chainIntact(f, base, fp)
+      if (!servable) {
+        if (f.exists(dest)) f.delete(dest, true) // incomplete or orphaned
         // candidate parent: a finished artifact whose manifest is the
         // largest strict subset of ours (pure append since its build)
         val parent: Option[(String, Seq[String])] =
@@ -169,7 +194,8 @@ object IndexStore {
             val mset = manifest.toSet
             f.listStatus(base).toSeq
               .filter(_.getPath.getName.startsWith("fp="))
-              .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
+              .filter(st => chainIntact(f, base,
+                st.getPath.getName.stripPrefix("fp=")))
               .flatMap { st =>
                 readSmall(f, new Path(st.getPath, "_MANIFEST")).flatMap { m =>
                   val lines = m.split("\n").toSeq.filter(_.nonEmpty)
@@ -201,16 +227,31 @@ object IndexStore {
             full.write.mode("overwrite").parquet(tmp.toString)
         }
         writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
-        if (f.exists(dest)) f.delete(dest, true) // incomplete earlier build
-        if (!f.rename(tmp, dest)) f.delete(tmp, true) // lost a cross-JVM race
-        // reclaim superseded source states beyond the retention bound —
-        // never the artifact just written or its chain ancestors
-        val live = chainPaths(f, base, fp).map(_.getName).toSet
-        f.listStatus(base)
+        // Publish. If a concurrent builder in ANOTHER process finished
+        // first (its _SUCCESS appeared since our check above), its
+        // artifact is by construction equivalent — discard ours instead
+        // of delete+rename, which (a) could yank files from under that
+        // session's in-flight scan and (b) is not atomic: a crash
+        // between the delete and the rename leaves no artifact at all.
+        if (f.exists(new Path(dest, "_SUCCESS"))) f.delete(tmp, true)
+        else if (!f.rename(tmp, dest)) f.delete(tmp, true) // lost the race
+        // Reclaim superseded source states beyond the retention bound.
+        // Retention counts chain HEADS; the ancestor closure of EVERY
+        // retained head is protected, not just the live chain —
+        // deleting a retained head's parent would leave a published
+        // head whose read throws path-not-found until a manual
+        // invalidate (the multi-warehouse coexistence hazard).
+        val all = f.listStatus(base).toSeq
           .filter(_.getPath.getName.startsWith("fp="))
-          .filterNot(st => live(st.getPath.getName))
+        val liveChain = chainPaths(f, base, fp).map(_.getName).toSet
+        val retainedHeads = all
+          .filterNot(st => liveChain(st.getPath.getName))
           .sortBy(-_.getModificationTime)
-          .drop(keepFingerprints - 1)
+          .take(keepFingerprints - 1)
+          .map(_.getPath.getName.stripPrefix("fp="))
+        val protectedNames = liveChain ++ retainedHeads.flatMap(h =>
+          chainPaths(f, base, h).map(_.getName))
+        all.filterNot(st => protectedNames.contains(st.getPath.getName))
           .foreach(st => f.delete(st.getPath, true))
       }
     }

@@ -140,6 +140,37 @@ class IndexStoreSpec extends SparkSuite {
       "a rewrite must fall back to the full build")
   }
 
+  test("orphaned chain recovers: a head whose parent segment was " +
+    "reclaimed rebuilds instead of failing path-not-found") {
+    val name = freshName("orph")
+    val src = scratch("orph")
+    val s = spark
+    import s.implicits._
+    var fullBuilds = 0
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      { fullBuilds += 1; s.read.parquet(src) })(
+      { (_, added) => s.read.parquet(added: _*) })
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count()
+    Thread.sleep(5)
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count() // chained head
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = IndexStore.fingerprint(spark, src, 1)
+    val head = Paths.get(s"$root/$name/fp=$fp")
+    val parentFp = new String(
+      Files.readAllBytes(head.resolve("_PARENT"))).trim
+    assert(parentFp.nonEmpty)
+    // simulate ancestor reclamation (the retention hazard): the head
+    // remains published but its parent segment is gone
+    val parentDir = new java.io.File(s"$root/$name/fp=$parentFp")
+    parentDir.listFiles().foreach(_.delete()); parentDir.delete()
+    // a naive read of the head's chain would now throw path-not-found
+    // forever; the store must detect the broken chain and rebuild
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(fullBuilds === 2, "broken chain must trigger a full rebuild")
+  }
+
   test("fingerprint: stable for unchanged sources, sensitive to content " +
     "and version, defined for missing dirs") {
     val src = scratch("fp")

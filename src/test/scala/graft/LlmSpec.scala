@@ -55,7 +55,9 @@ class LlmSpec extends SparkSuite {
     val incrPairs = pairs()
     // the delta path must actually have been taken: the live pair
     // artifact is a chained segment, not a parentless full build
-    val fp = graft.observe.IndexStore.fingerprint(spark, dir, 1)
+    // text indexes fingerprint against the documents TABLE path — an
+    // append elsewhere in the warehouse must not perturb them
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
     val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
     assert(new java.io.File(s"$root/neardup_pairs/fp=$fp/_PARENT").exists(),
       "append must extend the snapshot chain, not rebuild")
@@ -67,6 +69,16 @@ class LlmSpec extends SparkSuite {
     assert(incrPairs === fullPairs)
     assert(basePairs.subsetOf(incrPairs),
       "append can only add pairs; old-old pairs are untouched")
+    // an append to a DIFFERENT warehouse table must be invisible to the
+    // text indexes: same source fingerprint (so neither an invalidation
+    // nor — the dangerous case — a "pure append" delta read that would
+    // feed event rows into a documents index)
+    locally { import s.implicits._
+      Seq((1L, "x")).toDF("event_id", "payload")
+        .write.mode("append").parquet(s"$dir/events.parquet") }
+    assert(graft.observe.IndexStore.fingerprint(spark, tbl, 1) === fp,
+      "index fingerprint must scope to the documents table")
+    assert(pairs() === fullPairs)
   }
 
   test("custom expressions: null and empty-input handling") {
@@ -308,6 +320,17 @@ class LlmSpec extends SparkSuite {
     assert(Llm.ivfNprobe(13) === 3L)
     assert(Llm.ivfNprobe(50) === 3L)
     assert(Llm.ivfNprobe(31622) === 1976L) // ~6% of clusters probed
+    // Hyperplane LSH: plane count targets ~1024 vectors per bucket
+    // instead of a fixed 8 planes (256 buckets forever ⇒ O(n²/256)
+    // in-bucket verify at web scale). Floor engages at fixture scale;
+    // exact-power boundaries stay stable (the epsilon'd ceil).
+    assert(Llm.hyperplaneCount(500) === 8)
+    assert(Llm.hyperplaneCount(5000) === 8)
+    assert(Llm.hyperplaneCount(1L << 20) === 10)   // 1M vecs → 1024 buckets
+    assert(Llm.hyperplaneCount((1L << 20) + 1) === 11) // next bucket doubles
+    assert(Llm.hyperplaneCount(1000000000L) === 20) // 1e9 → ~1M buckets
+    val occ = 1000000000.0 / (1L << Llm.hyperplaneCount(1000000000L))
+    assert(occ <= 1024.0, "expected occupancy must stay bounded")
     // Overflow-safe Knuth hash: equals the naive form where the naive
     // form is defined, and stays non-negative past the wrap point.
     val s = spark
