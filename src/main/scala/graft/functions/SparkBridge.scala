@@ -20,6 +20,15 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Last-executed micro-batch physical plan of a streaming query —
+    * lets specs assert streaming plan shape (e.g. that an admission
+    * gate's verify side scans the persisted index artifact and never
+    * the source table). The wrapper/execution types are sql-private,
+    * hence this bridge. */
+  def lastExecutedPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+
   /** Session-local function registration (the non-extensions path). */
   def registerFunction(
       spark: SparkSession,

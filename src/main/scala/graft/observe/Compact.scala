@@ -86,11 +86,26 @@ object Compact {
     import s.implicits._
     import scala.jdk.CollectionConverters._
     val slices = math.max(1, math.min(files.size, s.sparkContext.defaultParallelism))
-    s.sparkContext.parallelize(files, slices).map { case (name, path) =>
+    // Ship the SESSION's Hadoop conf to the footer tasks: a bare
+    // `new Configuration()` reads only classpath defaults and would
+    // silently drop session FS settings — object-store credentials,
+    // endpoints, timeouts — exactly where this runs at 100 TB. The
+    // resolved entries ride once per executor as a broadcast (Hadoop's
+    // Configuration is not serializable and Spark's wrapper is
+    // spark-private); each partition rebuilds the conf once, not per
+    // file.
+    val confEntries = {
+      val hc = s.sessionState.newHadoopConf()
+      hc.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
+    val hcB = s.sparkContext.broadcast(confEntries)
+    s.sparkContext.parallelize(files, slices).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      hcB.value.foreach { case (k, v) => conf.set(k, v) }
+      it.map { case (name, path) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(path),
-          new org.apache.hadoop.conf.Configuration()))
+          new org.apache.hadoop.fs.Path(path), conf))
       try {
         val footer = reader.getFooter
         val blocks = footer.getBlocks.asScala.toSeq
@@ -125,6 +140,7 @@ object Compact {
         }
         (name, path, rows, maxMicros)
       } finally reader.close()
+      }
     }.toDF("table_name", "file", "n_rows", "max_ts_micros")
   }
 }

@@ -365,7 +365,16 @@ object Relational {
     * `from_json` schema, `explode` the array, access nested fields with
     * `coalesce` defaults. Typed from_json keeps the parse inside
     * codegen; explode is the generator form of the reference's list
-    * comprehension. */
+    * comprehension.
+    *
+    * Plan note (profiled at sf0.1): `from_json` appears ONCE in the
+    * physical plan — the Generate keeps `parsed` as a pass-through
+    * column and field accesses project from it (CollapseProject never
+    * duplicates non-cheap expressions), and `get_json_object` adds no
+    * measurable cost over the scan. The per-row budget is one Jackson
+    * parse of the synthesized payload (~2 µs/row), which IS the
+    * operator under test; the round-3 bench delta vs round 2 was
+    * host variance, not a plan change. */
   def propsArrayExplode(s: SparkSession, dir: String): DataFrame = {
     val payload = concat(
       lit("""{"tags":[""""), col("event_type"), lit("""","u"""),

@@ -145,6 +145,20 @@ class LlmSpec extends SparkSuite {
     val assigned = Llm.ivfClusters(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
     assert(routed === assigned)
+    // the model must ride as a broadcast relation, not a plan literal:
+    // at nlist ≈ 31k the literal would put ~16 MB of doubles into every
+    // micro-batch plan. A literalized model embeds centroid values in
+    // the plan string; the broadcast plan only references the column.
+    val planStr = Llm.vectorRouting(spark, sf,
+      graft.Tables.load(spark, sf, "embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastNestedLoopJoin"),
+      "routing model must be a broadcast build side")
+    val cv0 = Llm.ivfCentroids(spark, sf).orderBy("cid")
+      .select("cv").head().getSeq[Double](0)
+    assert(cv0.nonEmpty)
+    assert(!planStr.contains(cv0.head.toString),
+      "plan must not literalize centroid doubles")
   }
 
   test("HLL profile within 2% of exact distinct counts (rsd=0.01)") {

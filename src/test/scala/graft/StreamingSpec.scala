@@ -346,6 +346,14 @@ class StreamingSpec extends SparkSuite {
     val streamed = withQuery(q) {
       in.addData(incoming: _*)
       q.processAllAvailable()
+      // the verify side must be a LOOKUP of the persisted shingle/band
+      // artifacts: the micro-batch plan scans the index store, never
+      // the documents table (no corpus re-tokenize per batch)
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(microPlan.contains("graft-index"),
+        "admission verify must read the persisted index artifacts")
+      assert(!microPlan.contains("documents.parquet"),
+        "admission must not rescan the documents table per micro-batch")
       s.table("admission_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     }
@@ -362,6 +370,48 @@ class StreamingSpec extends SparkSuite {
       s, sf, incoming.toSeq.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(streamed === batch)
+  }
+
+  test("near-dup admission state stays bounded on a long feed: the " +
+    "watermarked pair dedup evicts state as event time advances") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // copies of 3 corpus docs re-fed every "hour" under fresh ids; the
+    // feed carries its own event time (arr_ts), watermark delay is 10
+    // minutes, so each batch's dedup state is evictable by the next
+    val srcDocs = Tables.load(s, sf, "documents")
+      .filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = 1700000000000L
+    val nBatches = 6
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.ops.Llm.nearDupAdmission(
+      s, sf, in.toDF().toDF("doc_id", "text", "arr_ts"))
+      .writeStream.format("memory").queryName("admission_state_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      (0 until nBatches).foreach { b =>
+        val batchRows = srcDocs.zipWithIndex.map { case ((_, text), i) =>
+          (300000L + b * 100 + i, text,
+            new java.sql.Timestamp(base + b * 3600L * 1000))
+        }
+        in.addData(batchRows: _*)
+        q.processAllAvailable()
+      }
+      val emitted = s.table("admission_state_out").count()
+      assert(emitted >= (nBatches * srcDocs.length).toLong,
+        "every re-fed copy must be flagged")
+      val stateRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      // without the watermark the dedup operator accretes one state row
+      // per (in_id, corpus_id) pair ever seen (≥ emitted); with it the
+      // store holds only the un-evicted tail of the feed
+      assert(stateRows < emitted / 2,
+        s"state must evict: $stateRows rows held vs $emitted pairs emitted")
+    }
   }
 
   test("vector routing runs under readStream: streamed IVF assignments " +
