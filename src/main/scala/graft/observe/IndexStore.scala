@@ -167,7 +167,13 @@ object IndexStore {
     * parent pointer; otherwise `full` rebuilds from scratch. The delta
     * contract is the caller's: `union(previous, delta)` must equal the
     * full rebuild (true for monotone indexes like band tables and
-    * pair graphs, where appended docs only ADD entries). */
+    * pair graphs, where appended docs only ADD entries).
+    *
+    * `incr` may return null to DECLINE the delta for this particular
+    * append — the build then falls back to `full`. This is how an
+    * index with a model component (e.g. a trained quantizer) applies a
+    * drift threshold: small appends extend the chain against the
+    * frozen model, a too-large append retrains from scratch. */
   def readOrBuildIncremental(s: SparkSession, name: String, srcDir: String,
       version: Int = 1)(full: => DataFrame)(
       incr: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
@@ -216,14 +222,17 @@ object IndexStore {
         // commits. With rename-commit the loser just reads the
         // winner's finished artifact.
         val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
-        parent match {
-          case Some((pfp, plines)) =>
+        val delta: Option[(String, DataFrame)] = parent.flatMap {
+          case (pfp, plines) =>
             val added = manifest.filterNot(plines.toSet)
               .map(_.split('|').head)
-            incr(readChain(s, base, pfp), added)
-              .write.mode("overwrite").parquet(tmp.toString)
+            Option(incr(readChain(s, base, pfp), added)).map((pfp, _))
+        }
+        delta match {
+          case Some((pfp, d)) =>
+            d.write.mode("overwrite").parquet(tmp.toString)
             writeSmall(f, new Path(tmp, "_PARENT"), pfp)
-          case None =>
+          case None => // no parent, or incr declined (e.g. drift retrain)
             full.write.mode("overwrite").parquet(tmp.toString)
         }
         writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
@@ -256,6 +265,21 @@ object IndexStore {
       }
     }
     readChain(s, base, fp)
+  }
+
+  /** True when the artifact serving `srcDir`'s CURRENT state is a
+    * delta segment chained to a parent (vs a standalone full build) —
+    * lets a dependent artifact check that its upstream took the
+    * incremental path before it commits a delta of its own (the IVF
+    * assignment must not chain a frozen-quantizer delta onto a
+    * retrained quantizer). */
+  def isChained(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1): Boolean = {
+    val fp = fingerprint(s, srcDir, version)
+    val base = new Path(s"${root(s)}/$name")
+    val f = fs(s, base)
+    readSmall(f, new Path(new Path(base, s"fp=$fp"), "_PARENT"))
+      .exists(_.trim.nonEmpty)
   }
 
   /** Drop artifact `name` entirely; the next read rebuilds it. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -14,11 +14,16 @@ import graft.Tables
   * `mapInPandas`), and everything before/after the decode stage is
   * ordinary columnar pruning/filtering/shuffling on the metadata.
   *
-  * The decode step itself is a **deterministic stub** (no codec libraries
-  * in this environment — see `fakeDecode`): the Spark-side plumbing —
-  * schema, typed Encoders, partition batching, feature schema — is real
-  * and oracle-tested; swap `fakeDecode` for a JNI/ffmpeg/opencv call and
-  * nothing else changes.
+  * The decoder is a GENUINE (if tiny) header parser: payloads are
+  * synthesized with real container structure — PNG signature + IHDR,
+  * RIFF/WAVE fmt+data chunks, JPEG SOI + SOF0 — and the decode stage
+  * recovers width/height/duration by parsing those bytes (big- and
+  * little-endian fields, marker scan), not by trusting row metadata.
+  * What remains stubbed relative to a production decoder is only the
+  * codec payload itself (no pixel/sample decode — no codec libraries in
+  * this environment); swap [[decode]]'s body for a JNI/ffmpeg/opencv
+  * call and nothing else changes. The DuckDB oracles reconstruct the
+  * identical byte streams and verify every parsed field end-to-end.
   */
 object Multimodal {
 
@@ -38,37 +43,122 @@ object Multimodal {
       duration_ms: Long,
       frame_hashes: Seq[String])
 
-  /** Multimodal fixture: text bytes as the payload, modality by id. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
-      .select(
-        col("doc_id"),
-        element_at(
-          array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        encode(col("text"), "UTF-8").as("payload"))
+  // ---- fixture: payloads with REAL container headers ---------------------
 
-  /** STUB decoder — deterministic fake standing in for a real codec.
-    * A production decoder parses `payload` with an image/audio library;
-    * this one derives plausible fields purely from the byte length so
-    * tests and oracles are reproducible. Marked per the spec: the
-    * Spark-side contract (runs per partition over an iterator — i.e.
-    * batch-shaped, one decoder init per partition, not per row) is the
-    * part under test. */
-  private def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // Per-partition "decoder init" happens here (real code: load codec).
+  /** Big-endian unsigned int of `nBytes` as a binary column. */
+  private def be(v: Column, nBytes: Int): Column =
+    unhex(lpad(hex(v), nBytes * 2, "0"))
+
+  /** Little-endian 32-bit: byte-swap then big-endian render. */
+  private def le32(v: Column): Column =
+    be(shiftleft(v.bitwiseAND(lit(255L)), 24) +
+      shiftleft(shiftright(v, 8).bitwiseAND(lit(255L)), 16) +
+      shiftleft(shiftright(v, 16).bitwiseAND(lit(255L)), 8) +
+      shiftright(v, 24).bitwiseAND(lit(255L)), 4)
+
+  /** Multimodal fixture: each document's text bytes wrapped in a real
+    * container header — PNG IHDR (image), RIFF/WAVE (audio), JPEG SOF0
+    * (video) — with the header's dimension/rate fields derived from
+    * doc_id, so the oracle can verify the PARSED values independently
+    * of the parser. Construction is pure columnar byte math
+    * (hex/unhex/concat), map-only. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    val body = encode(col("text"), "UTF-8")
+    val bodyLen = length(body).cast("bigint")
+    val pngW = lit(16L) + pmod(col("doc_id"), lit(1024L))
+    val pngH = lit(16L) + pmod(col("doc_id"), lit(768L))
+    val rate = lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L
+    val jpgH = lit(120L) + pmod(col("doc_id"), lit(600L))
+    val jpgW = lit(160L) + pmod(col("doc_id"), lit(800L))
+    // PNG: signature, IHDR length+type, width/height BE32, bit depth 8,
+    // color type 6 (RGBA), compression/filter/interlace 0, CRC
+    // placeholder; 33 header bytes total
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A")),
+      unhex(lit("0000000D49484452")),
+      be(pngW, 4), be(pngH, 4),
+      unhex(lit("080600000000000000")),
+      body)
+    // WAV: RIFF size, WAVE + fmt chunk (PCM, 1 channel, 16-bit,
+    // byteRate = rate·2), data chunk sized to the body; 44 header bytes
+    val wav = concat(
+      encode(lit("RIFF"), "UTF-8"), le32(bodyLen + 36L),
+      encode(lit("WAVEfmt "), "UTF-8"),
+      unhex(lit("10000000")), unhex(lit("01000100")),
+      le32(rate), le32(rate * 2L),
+      unhex(lit("02001000")),
+      encode(lit("data"), "UTF-8"), le32(bodyLen),
+      body)
+    // JPEG: SOI + SOF0 (len 11, precision 8, height/width BE16, one
+    // component); 15 header bytes — the body stands in for MJPEG frames
+    val jpg = concat(
+      unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
+      be(jpgH, 2), be(jpgW, 2), unhex(lit("01011100")),
+      body)
+    Tables.load(s, dir, "documents")
+      .withColumn("modality", element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")))
+      .select(
+        col("doc_id"), col("modality"),
+        when(col("modality") === "image", png)
+          .when(col("modality") === "audio", wav)
+          .otherwise(jpg).as("payload"))
+  }
+
+  /** REAL header parse — runs per partition over an iterator (i.e.
+    * batch-shaped: one decoder init per partition, not per row). Reads
+    * PNG IHDR width/height (BE32 at fixed offsets after signature
+    * validation), WAV byteRate/dataSize (LE32 inside the fmt/data
+    * chunks) → duration, and scans JPEG marker segments for SOF0 →
+    * height/width, with the residual (post-header) length standing in
+    * for MJPEG frame payload (duration = frames·40 ms). Unparseable
+    * payloads decode to zeros rather than throwing — the quarantine
+    * default (T5). */
+  private[graft] def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
     rows.map { r =>
-      val len = r.payload.length.toLong
-      val (w, h, d) = r.modality match {
-        case "image" => (64L + len % 576, 64L + len % 320, 0L)
-        case "audio" => (0L, 0L, len * 8)
-        case _       => (320L, 240L, len * 40)
-      }
+      val p = r.payload
+      val len = p.length.toLong
+      def u8(i: Int): Long = p(i) & 0xFFL
+      def be16(i: Int): Long = (u8(i) << 8) | u8(i + 1)
+      def be32(i: Int): Long =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le32(i: Int): Long =
+        (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+      def ascii(i: Int, sTag: String): Boolean =
+        i + sTag.length <= p.length &&
+          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
+      val (w, h, d) =
+        if (len >= 24 && p.take(8).sameElements(pngSig) && ascii(12, "IHDR"))
+          (be32(16), be32(20), 0L)
+        else if (len >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+          val byteRate = le32(28)
+          val dataSize = le32(40)
+          (0L, 0L, if (byteRate > 0) dataSize * 1000L / byteRate else 0L)
+        } else if (len >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+          // marker scan for SOF0 (FFC0): len, precision, height, width
+          var i = 2
+          var res = (0L, 0L, 0L)
+          var found = false
+          while (!found && i + 8 < p.length) {
+            if (u8(i) == 0xFF && u8(i + 1) == 0xC0) {
+              val headerEnd = i + 2 + be16(i + 2).toInt
+              res = (be16(i + 7), be16(i + 5),
+                math.max(0L, len - headerEnd) * 40L)
+              found = true
+            } else if (u8(i) == 0xFF && i + 3 < p.length) {
+              i += 2 + be16(i + 2).toInt // skip unrelated segment
+            } else i += 1
+          }
+          res
+        } else (0L, 0L, 0L)
       // "Frame sampling": 3 evenly spaced 16-byte slices, hex-rendered —
       // stands in for per-frame feature vectors.
       val hashes = (0 until 3).map { i =>
         val off = (len * i / 3).toInt
-        r.payload.slice(off, math.min(off + 16, len.toInt))
+        p.slice(off, math.min(off + 16, len.toInt))
           .map("%02x".format(_)).mkString
       }
       MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes)
@@ -78,7 +168,7 @@ object Multimodal {
   /** Typed decode pass: Dataset[MediaRow] → mapPartitions → features. */
   def decoded(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions(fakeDecode _)
+    mediaTable(s, dir).as[MediaRow].mapPartitions(decode _)
   }
 
   /** Oracle-checked projection of the decode output: every scalar field
@@ -93,7 +183,10 @@ object Multimodal {
         col("width"), col("height"), col("duration_ms"),
         element_at(col("frame_hashes"), 1).as("first_frame"))
       .join(
-        mediaTable(s, dir).select(col("doc_id"), md5(col("payload")).as("content_hash")),
+        // hash over the hex rendering: covers every payload byte and
+        // stays engine-portable (DuckDB's md5 lacks a BLOB overload)
+        mediaTable(s, dir).select(col("doc_id"),
+          md5(hex(col("payload"))).as("content_hash")),
         "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -117,35 +210,67 @@ object Multimodal {
     "q58_frame_hashes" -> frameHashes,
   )
 
+  /** DuckDB little-endian 32-bit render of an integer SQL expression. */
+  private def duckLe32(e: String): String =
+    s"unhex(lpad(hex(((($e) % 256) * 16777216) + (((($e) // 256) % 256) * 65536)" +
+      s" + (((($e) // 65536) % 256) * 256) + ((($e) // 16777216) % 256)), 8, '0'))"
+
+  /** Shared payload-reconstruction CTEs: DuckDB rebuilds the exact byte
+    * stream the fixture synthesizes, so hashes and hex slices verify
+    * the decoder against independently-constructed bytes. */
+  // NOTE: this snippet is re-interpolated into stripMargin'd oracle
+  // strings, so no line may BEGIN with `|` (the outer stripMargin would
+  // eat one pipe of a leading `||`) — concat operators sit at line ends.
+  private val duckMedia: String =
+    s"""m0 AS (
+       |  SELECT doc_id, text,
+       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+       |    16 + doc_id % 1024 AS pw, 16 + doc_id % 768 AS ph,
+       |    8000 + (doc_id % 8) * 1000 AS rate,
+       |    120 + doc_id % 600 AS jh, 160 + doc_id % 800 AS jw
+       |  FROM documents),
+       |m AS (
+       |  SELECT *, CASE modality
+       |    WHEN 'image' THEN unhex('89504E470D0A1A0A') ||
+       |      unhex('0000000D49484452') ||
+       |      unhex(lpad(hex(pw), 8, '0')) || unhex(lpad(hex(ph), 8, '0')) ||
+       |      unhex('080600000000000000') || encode(text)
+       |    WHEN 'audio' THEN encode('RIFF') || ${duckLe32("body_len + 36")} ||
+       |      encode('WAVEfmt ') || unhex('10000000') || unhex('01000100') ||
+       |      ${duckLe32("rate")} || ${duckLe32("rate * 2")} ||
+       |      unhex('02001000') || encode('data') || ${duckLe32("body_len")} ||
+       |      encode(text)
+       |    ELSE unhex('FFD8FFC0') || unhex('000B') || unhex('08') ||
+       |      unhex(lpad(hex(jh), 4, '0')) || unhex(lpad(hex(jw), 4, '0')) ||
+       |      unhex('01011100') || encode(text)
+       |    END AS payload
+       |  FROM m0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q58_frame_hashes" ->
-      """WITH m AS (
-        |  SELECT doc_id, encode(text) AS payload FROM documents),
-        |f AS (
-        |  SELECT doc_id, i AS frame_no,
-        |    lower(substr(hex(payload),
-        |      CAST((octet_length(payload) * i) // 3 AS BIGINT) * 2 + 1, 32))
-        |      AS frame_hash
-        |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
-        |SELECT doc_id, frame_no, frame_hash FROM f
-        |ORDER BY doc_id, frame_no""".stripMargin,
+      s"""WITH $duckMedia,
+         |f AS (
+         |  SELECT doc_id, i AS frame_no,
+         |    lower(substr(hex(payload),
+         |      CAST((octet_length(payload) * i) // 3 AS BIGINT) * 2 + 1, 32))
+         |      AS frame_hash
+         |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
+         |SELECT doc_id, frame_no, frame_hash FROM f
+         |ORDER BY doc_id, frame_no""".stripMargin,
     "q40_multimodal_meta" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
-        |    encode(text) AS payload, text
-        |  FROM documents)
-        |SELECT doc_id, modality,
-        |  CAST(octet_length(payload) AS BIGINT) AS payload_len,
-        |  CAST(CASE modality WHEN 'image' THEN 64 + octet_length(payload) % 576
-        |       WHEN 'audio' THEN 0 ELSE 320 END AS BIGINT) AS width,
-        |  CAST(CASE modality WHEN 'image' THEN 64 + octet_length(payload) % 320
-        |       WHEN 'audio' THEN 0 ELSE 240 END AS BIGINT) AS height,
-        |  CAST(CASE modality WHEN 'image' THEN 0
-        |       WHEN 'audio' THEN octet_length(payload) * 8
-        |       ELSE octet_length(payload) * 40 END AS BIGINT) AS duration_ms,
-        |  lower(substr(hex(payload), 1, 32)) AS first_frame,
-        |  md5(text) AS content_hash
-        |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckMedia
+         |SELECT doc_id, modality,
+         |  CAST(octet_length(payload) AS BIGINT) AS payload_len,
+         |  CAST(CASE modality WHEN 'image' THEN pw WHEN 'video' THEN jw
+         |       ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE modality WHEN 'image' THEN ph WHEN 'video' THEN jh
+         |       ELSE 0 END AS BIGINT) AS height,
+         |  CAST(CASE modality WHEN 'image' THEN 0
+         |       WHEN 'audio' THEN body_len * 1000 // (rate * 2)
+         |       ELSE body_len * 40 END AS BIGINT) AS duration_ms,
+         |  lower(substr(hex(payload), 1, 32)) AS first_frame,
+         |  md5(hex(payload)) AS content_hash
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -140,6 +140,26 @@ class IndexStoreSpec extends SparkSuite {
       "a rewrite must fall back to the full build")
   }
 
+  test("incremental: incr may decline with null — the build falls back " +
+    "to full (the drift-retrain hook)") {
+    val name = freshName("decl")
+    val src = scratch("decl")
+    val s = spark
+    import s.implicits._
+    var fullBuilds = 0
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      { fullBuilds += 1; s.read.parquet(src) })(
+      { (_, _) => null })
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count()
+    Thread.sleep(5)
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(fullBuilds === 2, "declined delta must rebuild from scratch")
+    assert(!IndexStore.isChained(s, name, src),
+      "a declined delta must publish a standalone full build")
+  }
+
   test("orphaned chain recovers: a head whose parent segment was " +
     "reclaimed rebuilds instead of failing path-not-found") {
     val name = freshName("orph")

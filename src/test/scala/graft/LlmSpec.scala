@@ -81,6 +81,61 @@ class LlmSpec extends SparkSuite {
     assert(pairs() === fullPairs)
   }
 
+  test("incremental IVF maintenance: a small append freezes the " +
+    "quantizer and routes only new vectors (chain ≡ full reassignment); " +
+    "a drift-sized append retrains both artifacts") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val all = graft.Tables.load(spark, sf, "embeddings")
+    val tbl = s"$dir/embeddings.parquet"
+    // 13 is coprime to the stride (40), so the base slice still
+    // contains init seeds (multiples of 40); the appended ~8% slice
+    // stays below the 20% drift threshold
+    all.filter(col("vec_id") % 13 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def cents() = Llm.ivfCentroids(s, dir).select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    def clus() = Llm.ivfClusters(s, dir).select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val centBase = cents()
+    val clusBase = clus()
+    Thread.sleep(5)
+    // small append (~8% of the corpus): below the drift threshold
+    all.filter(col("vec_id") % 13 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    assert(cents() === centBase,
+      "a small append must serve the FROZEN quantizer unchanged")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 2)
+    assert(new java.io.File(s"$root/ivf_centroids/fp=$fp/_PARENT").exists(),
+      "quantizer must freeze via the delta chain")
+    val clusAfter = clus()
+    assert(new java.io.File(s"$root/ivf_clusters/fp=$fp/_PARENT").exists(),
+      "assignment must route only the appended vectors into a delta")
+    // old assignments are untouched by the append...
+    clusBase.foreach { case (id, cid) => assert(clusAfter(id) === cid) }
+    // ...and the chain equals a full reassignment under the frozen
+    // model (vectorRouting ≡ window assignment is proven above)
+    val routedAll = Llm.vectorRouting(s, dir, s.read.parquet(tbl))
+      .select("vec_id", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusAfter === routedAll,
+      "chain must equal full reassignment with frozen centroids")
+    // drift-sized append (≈2× the corpus under fresh ids): both
+    // artifacts must retrain/reassign from scratch — no delta chain
+    Thread.sleep(5)
+    all.withColumn("vec_id", col("vec_id") + 100000L)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val clusRetrained = clus()
+    val fp2 = graft.observe.IndexStore.fingerprint(spark, tbl, 2)
+    assert(!new java.io.File(s"$root/ivf_centroids/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must retrain the quantizer")
+    assert(!new java.io.File(s"$root/ivf_clusters/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must reassign from scratch")
+    assert(clusRetrained.size === clusAfter.size * 2)
+  }
+
   test("custom expressions: null and empty-input handling") {
     val s = spark
     graft.functions.GraftExtensions.register(s)
@@ -345,6 +400,12 @@ class LlmSpec extends SparkSuite {
     assert(Llm.hyperplaneCount(1000000000L) === 20) // 1e9 → ~1M buckets
     val occ = 1000000000.0 / (1L << Llm.hyperplaneCount(1000000000L))
     assert(occ <= 1024.0, "expected occupancy must stay bounded")
+    // IVF drift guard: small appends freeze the quantizer, a >20%
+    // append retrains it
+    assert(!Llm.ivfDriftRetrain(1000, 100))
+    assert(!Llm.ivfDriftRetrain(1000, 200))
+    assert(Llm.ivfDriftRetrain(1000, 201))
+    assert(Llm.ivfDriftRetrain(0, 1), "an empty index always retrains")
     // Overflow-safe Knuth hash: equals the naive form where the naive
     // form is defined, and stays non-negative past the wrap point.
     val s = spark

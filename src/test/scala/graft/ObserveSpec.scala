@@ -119,16 +119,63 @@ class ObserveSpec extends SparkSuite {
     assert(Tables.discover("/nonexistent_dir_xyz") === Tables.all)
   }
 
-  test("multimodal decode: stub features are deterministic and typed") {
+  test("multimodal decode: genuine header parse — PNG/WAV/JPEG fields " +
+    "are recovered from hand-built payload bytes") {
+    // the decoder only sees bytes: hand-assemble containers with known
+    // field values and check the parse recovers them
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes ++
+      be32(777) ++ be32(321) ++ Array[Byte](8, 6, 0, 0, 0) ++ be32(0) ++
+      "pixels".getBytes
+    val wav = "RIFF".getBytes ++ le32(36 + 32000) ++ "WAVEfmt ".getBytes ++
+      le32(16) ++ Array[Byte](1, 0, 1, 0) ++ le32(8000) ++ le32(16000) ++
+      Array[Byte](2, 0, 16, 0) ++ "data".getBytes ++ le32(32000) ++
+      Array.fill[Byte](10)(7) // truncated body: header fields rule
+    val jpg = Array(0xFF, 0xD8, 0xFF, 0xC0).map(_.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(480) ++ be16(640) ++
+      Array[Byte](1, 1, 0x11, 0) ++ Array.fill[Byte](25)(3)
+    val feats = Multimodal.decode(Iterator(
+      Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "audio", wav),
+      Multimodal.MediaRow(3L, "video", jpg),
+      Multimodal.MediaRow(4L, "image", "not a container".getBytes))).toSeq
+    val byId = feats.map(f => f.doc_id -> f).toMap
+    assert((byId(1L).width, byId(1L).height, byId(1L).duration_ms) ===
+      ((777L, 321L, 0L)))
+    // duration = dataSize·1000 / byteRate = 32000·1000/16000 = 2000 ms
+    assert((byId(2L).width, byId(2L).height, byId(2L).duration_ms) ===
+      ((0L, 0L, 2000L)))
+    // 25 body bytes after the 15-byte header → 25 frames · 40 ms
+    assert((byId(3L).width, byId(3L).height, byId(3L).duration_ms) ===
+      ((640L, 480L, 1000L)))
+    // unparseable payloads quarantine to zeros, never throw
+    assert((byId(4L).width, byId(4L).height, byId(4L).duration_ms) ===
+      ((0L, 0L, 0L)))
+    // fixture round-trip: every decoded field matches the doc_id
+    // formulas the fixture wrote INTO the headers
     val d = Multimodal.decoded(spark, sf).collect()
     assert(d.nonEmpty)
     d.foreach { f =>
-      assert(Set("image", "audio", "video").contains(f.modality))
       assert(f.frame_hashes.size === 3)
       f.modality match {
-        case "image" => assert(f.duration_ms === 0L && f.width >= 64)
-        case "audio" => assert(f.width === 0L && f.duration_ms === f.payload_len * 8)
-        case _ => assert(f.width === 320L && f.duration_ms === f.payload_len * 40)
+        case "image" =>
+          assert(f.width === 16 + f.doc_id % 1024)
+          assert(f.height === 16 + f.doc_id % 768)
+          assert(f.duration_ms === 0L)
+        case "audio" =>
+          val rate = 8000 + (f.doc_id % 8) * 1000
+          val bodyLen = f.payload_len - 44
+          assert(f.width === 0L && f.height === 0L)
+          assert(f.duration_ms === bodyLen * 1000 / (rate * 2))
+        case _ =>
+          assert(f.width === 160 + f.doc_id % 800)
+          assert(f.height === 120 + f.doc_id % 600)
+          assert(f.duration_ms === (f.payload_len - 15) * 40)
       }
     }
   }
