@@ -105,6 +105,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("decontamination reads the persisted shingle artifact; the " +
+    "documents scan never re-reads text") {
+    Seq("q59_decontaminate", "q73_bloom_decontaminate").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("graft-index"),
+        s"$name must probe the persisted shingle artifact, not re-tokenize")
+      val docScans = p.linesIterator
+        .filter(_.contains("documents.parquet")).toSeq
+      assert(docScans.nonEmpty, s"$name lost its documents metadata scan")
+      docScans.foreach(l => assert(!l.contains("text"),
+        s"$name documents scan reads the text column it no longer needs:\n$l"))
+    }
+  }
+
+  test("url dedup: map-only canonicalization + one aggregation — no " +
+    "join, no window, partial agg before the exchange") {
+    val p = plan("q91_url_dedup")
+    assert(!p.contains("Join"), s"q91 plans a join:\n$p")
+    assert(!p.contains("Window "), s"q91 plans a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
+  }
+
   test("partitioned write + read prunes partitions at the scan") {
     val s = spark
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
