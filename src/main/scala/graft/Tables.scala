@@ -47,9 +47,18 @@ object Tables {
     * the transform stage on one thread. The exchange moves only the raw
     * rows once and is far cheaper than serializing the transform; ops
     * whose cost is the scan or the aggregation (not per-row CPU) keep
-    * using [[load]] so their filters still push into the scan. */
-  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+    * using [[load]] so their filters still push into the scan.
+    *
+    * The spread is CONDITIONAL on the scan actually under-filling the
+    * cluster: a 100 TB table already plans thousands of file splits,
+    * and an unconditional repartition there would shuffle the whole
+    * corpus for nothing. Split count comes from the file index
+    * (metadata — no job runs). */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
 
   /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long (legacy flag) and truncate to

@@ -127,6 +127,28 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
   }
 
+  test("loadSpread exchanges only when the scan under-fills the cluster") {
+    val s = spark
+    val cores = s.sparkContext.defaultParallelism
+    // fixture single-file table: scan plans ~1 split → spread engages
+    assert(Tables.loadSpread(s, sf, "documents").rdd.getNumPartitions === cores)
+    // a table whose scan already yields ≥cores splits must NOT be
+    // round-robin shuffled (at 100 TB that exchange moves the corpus)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val saved = s.conf.get(key)
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+    Tables.load(s, sf, "documents")
+      .repartition(cores).write.parquet(s"$dir/documents.parquet")
+    s.conf.set(key, "16384") // force many small splits
+    try {
+      val df = Tables.loadSpread(s, dir, "documents")
+      assert(df.rdd.getNumPartitions >= cores)
+      assert(!df.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"),
+        "well-split scan must not be re-shuffled")
+    } finally s.conf.set(key, saved)
+  }
+
   test("partitioned write + read prunes partitions at the scan") {
     val s = spark
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
