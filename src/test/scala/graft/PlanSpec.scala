@@ -127,6 +127,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
   }
 
+  test("lm rare filter joins the bigram model broadcast, never shuffled") {
+    val p = plan("q92_lm_rare_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q92 model join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q92 must not sort-merge the corpus against the model:\n$p")
+  }
+
   test("loadSpread exchanges only when the scan under-fills the cluster") {
     val s = spark
     val cores = s.sparkContext.defaultParallelism
