@@ -136,6 +136,76 @@ class LlmSpec extends SparkSuite {
     assert(clusRetrained.size === clusAfter.size * 2)
   }
 
+  test("sq8 codes: quantized ranking recalls the float brute-force " +
+    "top-5 well above chance") {
+    val exact = Llm.topkCosine(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Llm.quantizedTopk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(sq8.size === exact.size)
+    val recall = exact.intersect(sq8).size.toDouble / exact.size
+    // int8 per-dim codes keep ~1% relative error on 64-dim vectors;
+    // the true top-5 survives nearly intact (chance level ≈ 5/500)
+    assert(recall >= 0.6, s"sq8 recall $recall")
+    info(f"sq8 recall=$recall%.3f")
+  }
+
+  test("incremental SQ8 maintenance: an in-range append freezes the " +
+    "scales and quantizes only new vectors (chain ≡ full rebuild); a " +
+    "range-breaking append rebuilds both artifacts") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    val all = graft.Tables.load(spark, sf, "embeddings")
+    val tbl = s"$dir/embeddings.parquet"
+    all.coalesce(1).write.mode("append").parquet(tbl)
+    def codes() = Llm.sq8Vectors(s, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    val base = codes()
+    assert(base.nonEmpty && base.values.exists(_.exists(_ != 0)))
+    Thread.sleep(5)
+    // in-range append: halved copies under fresh ids — strictly inside
+    // every per-dim maximum, so the scale model must freeze
+    all.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 0.5 AS FLOAT))")
+        .as("embedding"),
+      col("label"))
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incr = codes()
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = graft.observe.IndexStore.fingerprint(s, tbl, 1)
+    assert(new java.io.File(s"$root/sq8_scales/fp=$fp/_PARENT").exists(),
+      "in-range append must freeze the scale model via the delta chain")
+    assert(new java.io.File(s"$root/sq8_vectors/fp=$fp/_PARENT").exists(),
+      "in-range append must quantize only the appended vectors")
+    base.foreach { case (id, qv) => assert(incr(id) === qv,
+      "existing codes are untouched by an in-range append") }
+    // chain ≡ full rebuild (frozen-scale quantization is per-vector)
+    graft.observe.IndexStore.invalidate(s, "sq8_scales")
+    graft.observe.IndexStore.invalidate(s, "sq8_vectors")
+    assert(codes() === incr)
+    // range-breaking append: doubled copies exceed the per-dim maxima —
+    // the scales decline the delta and every code is recomputed
+    Thread.sleep(5)
+    all.select(
+      (col("vec_id") + 200000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 2.0 AS FLOAT))")
+        .as("embedding"),
+      col("label"))
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val rebuilt = codes()
+    val fp2 = graft.observe.IndexStore.fingerprint(s, tbl, 1)
+    assert(!new java.io.File(s"$root/sq8_scales/fp=$fp2/_PARENT").exists(),
+      "a range-breaking append must rebuild the scale model")
+    assert(!new java.io.File(s"$root/sq8_vectors/fp=$fp2/_PARENT").exists(),
+      "a range-breaking append must requantize every vector")
+    assert(rebuilt.size === incr.size + base.size)
+    // doubling the scale halves every old code (up to rounding):
+    // spot-check that old codes actually changed
+    assert(base.exists { case (id, qv) => rebuilt(id) != qv },
+      "rebuilt codes must reflect the new scales")
+  }
+
   test("custom expressions: null and empty-input handling") {
     val s = spark
     graft.functions.GraftExtensions.register(s)
