@@ -24,24 +24,29 @@ object TopK {
 
   private val K = 3
 
-  private def insert(buf: Seq[Item], it: Item): Seq[Item] = {
+  private def insert(k: Int)(buf: Seq[Item], it: Item): Seq[Item] = {
     val better = (a: Item, b: Item) =>
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
     val merged = (buf :+ it).sortWith(better)
-    merged.take(K)
+    merged.take(k)
   }
 
-  /** top-3 (value, id) per group. */
-  val topKAgg: Aggregator[Item, Seq[Item], Seq[Item]] =
+  /** Bounded top-k (value, id) heap per group, parameterized by k —
+    * the capture is a plain Int, so the Aggregator stays serializable
+    * and each call site picks its own bound. */
+  def topKAggOf(k: Int): Aggregator[Item, Seq[Item], Seq[Item]] =
     new Aggregator[Item, Seq[Item], Seq[Item]] {
       override def zero: Seq[Item] = Seq.empty
-      override def reduce(b: Seq[Item], a: Item): Seq[Item] = insert(b, a)
+      override def reduce(b: Seq[Item], a: Item): Seq[Item] = insert(k)(b, a)
       override def merge(b1: Seq[Item], b2: Seq[Item]): Seq[Item] =
-        b2.foldLeft(b1)(insert)
+        b2.foldLeft(b1)(insert(k))
       override def finish(r: Seq[Item]): Seq[Item] = r
       override def bufferEncoder = ExpressionEncoder[Seq[Item]]()
       override def outputEncoder = ExpressionEncoder[Seq[Item]]()
     }
+
+  /** top-3 (value, id) per group. */
+  val topKAgg: Aggregator[Item, Seq[Item], Seq[Item]] = topKAggOf(K)
 
   /** Top-3 orders per customer via the heap aggregation; output shape
     * identical to the window formulation (custkey, rank, orderkey,

@@ -127,6 +127,16 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
   }
 
+  test("domain caps: bounded-heap aggregation, never a per-domain " +
+    "window sort (the skewed-host trap)") {
+    val p = plan("q94_domain_caps")
+    assert(!p.contains("Window "), s"q94 plans a window sort:\n$p")
+    // the heap is an ObjectHashAggregate with a partial (map-side)
+    // phase — ≤ cap candidates per domain cross the exchange
+    assert(p.contains("ObjectHashAggregate"),
+      s"q94 lost its heap aggregation:\n$p")
+  }
+
   test("lm rare filter joins the bigram model broadcast, never shuffled") {
     val p = plan("q92_lm_rare_filter")
     assert(p.contains("BroadcastHashJoin"),
