@@ -127,6 +127,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
   }
 
+  test("pii scrub: regex work rides the scan — no join, no window, " +
+    "one partial aggregation") {
+    val p = plan("q95_pii_scrub")
+    assert(!p.contains("Join"), s"q95 plans a join:\n$p")
+    assert(!p.contains("Window "), s"q95 plans a window:\n$p")
+    assert(p.contains("HashAggregate"), s"q95 lost its aggregation:\n$p")
+  }
+
   test("domain caps: bounded-heap aggregation, never a per-domain " +
     "window sort (the skewed-host trap)") {
     val p = plan("q94_domain_caps")
