@@ -136,6 +136,79 @@ class LlmSpec extends SparkSuite {
     assert(clusRetrained.size === clusAfter.size * 2)
   }
 
+  test("pq codes: ADC ranking recalls the exact-L2 top-5 well above " +
+    "chance") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.keys.filter(_ < 10).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(vecs(q), vecs(id)), id)).take(5).map(q -> _)
+    }.toSet
+    val pq = Llm.pqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pq.size === exact.size)
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    // random gaussian fixtures are the PQ worst case (no cluster
+    // structure for the codebooks to exploit; real embedding corpora
+    // are far more compressible) — measured ≈0.18 here, so the gate is
+    // "an order of magnitude above chance (5/499 ≈ 0.01)", guarding
+    // against a broken LUT join or codebook collapse, not asserting
+    // production recall on adversarial data
+    assert(recall >= 0.1, s"pq recall $recall")
+    info(f"pq recall=$recall%.3f")
+  }
+
+  test("incremental PQ maintenance: a small append freezes the " +
+    "codebooks and encodes only new vectors (chain ≡ full re-encode); " +
+    "a drift-sized append retrains") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val all = graft.Tables.load(spark, sf, "embeddings")
+    val tbl = s"$dir/embeddings.parquet"
+    all.filter(col("vec_id") % 13 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def cbs() = Llm.pqCodebooks(s, dir).select("j", "cid", "c").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    def codes() = Llm.pqCodes(s, dir).collect()
+      .map(r => ((r.getLong(0), r.getByte(1)), r.getByte(2))).toMap
+    val cbBase = cbs()
+    val codesBase = codes()
+    Thread.sleep(5)
+    // small append (~8%): below the drift threshold — freeze + delta
+    all.filter(col("vec_id") % 13 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    assert(cbs() === cbBase,
+      "a small append must serve the FROZEN codebooks unchanged")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = graft.observe.IndexStore.fingerprint(s, tbl, 1)
+    assert(new java.io.File(s"$root/pq_codebooks/fp=$fp/_PARENT").exists(),
+      "codebooks must freeze via the delta chain")
+    val codesAfter = codes()
+    assert(new java.io.File(s"$root/pq_codes/fp=$fp/_PARENT").exists(),
+      "codes must extend the chain, not rebuild")
+    codesBase.foreach { case (k, c) => assert(codesAfter(k) === c,
+      "old codes are untouched by a small append") }
+    // chain ≡ full re-encode under the frozen codebooks
+    graft.observe.IndexStore.invalidate(s, "pq_codes")
+    assert(codes() === codesAfter)
+    // drift-sized append (≈2× under fresh ids): full retrain+re-encode
+    Thread.sleep(5)
+    all.withColumn("vec_id", col("vec_id") + 100000L)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val codesRetrained = codes()
+    val fp2 = graft.observe.IndexStore.fingerprint(s, tbl, 1)
+    assert(!new java.io.File(s"$root/pq_codebooks/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must retrain the codebooks")
+    assert(!new java.io.File(s"$root/pq_codes/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must re-encode from scratch")
+    assert(codesRetrained.size === codesAfter.size * 2)
+  }
+
   test("sq8 codes: quantized ranking recalls the float brute-force " +
     "top-5 well above chance") {
     val exact = Llm.topkCosine(spark, sf)

@@ -127,6 +127,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("HashAggregate"), s"q91 lost its hash aggregation:\n$p")
   }
 
+  test("pq ADC scan: LUT joins broadcast onto the code table, " +
+    "never sort-merge") {
+    val p = plan("q96_pq_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q96 LUT join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q96 must not sort-merge the code table:\n$p")
+  }
+
   test("pii scrub: regex work rides the scan — no join, no window, " +
     "one partial aggregation") {
     val p = plan("q95_pii_scrub")
