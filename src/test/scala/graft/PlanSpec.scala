@@ -14,9 +14,14 @@ class PlanSpec extends SparkSuite {
   /** Queries that intentionally use a broadcast nested-loop: a handful
     * of broadcast query vectors / centroids (or a 1-row global count,
     * q67) against the streaming side. */
+  // Every entry is a deliberate broadcast nested-loop: the big side
+  // streams once against a broadcast handful of rows (query vectors,
+  // centroid/scale/codebook models) — the correct plan for those ops.
   private val bnljAllowed = Set(
     "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
-    "q67_tfidf_top_terms", "q83_filtered_topk")
+    "q67_tfidf_top_terms", "q83_filtered_topk",
+    "q93_quantized_topk" /* broadcast queries × code table */,
+    "q96_pq_topk" /* single-row scale/codebook models during encode */)
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.foreach { name =>
