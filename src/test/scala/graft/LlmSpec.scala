@@ -209,6 +209,17 @@ class LlmSpec extends SparkSuite {
     assert(codesRetrained.size === codesAfter.size * 2)
   }
 
+  test("pq routing (map-only fold argmin) reproduces the batch PQ " +
+    "encoding exactly") {
+    val routed = Llm.pqRouting(spark, sf,
+      graft.Tables.load(spark, sf, "embeddings"))
+      .collect().map(r => ((r.getLong(0), r.getByte(1)), r.getByte(2))).toMap
+    val codes = Llm.pqCodes(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getByte(1)), r.getByte(2))).toMap
+    assert(routed === codes)
+    assert(routed.nonEmpty)
+  }
+
   test("sq8 codes: quantized ranking recalls the float brute-force " +
     "top-5 well above chance") {
     val exact = Llm.topkCosine(spark, sf)

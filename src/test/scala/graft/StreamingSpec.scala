@@ -443,6 +443,35 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size === 50)
   }
 
+  test("pq encoding runs under readStream: streamed codes equal the " +
+    "batch plan") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq.take(50)
+    val in = MemoryStream[(Long, Seq[Float])]
+    // the map-only fold-argmin encoder is window/state-free, so the
+    // SAME operator starts as a streaming query (groupBy-min cannot)
+    val q = graft.ops.Llm.pqRouting(
+      s, sf, in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("pq_routing_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(vecs: _*)
+      q.processAllAvailable()
+      s.table("pq_routing_out").collect()
+        .map(r => (r.getLong(0), r.getByte(1), r.getByte(2))).toSet
+    }
+    val batch = graft.ops.Llm.pqRouting(
+      s, sf, vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getByte(1), r.getByte(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 50 * 8)
+  }
+
   test("K2 streaming sink: foreachBatch appends materialization events") {
     val s = spark
     import s.implicits._
