@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Persisted index-artifact lifecycle — build / persist / invalidate,
   * with optional INCREMENTAL maintenance on corpus append.
@@ -287,5 +288,44 @@ object IndexStore {
     val base = new Path(s"${root(s)}/$name")
     val f = fs(s, base)
     if (f.exists(base)) f.delete(base, true)
+  }
+
+  /** The index store itself as a queryable relation — the engine's
+    * `DESCRIBE DETAIL` analog for its own index artifacts (the
+    * reference observes warehouse tables; a self-respecting engine
+    * also observes its indexes). One row per artifact head:
+    * `(artifact, fingerprint, published, chained, chain_depth,
+    * chain_intact, n_files, bytes)`, where `bytes`/`n_files` cover the
+    * WHOLE chain a read of that head would scan. Metadata-plane only —
+    * an `ls -R` of the store, O(artifacts × segments) driver work and
+    * zero data pages, same footprint class as the catalog walk
+    * (`Discovery`) and the footer inventory (`Compact`). */
+  def inventory(s: SparkSession): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val base = new Path(root(s))
+    val f = fs(s, base)
+    val rows: Seq[(String, String, Boolean, Boolean, Int, Boolean, Long, Long)] =
+      if (!f.exists(base)) Seq.empty
+      else
+        f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { art =>
+          f.listStatus(art.getPath).toSeq
+            .filter(_.getPath.getName.startsWith("fp="))
+            .map { head =>
+              val fp = head.getPath.getName.stripPrefix("fp=")
+              val published = f.exists(new Path(head.getPath, "_SUCCESS"))
+              val chain = chainPaths(f, art.getPath, fp)
+              val files = chain.filter(p => f.exists(p)).flatMap(p =>
+                f.listStatus(p).toSeq.filterNot(st =>
+                  st.getPath.getName.startsWith("_") ||
+                    st.getPath.getName.startsWith(".")))
+              (art.getPath.getName, fp, published, chain.size > 1,
+                chain.size, chainIntact(f, art.getPath, fp),
+                files.size.toLong, files.map(_.getLen).sum)
+            }
+        }
+    rows.toDF("artifact", "fingerprint", "published", "chained",
+      "chain_depth", "chain_intact", "n_files", "bytes")
+      .orderBy(col("artifact"), col("fingerprint"))
   }
 }

@@ -140,6 +140,42 @@ class IndexStoreSpec extends SparkSuite {
       "a rewrite must fall back to the full build")
   }
 
+  test("inventory: the store describes its own artifacts — head, " +
+    "chain depth, file/byte footprint") {
+    val name = freshName("inv")
+    val src = scratch("inv")
+    val s = spark
+    import s.implicits._
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      s.read.parquet(src))((_, added) => s.read.parquet(added: _*))
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count()
+    def row(fp: String) = IndexStore.inventory(s)
+      .filter(col("artifact") === name && col("fingerprint") === fp)
+      .collect()
+    val fp1 = IndexStore.fingerprint(s, src, 1)
+    val r1 = row(fp1)
+    assert(r1.length === 1)
+    assert(r1.head.getAs[Boolean]("published"))
+    assert(!r1.head.getAs[Boolean]("chained"))
+    assert(r1.head.getAs[Int]("chain_depth") === 1)
+    assert(r1.head.getAs[Boolean]("chain_intact"))
+    assert(r1.head.getAs[Long]("n_files") > 0)
+    assert(r1.head.getAs[Long]("bytes") > 0)
+    // a pure append publishes a chained head whose footprint covers
+    // BOTH segments (what a read of that head scans)
+    Thread.sleep(5)
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count()
+    val fp2 = IndexStore.fingerprint(s, src, 1)
+    val r2 = row(fp2)
+    assert(r2.length === 1)
+    assert(r2.head.getAs[Boolean]("chained"))
+    assert(r2.head.getAs[Int]("chain_depth") === 2)
+    assert(r2.head.getAs[Long]("bytes") > r1.head.getAs[Long]("bytes"),
+      "the chained head's footprint must cover parent + delta")
+  }
+
   test("incremental: incr may decline with null — the build falls back " +
     "to full (the drift-retrain hook)") {
     val name = freshName("decl")
