@@ -24,11 +24,15 @@ object TopK {
 
   private val K = 3
 
+  private def better(a: Item, b: Item): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
   private def insert(k: Int)(buf: Seq[Item], it: Item): Seq[Item] = {
-    val better = (a: Item, b: Item) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-    val merged = (buf :+ it).sortWith(better)
-    merged.take(k)
+    // buf is kept sorted, so a full buffer rejects a non-improving row
+    // with ONE comparison — the overwhelmingly common case on a skewed
+    // key (a host with 10⁹ pages sees k sorts, not 10⁹)
+    if (buf.size >= k && !better(it, buf.last)) buf
+    else (buf :+ it).sortWith(better).take(k)
   }
 
   /** Bounded top-k (value, id) heap per group, parameterized by k —

@@ -305,23 +305,35 @@ object IndexStore {
     import sess.implicits._
     val base = new Path(root(s))
     val f = fs(s, base)
+    // The walk takes no lock, and another session (or process) may
+    // reclaim a superseded head between our listing and the per-head
+    // stat calls — observation must tolerate the store's own
+    // concurrent lifecycle, so a head that vanishes mid-walk is
+    // skipped rather than failing the whole relation.
+    def tryList(p: Path): Seq[FileStatus] =
+      try f.listStatus(p).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
     val rows: Seq[(String, String, Boolean, Boolean, Int, Boolean, Long, Long)] =
       if (!f.exists(base)) Seq.empty
       else
-        f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { art =>
-          f.listStatus(art.getPath).toSeq
+        tryList(base).filter(_.isDirectory).flatMap { art =>
+          tryList(art.getPath)
             .filter(_.getPath.getName.startsWith("fp="))
-            .map { head =>
-              val fp = head.getPath.getName.stripPrefix("fp=")
-              val published = f.exists(new Path(head.getPath, "_SUCCESS"))
-              val chain = chainPaths(f, art.getPath, fp)
-              val files = chain.filter(p => f.exists(p)).flatMap(p =>
-                f.listStatus(p).toSeq.filterNot(st =>
-                  st.getPath.getName.startsWith("_") ||
-                    st.getPath.getName.startsWith(".")))
-              (art.getPath.getName, fp, published, chain.size > 1,
-                chain.size, chainIntact(f, art.getPath, fp),
-                files.size.toLong, files.map(_.getLen).sum)
+            .flatMap { head =>
+              try {
+                val fp = head.getPath.getName.stripPrefix("fp=")
+                val published = f.exists(new Path(head.getPath, "_SUCCESS"))
+                val chain = chainPaths(f, art.getPath, fp)
+                val files = chain.flatMap(p =>
+                  tryList(p).filterNot(st =>
+                    st.getPath.getName.startsWith("_") ||
+                      st.getPath.getName.startsWith(".")))
+                Some((art.getPath.getName, fp, published, chain.size > 1,
+                  chain.size, chainIntact(f, art.getPath, fp),
+                  files.size.toLong, files.map(_.getLen).sum))
+              } catch {
+                case _: java.io.FileNotFoundException => None // reclaimed
+              }
             }
         }
     rows.toDF("artifact", "fingerprint", "published", "chained",

@@ -20,8 +20,10 @@ class PlanSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
     "q67_tfidf_top_terms", "q83_filtered_topk",
-    "q93_quantized_topk" /* broadcast queries × code table */,
-    "q96_pq_topk" /* single-row scale/codebook models during encode */)
+    "q93_quantized_topk" /* broadcast queries × code table */)
+  // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
+  // (LUT broadcast-hash onto the code table) — the guard must catch
+  // any regression into a nested-loop shape there.
 
   test("no query plans a CartesianProduct; BNLJ only where intended") {
     SparkEntry.queries.keys.foreach { name =>
