@@ -209,6 +209,55 @@ class LlmSpec extends SparkSuite {
     assert(codesRetrained.size === codesAfter.size * 2)
   }
 
+  test("property: bounded-heap top-k ≡ global sort under any " +
+    "partitioning and merge order (the mergeability claim)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = graft.functions.TopK.topKAggOf(4)
+    // small value range forces ties, exercising the (value desc, id
+    // asc) tie-break through reduce AND merge
+    val itemGen = Gen.zip(Gen.choose(0, 5).map(_.toDouble),
+      Gen.choose(0L, 20L))
+    val partsGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 8).flatMap(m =>
+        Gen.listOfN(m, itemGen))))
+    val prop = Prop.forAllNoShrink(partsGen) { parts =>
+      def fold(ps: Seq[Seq[(Double, Long)]]) =
+        ps.map(p => p.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+      val oracle = parts.flatten.sortBy(t => (-t._1, t._2)).take(4)
+      fold(parts) == oracle && fold(parts.reverse) == oracle
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: vectorMaxAbs is partition- and order-independent " +
+    "(why the SQ8 freeze check is exact)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dim = 4
+    val vecGen = Gen.listOfN(dim, Gen.choose(-10.0, 10.0)).map(_.toSeq)
+    val partsGen = Gen.choose(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(m =>
+        Gen.listOfN(m, vecGen))))
+    val prop = Prop.forAllNoShrink(partsGen) { parts =>
+      val all = parts.flatten
+      // aggregator buffers mutate in place — build fresh per fold order
+      def fold(ps: Seq[Seq[Seq[Double]]]): Seq[Double] = {
+        val agg = graft.functions.VectorAgg.vectorMaxAbs
+        agg.finish(ps.map(p => p.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge))
+      }
+      val oracle =
+        if (all.isEmpty) Seq.empty[Double]
+        else (0 until dim).map(d => all.map(v => math.abs(v(d))).max)
+      fold(parts) == oracle && fold(parts.reverse) == oracle
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pq routing (map-only fold argmin) reproduces the batch PQ " +
     "encoding exactly") {
     val routed = Llm.pqRouting(spark, sf,
