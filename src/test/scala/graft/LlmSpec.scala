@@ -209,6 +209,41 @@ class LlmSpec extends SparkSuite {
     assert(codesRetrained.size === codesAfter.size * 2)
   }
 
+  test("incremental hyperplane index: an append inside the derived " +
+    "plane count signs only new vectors (chain ≡ rebuild); the " +
+    "boundary rule re-signs everything") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_hpl").toString
+    val all = graft.Tables.load(spark, sf, "embeddings")
+    val tbl = s"$dir/embeddings.parquet"
+    all.filter(col("vec_id") % 13 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def buckets() = Llm.hyperplaneBucketsIdx(s, dir)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = buckets()
+    Thread.sleep(5)
+    // fixture-scale appends never cross a plane-count boundary (the
+    // floor is 8 planes until 2^18 vectors), so the freeze path runs
+    all.filter(col("vec_id") % 13 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incr = buckets()
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = graft.observe.IndexStore.fingerprint(s, tbl, 1)
+    assert(new java.io.File(s"$root/hyperplane_buckets/fp=$fp/_PARENT")
+      .exists(), "an in-count append must extend the chain")
+    base.foreach { case (id, b) => assert(incr(id) === b,
+      "hyperplanes are data-independent: old buckets never change") }
+    graft.observe.IndexStore.invalidate(s, "hyperplane_buckets")
+    assert(buckets() === incr, "chain must equal a full rebuild")
+    // the boundary rule itself is a pure function: a web-scale corpus
+    // derives more planes than the fixture, which is exactly the
+    // decline condition the incremental callback checks
+    assert(Llm.hyperplaneCount(incr.size.toLong) === 8)
+    assert(Llm.hyperplaneCount(1L << 40) > 8,
+      "plane count must grow with the corpus (decline path)")
+  }
+
   test("property: bounded-heap top-k ≡ global sort under any " +
     "partitioning and merge order (the mergeability claim)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}

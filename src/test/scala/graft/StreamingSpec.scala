@@ -472,6 +472,53 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size === 50 * 8)
   }
 
+  test("vector admission gate runs under readStream with ZERO state: " +
+    "streamed flags equal the batch gate; novel vectors pass") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // feed = 20 exact copies of corpus vectors (must collide with
+    // their source at cos 1.0) + 5 novel random-ish vectors
+    val corpus = Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq
+    val copies = corpus.take(20).map { case (id, v) => (id + 5000L, v) }
+    val novel = (0 until 5).map { i =>
+      (9000L + i, Seq.tabulate(64)(d =>
+        (((i * 64 + d) * 2654435761L % 1000003L).toFloat / 1000003f) - 0.5f))
+    }
+    val feed = copies ++ novel
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Llm.vectorAdmission(
+      s, sf, in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("vec_admission_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(feed: _*)
+      q.processAllAvailable()
+      s.table("vec_admission_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val batch = graft.ops.Llm.vectorAdmission(
+      s, sf, feed.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    // every replayed copy collides with its own source at cosine 1.0
+    copies.foreach { case (inId, _) =>
+      assert(streamed.contains((inId, inId - 5000L, 1.0)),
+        s"copy $inId must collide with its source") }
+    // the novel vectors pass the gate unflagged (deterministic feed:
+    // uniform pseudo-random 64-dim vectors stay far below cos 0.4
+    // against the handful of in-bucket corpus vectors)
+    assert(!streamed.exists(_._1 >= 9000L), "novel vectors must pass")
+    // the single-bucket signature keeps the gate state-free — nothing
+    // for a watermark to bound (unlike the 12-band MinHash gate)
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+      "vector admission must carry no streaming state")
+  }
+
   test("K2 streaming sink: foreachBatch appends materialization events") {
     val s = spark
     import s.implicits._
