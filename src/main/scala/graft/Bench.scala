@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Entry load average, BEFORE Spark spins up its own threads: the
+    // spread tripwire below only catches BURSTY contention (uneven
+    // runs); a steady co-tenant inflates all three runs uniformly and
+    // leaves the spread at 1. The pre-bench 1-min load is the signal
+    // for that case — ~0-2 on an idle host (sbt's own compile tail),
+    // large when another workload owns the cores.
+    val preLoad = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,7 +63,9 @@ object Bench {
     // exceeds 2× — a whole-pass signal, robust to one slow outlier.
     val spreads = timed.values.map(t => if (t.min > 0) t.max / t.min else 1.0).toSeq.sorted
     val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
-    val contended = medianSpread > 2.0
+    // Flag bursty steal (spread) OR a host that was already loaded at
+    // entry (steady co-tenant — uniform inflation the spread misses).
+    val contended = medianSpread > 2.0 || preLoad > 4.0
     // Second pass: full materialization through the noop sink. count()
     // lets Catalyst prune per-row work for projection-only queries
     // (simhash, fingerprints, sanitize...), so the count-based numbers
@@ -107,7 +117,7 @@ object Bench {
     // per-query detail, never the headline numbers. JSON key order is
     // irrelevant to any parser.
     println(s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}""")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"contended":$contended,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"contended":$contended,"value":$total}""")
     spark.stop()
   }
 }
