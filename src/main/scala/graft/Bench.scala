@@ -12,6 +12,17 @@ object Bench {
     // large when another workload owns the cores.
     val preLoad = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Hypervisor CPU steal across the bench window — the definitive
+    // multi-tenant signal on this host (steal bursts have produced 5×
+    // wall-clock swings on identical code while BOTH other tripwires
+    // stayed quiet: entry load reads idle and uniform steal keeps the
+    // per-query spread at 1). (steal, busy) jiffies from /proc/stat.
+    def cpuStat(): Option[(Long, Long)] = scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (f(7), f.sum - f(3)) // steal, non-idle
+    }.toOption
+    val stat0 = cpuStat()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,9 +74,6 @@ object Bench {
     // exceeds 2× — a whole-pass signal, robust to one slow outlier.
     val spreads = timed.values.map(t => if (t.min > 0) t.max / t.min else 1.0).toSeq.sorted
     val medianSpread = if (spreads.isEmpty) 1.0 else spreads(spreads.size / 2)
-    // Flag bursty steal (spread) OR a host that was already loaded at
-    // entry (steady co-tenant — uniform inflation the spread misses).
-    val contended = medianSpread > 2.0 || preLoad > 4.0
     // Second pass: full materialization through the noop sink. count()
     // lets Catalyst prune per-row work for projection-only queries
     // (simhash, fingerprints, sanitize...), so the count-based numbers
@@ -102,6 +110,16 @@ object Bench {
       "q24_schema_catalog", "q25_segment_defaults",
       "q26_non_open_order_counts", "q27_event_gaps")
     val totalR1 = results.collect { case (k, v) if r1Set(k) => v }.sum
+    // Flag bursty steal (spread), a host already loaded at entry
+    // (steady co-tenant — uniform inflation the spread misses), or
+    // measured hypervisor steal above 10% of busy time across BOTH
+    // timing passes.
+    val stealPct = (stat0, cpuStat()) match {
+      case (Some((s0, b0)), Some((s1, b1))) if b1 > b0 =>
+        100.0 * (s1 - s0) / (b1 - b0)
+      case _ => 0.0
+    }
+    val contended = medianSpread > 2.0 || preLoad > 4.0 || stealPct > 10.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMat = matResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -117,7 +135,7 @@ object Bench {
     // per-query detail, never the headline numbers. JSON key order is
     // irrelevant to any parser.
     println(s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}""")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"contended":$contended,"value":$total}""")
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}""")
     spark.stop()
   }
 }
