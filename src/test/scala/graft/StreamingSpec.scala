@@ -472,6 +472,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size === 50 * 8)
   }
 
+  test("sq8 encoding runs under readStream: streamed codes equal the " +
+    "batch plan and the persisted artifact") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq.take(50)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Llm.sq8Routing(
+      s, sf, in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("sq8_routing_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(vecs: _*)
+      q.processAllAvailable()
+      s.table("sq8_routing_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    }
+    assert(streamed.size === 50)
+    // streamed codes ≡ the persisted artifact's codes for those ids
+    val artifact = graft.ops.Llm.sq8Vectors(s, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1))).toMap
+    streamed.foreach { case (id, qv) => assert(artifact(id) === qv,
+      s"streamed code for $id must equal the artifact's") }
+  }
+
   test("vector admission gate runs under readStream with ZERO state: " +
     "streamed flags equal the batch gate; novel vectors pass") {
     val s = spark
