@@ -698,4 +698,74 @@ class LlmSpec extends SparkSuite {
     val b = Llm.simhash(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("semantic dedup: drop list = greedy id-ordered sweep of the " +
+    "near-dup pair graph; no surviving pair remains") {
+    val pairs = Llm.embedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq // v1 < v2, cos ≥ τ
+    val dropped = Llm.semanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // vec_id -> killer
+    // removed ≡ {v2 of some pair}; killer ≡ its min smaller neighbor
+    val expect = pairs.groupBy(_._2).map { case (v2, ps) =>
+      v2 -> ps.map(_._1).min }
+    assert(dropped === expect)
+    // the defining guarantee: both endpoints of a ≥τ pair never survive
+    pairs.foreach { case (v1, v2) =>
+      assert(dropped.contains(v1) || dropped.contains(v2),
+        s"pair ($v1,$v2) survived dedup intact") }
+  }
+
+  test("dsir selection equals an in-memory reimplementation of the " +
+    "cross-multiply importance rule") {
+    val s = spark
+    val ds = s.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[String] =
+      if (t.length <= 1) Seq(t)
+      else (0 until t.length - 1).map(i => t.substring(i, i + 2))
+    val all = ds.flatMap { case (id, lang, t) =>
+      bigrams(t).map(bg => (id, lang, bg)) }
+    val cntT = all.filter(_._2 == "en").groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val cntS = all.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val (totT, totS) = (cntT.values.sum, cntS.values.sum)
+    val favored = cntS.keySet.filter { bg =>
+      BigInt(cntT.getOrElse(bg, 0L)) * totS > BigInt(cntS(bg)) * totT }
+    val expect = all.groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((_, lang), occ) =>
+        val nFav = occ.count(o => favored(o._3)).toLong
+        (lang, nFav, if (2 * nFav > occ.size) 1L else 0L) }
+      .groupBy(_._1).map { case (lang, xs) =>
+        lang -> ((xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum)) }
+    val got = Llm.dsirSelection(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expect)
+  }
+
+  test("leakage-safe split: no dup cluster spans splits, and unclustered " +
+    "docs keep their q55 assignment") {
+    val asg = Llm.leakageSafeAssignment(spark, sf)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every dup cluster (q63's members) lands in exactly one split
+    Llm.dupClusters(spark, sf).collect().foreach { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      val splits = members.map(m => asg(m)._2).distinct
+      assert(splits.length === 1,
+        s"cluster ${r.getLong(0)} spans splits: ${splits.mkString(",")}")
+    }
+    // docs that are their own representative = q55's per-doc hash split
+    val plain = Llm.splitAssignment(spark, sf) // aggregate; re-derive per-doc
+    val q55 = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        pmod(graft.functions.TopK.knuthHash(col("doc_id")), lit(100)).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "val" else "test"))
+      .toMap
+    assert(plain.collect().nonEmpty)
+    asg.foreach { case (id, (rep, split)) =>
+      if (rep == id) assert(split === q55(id),
+        s"unclustered doc $id diverged from the plain hash split") }
+  }
 }

@@ -20,7 +20,9 @@ class PlanSpec extends SparkSuite {
   private val bnljAllowed = Set(
     "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
     "q67_tfidf_top_terms", "q83_filtered_topk",
-    "q93_quantized_topk" /* broadcast queries × code table */)
+    "q93_quantized_topk" /* broadcast queries × code table */,
+    "q98_semantic_dedup" /* q39's cluster-build path */,
+    "q99_dsir_selection" /* broadcast 1-row totals × bigram model */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
