@@ -233,6 +233,25 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q101: persisted bucketed twins sort-merge-join with zero " +
+    "Exchange on either input") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val qe = SparkEntry.queries("q101_colocated_revenue")(spark, sf)
+      .queryExecution
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val smj = physical.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty,
+      s"expected a sort-merge join of the bucketed twins:\n$physical")
+    smj.get.children.foreach { side =>
+      assert(!side.toString.contains("Exchange"),
+        s"bucketed join input re-shuffled:\n$side")
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val s = spark
     import s.implicits._

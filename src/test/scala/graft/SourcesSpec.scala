@@ -56,4 +56,44 @@ class SourcesSpec extends SparkSuite {
     assert(clean.count() === 1L)
     assert(dirty.isEmpty)
   }
+
+  test("bucketed twin: built once, re-attached metadata-only, same rows") {
+    import graft.sources.Bucketed
+    val s = spark
+    val n = Bucketed.bucketCount(s, sf, "orders")
+    val first = Bucketed.table(s, sf, "orders", "o_orderkey", n)
+    val raw = Tables.load(s, sf, "orders")
+    assert(first.count() === raw.count())
+    // locate the layout files through the catalog-registered location
+    val ident = s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_orders_b_")).head
+    val loc = s.sql(s"DESCRIBE TABLE EXTENDED $ident").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    def listing = {
+      val d = new java.io.File(new java.net.URI(loc))
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).sortBy(_._1).toSeq
+    }
+    val before = listing
+    assert(before.nonEmpty)
+    // one file per bucket: the pre-write repartition aligns tasks with
+    // bucket ids, so the layout never explodes into tasks×buckets files
+    assert(before.size === n)
+    // simulate a fresh session: catalog entry gone, files still on disk
+    s.sql(s"DROP TABLE $ident")
+    val again = Bucketed.table(s, sf, "orders", "o_orderkey", n)
+    assert(again.count() === raw.count())
+    assert(listing === before, "re-attach must not rewrite the layout")
+  }
+
+  test("bucket count derives from source bytes with a parallelism floor") {
+    import graft.sources.Bucketed
+    val floor = spark.sparkContext.defaultParallelism
+    // fixture tables are far below one 128 MB bucket: floor wins
+    assert(Bucketed.bucketCount(spark, sf, "orders") === floor)
+    // size-driven regime: shrink the target so bytes dominate — the
+    // derivation must scale with the source, not sit on a constant
+    val tiny = Bucketed.bucketCount(spark, sf, "orders", targetBytes = 1024)
+    assert(tiny > floor)
+  }
 }
