@@ -768,4 +768,39 @@ class LlmSpec extends SparkSuite {
       if (rep == id) assert(split === q55(id),
         s"unclustered doc $id diverged from the plain hash split") }
   }
+
+  test("bpe merge training equals an in-memory greedy reimplementation") {
+    val sample = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("text").collect().map(_.getString(0))
+      .map(_.toLowerCase.replaceAll("[^a-z ]", ""))
+      .filter(_.nonEmpty)
+    var corpus: Array[Vector[String]] =
+      sample.map(_.toCharArray.map(_.toString).toVector)
+    val expect =
+      scala.collection.mutable.Buffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 6) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach(_.sliding(2).foreach {
+        case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ => ()
+      })
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      expect += ((r, a, b, a + b, cnt))
+      corpus = corpus.map { toks => // greedy leftmost non-overlapping
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+    }
+    val got = Llm.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq === expect.toSeq)
+  }
 }
