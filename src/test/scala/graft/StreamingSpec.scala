@@ -500,6 +500,42 @@ class StreamingSpec extends SparkSuite {
       s"streamed code for $id must equal the artifact's") }
   }
 
+  test("bpe encode runs under readStream: streamed token counts equal " +
+    "the batch projection") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val merges = graft.ops.Llm.bpeModel(s, sf).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    val docsRows = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toSeq.take(40)
+    val in = MemoryStream[(Long, String, String)]
+    // encode is a pure projection over the model literals: the SAME
+    // operator starts as a streaming query with zero state
+    val q = graft.ops.Llm.bpeEncodedRows(
+      in.toDF().toDF("doc_id", "lang", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_encode_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(docsRows: _*)
+      q.processAllAvailable()
+      s.table("bpe_encode_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_chars"), r.getAs[Int]("n_tok")))).toMap
+    }
+    val batch = graft.ops.Llm.bpeEncodedRows(
+      docsRows.toDF("doc_id", "lang", "text"), merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_chars"), r.getAs[Int]("n_tok")))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // merges actually fired: tokens < chars for at least one doc
+    assert(streamed.values.exists { case (nc, nt) => nt < nc })
+  }
+
   test("vector admission gate runs under readStream with ZERO state: " +
     "streamed flags equal the batch gate; novel vectors pass") {
     val s = spark
