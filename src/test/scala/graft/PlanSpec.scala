@@ -163,6 +163,16 @@ class PlanSpec extends SparkSuite {
       s"q94 lost its heap aggregation:\n$p")
   }
 
+  test("gopher repetition: in-row sorted folds — no explode, no join, " +
+    "no per-gram aggregation crosses an exchange") {
+    val p = plan("q104_gopher_repetition")
+    assert(!p.contains("Generate"), s"q104 explodes its n-grams:\n$p")
+    assert(!p.contains("Join"), s"q104 plans a join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"q104 plans a relational aggregation (the shuffle the in-row " +
+        s"fold exists to avoid):\n$p")
+  }
+
   test("lm rare filter joins the bigram model broadcast, never shuffled") {
     val p = plan("q92_lm_rare_filter")
     assert(p.contains("BroadcastHashJoin"),
