@@ -25,7 +25,8 @@ object SparkEntry {
       functions.Sketches.queries ++
       ops.Multimodal.queries ++
       observe.Materialize.queries ++
-      model.Runs.queries
+      model.Runs.queries ++
+      sources.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       functions.Sketches.oracles ++
       ops.Multimodal.oracles ++
       observe.Materialize.oracles ++
-      model.Runs.oracles
+      model.Runs.oracles ++
+      sources.Layout.oracles
 }
