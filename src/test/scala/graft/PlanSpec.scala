@@ -89,6 +89,31 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q38 builds the probe side of the cluster join, never the " +
+    "cluster table (AQE would invert this at the test scale)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val qe = SparkEntry.queries("q38_ivf_topk")(spark, sf).queryExecution
+    val physical = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhjs = physical.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhjs.nonEmpty, s"q38 lost its broadcast hash join:\n$physical")
+    bhjs.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      // the build side is the O(queries·nprobe) probe relation — it
+      // carries the per-query window rank; the streamed side is the
+      // persisted cluster artifact scan and must never broadcast
+      assert(build.toString.contains("row_number"),
+        s"q38 broadcasts the cluster table, not the probes:\n$build")
+    }
+  }
+
   test("latest-run uses partial max_by aggregation, not a window sort") {
     val p = plan("q44_latest_run_per_entity")
     assert(p.contains("partial_max_by"))
