@@ -536,6 +536,42 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.values.exists { case (nc, nt) => nt < nc })
   }
 
+  test("gopher repetition gate runs under readStream: in-row folds " +
+    "are a pure projection, streamed stats equal the batch gate") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val docsRows = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq.take(40)
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.ops.Llm.gopherStats(
+      in.toDF().toDF("doc_id", "text", "n_chars"))
+      .select("doc_id", "top2_chars", "dup3_chars", "keep")
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(docsRows: _*)
+      q.processAllAvailable()
+      s.table("gopher_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getInt(3)))).toMap
+    }
+    val batch = graft.ops.Llm.gopherStats(
+      docsRows.toDF("doc_id", "text", "n_chars"))
+      .select("doc_id", "top2_chars", "dup3_chars", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the stats are real: some doc carries a repeated 2-gram, and the
+    // common case keeps
+    assert(streamed.values.exists(_._1 > 0))
+    assert(streamed.values.exists(_._3 == 1))
+  }
+
   test("vector admission gate runs under readStream with ZERO state: " +
     "streamed flags equal the batch gate; novel vectors pass") {
     val s = spark
