@@ -26,7 +26,8 @@ object SparkEntry {
       ops.Multimodal.queries ++
       observe.Materialize.queries ++
       model.Runs.queries ++
-      sources.Layout.queries
+      sources.Layout.queries ++
+      ops.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.Multimodal.oracles ++
       observe.Materialize.oracles ++
       model.Runs.oracles ++
-      sources.Layout.oracles
+      sources.Layout.oracles ++
+      ops.Retrieval.oracles
 }

@@ -22,7 +22,9 @@ class PlanSpec extends SparkSuite {
     "q67_tfidf_top_terms", "q83_filtered_topk",
     "q93_quantized_topk" /* broadcast queries × code table */,
     "q98_semantic_dedup" /* q39's cluster-build path */,
-    "q99_dsir_selection" /* broadcast 1-row totals × bigram model */)
+    "q99_dsir_selection" /* broadcast 1-row totals × bigram model */,
+    "q108_bm25_topk" /* broadcast 1-row corpus stats onto postings */,
+    "q109_hybrid_rrf" /* same stats broadcast inside the BM25 leg */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.

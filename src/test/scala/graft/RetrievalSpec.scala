@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.{Llm, Retrieval}
+
+/** Retrieval-operator invariants beyond the DuckDB oracle: ranking
+  * shape, cross-operator consistency of the fused lists, and the
+  * representative-selection policy. */
+class RetrievalSpec extends SparkSuite {
+
+  test("bm25: every probe query returns a full top-10, ordered by " +
+    "(score desc, doc_id asc)") {
+    val rows = Retrieval.bm25TopK(spark, sf).collect()
+    val byQ = rows.groupBy(_.getInt(0))
+    assert(byQ.keySet === Set(1, 2, 3, 4))
+    byQ.values.foreach { rs =>
+      assert(rs.length === 10)
+      rs.sortBy(_.getLong(1)).sliding(2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        val (sa, sb) = (a.getLong(3), b.getLong(3))
+        assert(sa > sb || (sa == sb && a.getLong(2) < b.getLong(2)),
+          s"rank order violates (score desc, doc_id asc): $a then $b")
+      }
+    }
+  }
+
+  test("hybrid RRF: fused score is exactly 1/(60+r_bm25)+1/(60+r_tri) " +
+    "and the BM25 leg agrees with the standalone q108 ranking") {
+    val bm = Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val fused = Retrieval.hybridRrf(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val rb = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val rt = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(rb.isDefined || rt.isDefined)
+      val expected = math.round((rb.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rt.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e8)
+      assert(r.getLong(3) === expected)
+      // where the fused BM25 rank is within q108's visible top-10, the
+      // two operators must have ranked identically
+      rb.filter(_ <= 10).foreach { rbv =>
+        assert(bm((r.getInt(0), r.getLong(2))) === rbv)
+      }
+    }
+  }
+
+  test("cluster representatives: one rep per q63 cluster, the rep is " +
+    "the longest member (ties -> lowest id), chars_dropped adds up") {
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Llm.dupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(",").map(_.toLong).toSeq)
+      .toMap
+    val reps = Llm.clusterRepresentatives(spark, sf).collect()
+    assert(reps.nonEmpty)
+    assert(reps.map(_.getLong(0)).toSet === clusters.keySet)
+    reps.foreach { r =>
+      val members = clusters(r.getLong(0))
+      assert(r.getLong(1) === members.size.toLong)
+      val expectedRep = members.maxBy(id => (nChars(id), -id))
+      assert(r.getLong(2) === expectedRep)
+      assert(r.getLong(3) === nChars(expectedRep))
+      assert(r.getLong(4) === members.map(nChars).sum - nChars(expectedRep))
+    }
+  }
+}
