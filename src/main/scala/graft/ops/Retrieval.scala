@@ -128,22 +128,28 @@ object Retrieval {
     * query side is broadcast. */
   private def trigramScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def trigrams(src: DataFrame, idCol: String): DataFrame = src
-      .select(col(idCol), explode(
-        expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
-        .as("tg"))
-      .distinct()
-    val docTg = trigrams(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
-    val docSz = docTg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_doc"))
-    val qDf = querySet.toDF("query_id", "qtext")
+    // The whole leg is MAP-ONLY before the heap: the 4 query trigram
+    // SETS broadcast onto the corpus and the overlap is an in-row
+    // `array_intersect` — no (doc, trigram) explode (an earlier draft
+    // exploded 700 k interpreted-Generate rows and paid 2 s at sf0.1
+    // for it), no shuffle that grows with the corpus. Per-doc trigram
+    // sets are built in-row too (`array_distinct` — first-occurrence
+    // order differs from SQL's but only the SET is consumed). The
+    // scan is spread (`loadSpread`): trigram construction is per-row
+    // CPU on interpreted higher-order functions, so a row-group-bound
+    // scan would serialize it.
+    val tgCol = expr(
+      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    val dts = Tables.loadSpread(s, dir, "documents")
+      .select(col("doc_id"), tgCol.as("tgs"))
+    val qts = querySet.toDF("query_id", "qtext")
       .select(col("query_id"), col("qtext").as("text"))
-    val qTg = trigrams(qDf, "query_id")
-    val qSz = qTg.groupBy(col("query_id")).agg(count(lit(1)).as("n_q"))
-    docTg.join(broadcast(qTg), "tg")
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(count(lit(1)).as("common"))
-      .join(docSz, "doc_id")
-      .join(broadcast(qSz), "query_id")
+      .select(col("query_id"), tgCol.as("qtgs"))
+    dts.crossJoin(broadcast(qts))
+      .select(col("query_id"), col("doc_id"),
+        size(array_intersect(col("tgs"), col("qtgs"))).as("common"),
+        size(col("tgs")).as("n_doc"), size(col("qtgs")).as("n_q"))
+      .filter(col("common") > 0)
       .select(col("query_id"), col("doc_id"),
         round(col("common") * lit(1000000.0) /
           (col("n_doc") + col("n_q") - col("common")), 0)
@@ -218,22 +224,20 @@ object Retrieval {
   /** The trigram-Jaccard pipeline as a CTE chain ending in
     * `tj(query_id, doc_id, jac_micro)`. */
   private val duckTrigram: String =
-    s"""dtg AS (SELECT DISTINCT doc_id, tg FROM (SELECT doc_id,
-       |    unnest([text[i : i+2]
-       |      for i in generate_series(1, greatest(length(text) - 2, 1))]) AS tg
-       |  FROM documents)),
-       |dsz AS (SELECT doc_id, count(*) AS n_doc FROM dtg GROUP BY 1),
-       |qtg AS (SELECT DISTINCT query_id, tg FROM (SELECT query_id,
-       |    unnest([qtext[i : i+2]
-       |      for i in generate_series(1, greatest(length(qtext) - 2, 1))]) AS tg
-       |  FROM q)),
-       |qsz AS (SELECT query_id, count(*) AS n_q FROM qtg GROUP BY 1),
+    s"""dts AS (SELECT doc_id, list_distinct([text[i : i+2]
+       |    for i in generate_series(1, greatest(length(text) - 2, 1))]) AS tgs
+       |  FROM documents),
+       |qts AS (SELECT query_id, list_distinct([qtext[i : i+2]
+       |    for i in generate_series(1, greatest(length(qtext) - 2, 1))]) AS qtgs
+       |  FROM q),
        |tj AS (SELECT query_id, doc_id,
        |    CAST(round(common * 1000000.0 / (n_doc + n_q - common))
        |      AS BIGINT) AS jac_micro
-       |  FROM (SELECT query_id, doc_id, count(*) AS common
-       |        FROM dtg JOIN qtg USING (tg) GROUP BY 1, 2)
-       |  JOIN dsz USING (doc_id) JOIN qsz USING (query_id))""".stripMargin
+       |  FROM (SELECT query_id, doc_id,
+       |        len(list_intersect(tgs, qtgs)) AS common,
+       |        len(tgs) AS n_doc, len(qtgs) AS n_q
+       |        FROM dts CROSS JOIN qts)
+       |  WHERE common > 0)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q108_bm25_topk" -> bm25TopK,
