@@ -282,9 +282,73 @@ object Lineage {
       .select(col("a").as("v"), least(col("a"), col("mn")).as("label"))
   }
 
+  /** PageRank rounds and damping — shared, via interpolation, with the
+    * unrolled-CTE oracle so both engines iterate the identical
+    * recurrence. */
+  private val prIters = 8
+  private val prDampLit = "0.85e0" // e-notation: both engines parse DOUBLE
+  private val prRestLit = "0.15e0"
+
+  /** DuckDB's `round(x, n)` on a double: `floor(x·10ⁿ + 0.5)/10ⁿ` on
+    * the BINARY value (verified by fuzz against the engine). q111's
+    * recurrence runs driver-side and is checked against a DuckDB CTE —
+    * Spark expressions are never involved — so DuckDB semantics IS the
+    * parity contract here. (Spark's `round` goes through the decimal
+    * shortest-repr instead and disagrees exactly on repr-boundary
+    * values like 0.283357775 whose binary value sits below the .5;
+    * iteration state built from rounded quantities lands on such
+    * boundaries often, so the distinction is load-bearing.) */
+  private def roundN(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** q111: PageRank over the lineage DAG — "which tables does the
+    * warehouse lean on". Damping 0.85, [[prIters]] synchronous rounds,
+    * dangling mass redistributed uniformly.
+    *
+    * Scale note: a lineage graph is CATALOG-sized (tables, not rows —
+    * ≤10⁵ edges on any real warehouse), so the 100 TB design is the
+    * model-loop pattern (`computeIvfCentroids` precedent): collect the
+    * persisted FK-edge artifact once and iterate on the driver —
+    * 8 tiny in-memory rounds instead of 8 shuffling join+agg stages
+    * whose inputs would never exceed driver scale anyway. Row-scale
+    * graphs (the doc near-dup graph) use the distributed
+    * [[connectedComponents]]/[[connectedComponentsBigStar]] family
+    * instead.
+    *
+    * Parity: per-round state is rounded to 8 dp and per-edge
+    * contributions to 12 dp (sum terms rounded BEFORE summing), the
+    * same recurrence the oracle unrolls as a CTE chain; ranks emitted
+    * in integer 1e8-units. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val es = lineageEdges(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))) // catalog-sized
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.length }
+    var pr: Map[String, Double] = nodes.map(_ -> roundN(1.0 / n, 8)).toMap
+    (1 to prIters).foreach { _ =>
+      val inflow = es.sortBy(_._1).groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (src, _) => roundN(pr(src) / outdeg(src), 12) }.sum
+      }
+      val dang = nodes.filterNot(outdeg.contains).map(pr).sum
+      pr = nodes.map { v =>
+        v -> roundN(0.15 / n + 0.85 * (inflow.getOrElse(v, 0.0) + dang / n), 8)
+      }.toMap
+    }
+    val ranked = nodes.map(v => (v, math.round(pr(v) * 100000000.0)))
+      .sortBy { case (v, e8) => (-e8, v) }
+      .zipWithIndex
+      .map { case ((v, e8), i) => (v, e8, (i + 1).toLong) }
+    ranked.toSeq.toDF("node", "pr_e8", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_lineage_edges" -> lineageEdges,
     "q20_lineage_closure" -> lineageClosure,
+    "q111_pagerank" -> pageRank,
   )
 
   private val edgeValues =
@@ -305,5 +369,31 @@ object Lineage {
          |  UNION
          |  SELECT c.src, e.dst FROM c JOIN e ON c.anc = e.src)
          |SELECT src, anc FROM c ORDER BY src, anc""".stripMargin,
+    "q111_pagerank" -> {
+      val steps = (0 until prIters).map { t =>
+        s"""inf$t AS (SELECT dst AS node,
+           |    sum(round(pr / outdeg, 12)) AS inflow
+           |  FROM e JOIN pr$t ON e.src = pr$t.node
+           |  JOIN od ON e.src = od.src GROUP BY dst),
+           |dg$t AS (SELECT coalesce(sum(pr), 0e0) AS dang FROM pr$t
+           |  LEFT JOIN od ON pr$t.node = od.src WHERE od.src IS NULL),
+           |pr${t + 1} AS (SELECT nodes.node,
+           |    round($prRestLit / n
+           |      + $prDampLit * (coalesce(inflow, 0e0) + dang / n), 8) AS pr
+           |  FROM nodes CROSS JOIN nn CROSS JOIN dg$t
+           |  LEFT JOIN inf$t ON nodes.node = inf$t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT src, dst FROM $edgeValues WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |pr0 AS (SELECT node, round(1.0 / n, 8) AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |$steps
+         |SELECT node, CAST(round(pr * 100000000.0) AS BIGINT) AS pr_e8,
+         |  row_number() OVER (ORDER BY pr DESC, node) AS rank
+         |FROM pr$prIters ORDER BY rank""".stripMargin
+    },
   )
 }

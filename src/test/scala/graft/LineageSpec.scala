@@ -35,6 +35,29 @@ class LineageSpec extends SparkSuite {
     Lineage.closure(df).collect().map(r => (r.getString(0), r.getString(1))).toSet
   }
 
+  test("pagerank: mass conserved, ranks total-ordered, sinks outrank " +
+    "their feeders on the star schema") {
+    val rows = Lineage.pageRank(spark, sf).collect()
+    val pr = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dangling redistribution conserves total mass (1e8 units, ±1 ulp
+    // of rounding per node per iteration)
+    val total = pr.values.sum
+    assert(math.abs(total - 100000000L) <= rows.length * 8,
+      s"mass not conserved: $total")
+    // ranks are 1..n following (pr desc, node asc)
+    val ranked = rows.sortBy(_.getLong(2))
+    assert(ranked.map(_.getLong(2)).toSeq === (1L to rows.length).toSeq)
+    ranked.sliding(2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+    // structure: the terminal authority (region) accumulates the most
+    // mass; every node holds at least the undamped floor 0.15/n
+    assert(ranked.head.getString(0) === "region")
+    assert(pr.values.forall(_ >= (0.15e8 / rows.length).toLong))
+  }
+
   test("closure matches oracle on the star-schema fixture DAG") {
     val fx = Lineage.edgeFixture(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
