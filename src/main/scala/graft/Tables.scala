@@ -60,21 +60,40 @@ object Tables {
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
   }
 
-  /** `events.ts` is Parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy flag) and truncate to
-    * microseconds with integer `div` — a `/ 1000` double division would
-    * lose precision above 2^53 ns (~1970+104 days). DuckDB performs the
-    * same ns→µs truncation when reading, so oracle parity holds.
-    *
-    * The legacy flag is set at session build in Verify/Bench/test
+  /** Normalize `events.ts` across fixture generations. Older generated
+    * fixtures encode `ts` as Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects: those are read as raw longs (legacy
+    * nanosAsLong flag) and truncated to microseconds with integer
+    * `div` — a `/ 1000` double division would lose precision above
+    * 2^53 ns (~1970+104 days); DuckDB performs the same ns→µs
+    * truncation, so oracle parity holds. Newer fixtures write a native
+    * timestamp[us] column (isAdjustedToUTC=false, so Spark infers
+    * TIMESTAMP_NTZ): that is cast to the session-zoned TIMESTAMP —
+    * sessions here pin `spark.sql.session.timeZone=UTC`, so the cast
+    * reinterprets the same epoch micros and every downstream consumer
+    * (`unix_micros`, watermarks, `Row.getTimestamp`) sees the exact
+    * type and values the engine has always produced. The dispatch is
+    * on the RESOLVED column type, so both generations (and batch or
+    * streaming frames alike) load through the same call. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** The legacy nanos flag is set at session build in Verify/Bench/test
     * fixtures; the set below is an idempotent safety net (same constant
     * value, so a concurrent duplicate set is harmless) for callers that
     * hand us a session built without it. */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 }

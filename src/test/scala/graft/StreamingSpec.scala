@@ -220,10 +220,9 @@ class StreamingSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$sf/events.parquet").schema) // ts as long (nanos)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.normalizeEventTs(s.readStream
+      .schema(s.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(streamDir.toString))
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -257,10 +256,9 @@ class StreamingSpec extends SparkSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$sf/events.parquet").schema) // ts as long (nanos)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.normalizeEventTs(s.readStream
+      .schema(s.read.parquet(s"$sf/events.parquet").schema)
+      .parquet(streamDir.toString))
     val agg = raw
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
