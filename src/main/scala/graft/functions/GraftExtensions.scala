@@ -33,7 +33,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashBands(args.head)),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) =>
+        SimHash(args(0), args(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"simhash(text, bits): bits must be an integer literal, got $other")
+        })))
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the LLM-data operators (SURVEY.md §2.9,
@@ -37,6 +37,12 @@ object GraftFx {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `bits`-wide SimHash of space-delimited text; one md5 per token,
+    * bit-identical to the `aggregate(sequence(1, bits), ...)` SQL
+    * formulation (and the DuckDB oracle). See [[SimHash]]. */
+  def simhash(text: Column, bits: Int): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(text), bits))
 }
 
 /** See [[GraftFx.minhashBands]]. One pass per row: for each of
@@ -86,7 +92,7 @@ case class MinHashBands(
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val md = MinHashBands.digest.get()
+    val md = MinHashBands.md5.get()
     // Pre-render the "i|" prefixes' UTF-8 bytes once.
     val prefixes = Array.tabulate(numHashes)(i => s"$i|".getBytes("UTF-8"))
     val mins = new Array[Array[Byte]](numHashes)
@@ -126,8 +132,74 @@ case class MinHashBands(
 }
 
 object MinHashBands {
-  private val digest: ThreadLocal[MessageDigest] =
+  /** Shared per-thread digest for the md5-based expressions. */
+  private[functions] val md5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+}
+
+/** See [[GraftFx.simhash]]. `bits`-wide (bits ≤ 32) SimHash of a
+  * space-delimited text: per-token md5; for signature bit i (1-based)
+  * the token votes +1 when the top bit of hex nibble i of its digest is
+  * set, else −1; a positive vote sum sets bit i−1 of the result —
+  * BIT-IDENTICAL to the higher-order-function formulation it replaces
+  * (`transform(split(text,' '), w -> md5(w))` folded over
+  * `sequence(1, bits)`) and to the DuckDB oracle, which both keep that
+  * independent construction as the cross-check.
+  *
+  * Why an expression (SURVEY.md §2.9 preference order b): the HOF
+  * formulation is interpreted per lambda element — 32 nibble
+  * extractions × W tokens per row through `substring`/`instr` on
+  * strings. This is one digest per token and integer bit tests, one
+  * pass over the row's UTF-8 bytes. Tokens split on the ASCII space
+  * byte — safe inside UTF-8 (continuation bytes have the high bit set)
+  * — keeping every empty segment, matching `split(text, ' ')` regex
+  * semantics at limit −1. CodegenFallback for the same reason as
+  * [[MinHashBands]]: md5 dominates and the fallback costs one virtual
+  * call per ROW, not per element. */
+case class SimHash(child: Expression, bits: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 32, "md5 has 32 hex nibbles")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val md = MinHashBands.md5.get()
+    val votes = new Array[Int](bits)
+    val n = bytes.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var b = 0
+        while (b < bits) {
+          // hex nibble b+1 = byte b/2, high nibble when b is even
+          val top =
+            if ((b & 1) == 0) (d(b >> 1) & 0x80) != 0
+            else (d(b >> 1) & 0x08) != 0
+          votes(b) += (if (top) 1 else -1)
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
 }
 
 /** See [[GraftFx.dot]]. Whole-stage-codegen dot product over

@@ -699,6 +699,30 @@ class LlmSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("SimHash expression ≡ the HOF md5-nibble-vote formulation, " +
+    "bit for bit, at 16 and 32 bits (incl. empty/multi-space rows)") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq((9001L, ""), (9002L, "  a  b "), (9003L, "a"))
+      .toDF("doc_id", "text")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").union(edge)
+    for (bits <- Seq(16, 32)) {
+      val hof = d
+        .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
+        .select(col("doc_id"), expr(
+          s"""aggregate(sequence(1, $bits), 0L, (acc, i) -> acc +
+               CASE WHEN aggregate(hs, 0,
+                 (a, h) -> a + CASE WHEN instr('89abcdef', substring(h, i, 1)) > 0
+                                THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(1L, i - 1) ELSE 0L END)""").as("want"))
+      val fast = d.select(col("doc_id"),
+        GraftFx.simhash(col("text"), bits).as("got"))
+      assert(fast.join(hof, "doc_id")
+        .filter(col("got") =!= col("want")).count() === 0L, s"bits=$bits")
+    }
+  }
+
   test("semantic dedup: drop list = greedy id-ordered sweep of the " +
     "near-dup pair graph; no surviving pair remains") {
     val pairs = Llm.embedNearDup(spark, sf).collect()
