@@ -68,18 +68,47 @@ object Retrieval {
       .distinct() // query-term SET semantics (mirrored in the oracle)
   }
 
+  private def docsSrc(dir: String): String = s"$dir/documents.parquet"
+
+  /** Per-(doc, term) postings of a document slice: `(doc_id, term, tf,
+    * dl)` with the doc length CARRIED on every row, so scoring needs no
+    * tf⋈dl join at read time. Build-side only (two shuffles: the
+    * doc×term hash-agg and the per-doc length window); readers get a
+    * plain parquet scan. */
+  private def postingsOf(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(w))
+  }
+
+  /** The inverted index as a persisted [[graft.observe.IndexStore]]
+    * artifact — at 100 TB a retriever that re-tokenizes the corpus per
+    * query is not an index, it is a full scan with extra steps. The
+    * postings relation is MONOTONE under corpus append (appended files
+    * carry new doc_ids, the same contract as the shingle/band
+    * artifacts), so a pure append indexes only the added files into a
+    * chained delta segment; document-frequency and corpus totals are
+    * NOT persisted — they are vocabulary-sized aggregations of the
+    * chain computed at read, so a delta append cannot stale them. */
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildIncremental(
+      s, "bm25_postings", docsSrc(dir))(
+      postingsOf(docs(s, dir)))(
+      (_, added) => postingsOf(s.read.parquet(added: _*)))
+
   /** Per-(query, doc) BM25 score in integer micro-units, plus the
     * doc's matched-term stats — the shared scoring core of
-    * [[bm25TopK]] and [[hybridRrf]]. */
+    * [[bm25TopK]] and [[hybridRrf]]. Reads [[bm25Postings]]; the only
+    * per-query corpus-sized work is one scan of the postings chain. */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = bm25Postings(s, dir)
     val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // n_docs via the parquet-metadata count (footer-only, as the oracle's
+    // count(*)); n_toks from the index itself (Σtf ≡ token count).
     val stat = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.agg(count(lit(1)).as("n_toks")))
+      .crossJoin(tf.agg(sum(col("tf")).as("n_toks")))
     // idf rounded to 6 dp: ln(1 + (N - df + 0.5)/(df + 0.5))
     val idf = round(
       log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
@@ -89,7 +118,6 @@ object Retrieval {
       (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / avgdl))
     broadcast(queryTerms(s))
       .join(tf, "term")
-      .join(dl, "doc_id")
       .join(broadcast(dfr), "term")
       .crossJoin(broadcast(stat))
       .select(col("query_id"), col("doc_id"),

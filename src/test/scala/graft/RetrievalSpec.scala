@@ -44,6 +44,33 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("incremental BM25 index: rankings after a corpus append equal a " +
+    "full rebuild, via a chained postings delta") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def rank() = Retrieval.bm25TopK(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    rank() // builds the base artifact
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incr = rank()
+    // the delta path must actually have been taken
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/bm25_postings/fp=$fp/_PARENT").exists(),
+      "append must extend the postings chain, not rebuild")
+    // correctness: incremental ranking == full rebuild (df/stats are
+    // derived from the chain at read, so the delta cannot stale them)
+    graft.observe.IndexStore.invalidate(spark, "bm25_postings")
+    assert(rank() === incr)
+  }
+
   test("cluster representatives: one rep per q63 cluster, the rep is " +
     "the longest member (ties -> lowest id), chars_dropped adds up") {
     val nChars = spark.read.parquet(s"$sf/documents.parquet")
