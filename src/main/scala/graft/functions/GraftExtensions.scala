@@ -34,15 +34,27 @@ object GraftExtensions {
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("char_trigrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_trigrams"),
+      (args: Seq[Expression]) => CharNgrams(args.head, 3, dedup = true)),
+    ("char_ngrams",
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (args: Seq[Expression]) =>
+        CharNgrams(args(0), intLit(args(1), "char_ngrams"), dedup = false)),
+    ("rolling_fingerprint",
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) =>
+        RollingFingerprint(args(0), intLit(args(1), "rolling_fingerprint"))),
     ("simhash",
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
-      (args: Seq[Expression]) =>
-        SimHash(args(0), args(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"simhash(text, bits): bits must be an integer literal, got $other")
-        })))
+      (args: Seq[Expression]) => SimHash(args(0), intLit(args(1), "simhash"))))
+
+  private def intLit(e: Expression, fn: String): Int = e.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

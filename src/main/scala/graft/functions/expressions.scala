@@ -43,6 +43,26 @@ object GraftFx {
     * formulation (and the DuckDB oracle). See [[SimHash]]. */
   def simhash(text: Column, bits: Int): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(text), bits))
+
+  /** Distinct character trigrams of `text` in first-occurrence order —
+    * element-identical to `array_distinct(transform(sequence(1,
+    * greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))`.
+    * See [[CharNgrams]]. */
+  def charTrigrams(text: Column): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(text), 3, dedup = true))
+
+  /** ALL character `n`-grams of `text` in order, with multiplicity —
+    * element-identical to `transform(sequence(1, greatest(length(text)
+    * - (n-1), 1)), i -> substring(text, i, n))`. See [[CharNgrams]]. */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgrams(GraftBridge.expression(text), n, dedup = false))
+
+  /** Min-md5 over `width`-char rolling windows — value-identical to
+    * `array_min(transform(sequence(1, greatest(length(text) - (width-1),
+    * 1)), i -> md5(substring(text, i, width))))`. See
+    * [[RollingFingerprint]]. */
+  def rollingFingerprint(text: Column, width: Int): Column =
+    GraftBridge.column(RollingFingerprint(GraftBridge.expression(text), width))
 }
 
 /** See [[GraftFx.minhashBands]]. One pass per row: for each of
@@ -199,6 +219,131 @@ case class SimHash(child: Expression, bits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Shared byte-offset walk for the character-windowing expressions:
+  * byte offset of each character start (code-point stepping — the same
+  * unit Spark's `substring`/`length` count), plus an end sentinel. */
+private[functions] object CharWindows {
+  def starts(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      out(n) = i
+      n += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    out(n) = bytes.length
+    java.util.Arrays.copyOf(out, n + 1)
+  }
+}
+
+/** See [[GraftFx.charTrigrams]]/[[GraftFx.charNgrams]]. Character
+  * `n`-grams of a string — with multiplicity in window order
+  * (`dedup = false`), or the first-occurrence-ordered distinct SET
+  * (`dedup = true`, exactly `array_distinct`'s order). Replaces the
+  * interpreted `transform(sequence(1, greatest(length(text) - (n-1),
+  * 1)), i -> substring(text, i, n))` pipeline, whose per-index
+  * `substring` walks the string from byte 0 every call — O(chars²) per
+  * row on top of lambda dispatch. One pass here: character start
+  * offsets are computed once, each window is a byte slice. Empty/short
+  * strings follow `substring`'s truncation: `max(chars - (n-1), 1)`
+  * windows, the last ones shorter. CodegenFallback: per-row cost is
+  * the slicing loop, one virtual call per row. */
+case class CharNgrams(child: Expression, n: Int, dedup: Boolean)
+  extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (dedup) "char_ngram_set" else "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = CharWindows.starts(bytes)
+    val nChars = starts.length - 1
+    val nGrams = math.max(nChars - (n - 1), 1)
+    def slice(g: Int): UTF8String = UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(
+        bytes, starts(g), starts(math.min(g + n, nChars))))
+    if (dedup) {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var g = 0
+      while (g < nGrams) { seen.add(slice(g)); g += 1 }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next(); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](nGrams)
+      var g = 0
+      while (g < nGrams) { out(g) = slice(g); g += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
+/** See [[GraftFx.rollingFingerprint]]. The winnowing-lite document
+  * fingerprint: minimum md5 over all `width`-char rolling windows,
+  * returned as lowercase hex — value-identical to `array_min(
+  * transform(sequence(1, greatest(length(text) - (width-1), 1)),
+  * i -> md5(substring(text, i, width))))`, because Spark's string
+  * `array_min` compares UTF8Strings as unsigned bytes ≡ lexicographic
+  * hex ≡ unsigned digest compare. One digest per window over byte
+  * slices instead of a from-byte-0 `substring` walk per index.
+  * CodegenFallback: md5 dominates. */
+case class RollingFingerprint(child: Expression, width: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(width >= 1)
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val starts = CharWindows.starts(bytes)
+    val nChars = starts.length - 1
+    val nWin = math.max(nChars - (width - 1), 1)
+    val md = MinHashBands.md5.get()
+    var min: Array[Byte] = null
+    var g = 0
+    while (g < nWin) {
+      md.reset()
+      md.update(bytes, starts(g),
+        starts(math.min(g + width, nChars)) - starts(g))
+      val d = md.digest()
+      if (min == null || {
+        var i = 0
+        var cmp = 0
+        while (cmp == 0 && i < d.length) {
+          cmp = (d(i) & 0xff) - (min(i) & 0xff)
+          i += 1
+        }
+        cmp < 0
+      }) min = d
+      g += 1
+    }
+    val out = new Array[Char](min.length * 2)
+    var i = 0
+    while (i < min.length) {
+      out(2 * i) = hexDigits((min(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(min(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
 }
 

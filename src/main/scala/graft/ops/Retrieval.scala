@@ -161,13 +161,13 @@ object Retrieval {
     // `array_intersect` — no (doc, trigram) explode (an earlier draft
     // exploded 700 k interpreted-Generate rows and paid 2 s at sf0.1
     // for it), no shuffle that grows with the corpus. Per-doc trigram
-    // sets are built in-row too (`array_distinct` — first-occurrence
-    // order differs from SQL's but only the SET is consumed). The
-    // scan is spread (`loadSpread`): trigram construction is per-row
-    // CPU on interpreted higher-order functions, so a row-group-bound
-    // scan would serialize it.
-    val tgCol = expr(
-      "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    // sets are built in-row by the [[graft.functions.CharTrigrams]]
+    // expression (one pass, element-identical to the
+    // array_distinct∘transform∘substring formulation — equivalence
+    // spec'd in RetrievalSpec). The scan is spread (`loadSpread`):
+    // trigram construction is per-row CPU, so a row-group-bound scan
+    // would serialize it.
+    val tgCol = graft.functions.GraftFx.charTrigrams(col("text"))
     val dts = Tables.loadSpread(s, dir, "documents")
       .select(col("doc_id"), tgCol.as("tgs"))
     val qts = querySet.toDF("query_id", "qtext")

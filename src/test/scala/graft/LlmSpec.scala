@@ -723,6 +723,30 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("CharNgrams and RollingFingerprint expressions ≡ their HOF " +
+    "substring-window formulations (multiplicity, order, min-hex)") {
+    val s = spark
+    import s.implicits._
+    val edge = Seq((9001L, ""), (9002L, "a"), (9003L, "ab"),
+      (9004L, "aaaa"), (9005L, "héllo wörld"), (9006L, "日本語のテキスト"))
+      .toDF("doc_id", "text")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").union(edge)
+    val badBg = d.select(
+        graft.functions.GraftFx.charNgrams(col("text"), 2).as("got"),
+        expr("""transform(sequence(1, greatest(length(text) - 1, 1)),
+                  i -> substring(text, i, 2))""").as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(badBg.count() === 0L)
+    val badFp = d.select(
+        graft.functions.GraftFx.rollingFingerprint(col("text"), 16).as("got"),
+        expr("""array_min(transform(
+                  sequence(1, greatest(length(text) - 15, 1)),
+                  i -> md5(substring(text, i, 16))))""").as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(badFp.count() === 0L)
+  }
+
   test("semantic dedup: drop list = greedy id-ordered sweep of the " +
     "near-dup pair graph; no surviving pair remains") {
     val pairs = Llm.embedNearDup(spark, sf).collect()

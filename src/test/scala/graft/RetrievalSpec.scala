@@ -44,6 +44,25 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("CharTrigrams expression ≡ array_distinct∘transform∘substring, " +
+    "elements AND order (incl. empty, short, multi-byte rows)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val edge = Seq((9001L, ""), (9002L, "ab"), (9003L, "abc"),
+      (9004L, "aaaa"), (9005L, "héllo wörld"), (9006L, "日本語のテキスト"))
+      .toDF("doc_id", "text")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").union(edge)
+    val hof = expr("array_distinct(transform(sequence(1, " +
+      "greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    val bad = d.select(col("doc_id"),
+        graft.functions.GraftFx.charTrigrams(col("text")).as("got"),
+        hof.as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() === 0L)
+  }
+
   test("incremental BM25 index: rankings after a corpus append equal a " +
     "full rebuild, via a chained postings delta") {
     val s = spark
