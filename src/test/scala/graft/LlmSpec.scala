@@ -747,6 +747,28 @@ class LlmSpec extends SparkSuite {
     assert(badFp.count() === 0L)
   }
 
+  test("quality classifier: GD training moves every weight and beats " +
+    "the zero model's log-loss on its weak labels") {
+    val w = Llm.qcTrain(spark, sf)
+    assert(w.length === 6)
+    assert(w.forall(_ != 0.0), s"untrained weight in ${w.mkString(",")}")
+    val rows = Llm.qcFeats(spark, sf)
+      .select("f0", "f1", "f2", "f3", "f4", "f5", "y").collect()
+    def logloss(wv: Array[Double]): Double = {
+      val ls = rows.map { r =>
+        val z = (0 until 6).map(j => wv(j) * r.getDouble(j)).sum
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val y = r.getInt(6)
+        -(y * math.log(math.max(p, 1e-12)) +
+          (1 - y) * math.log(math.max(1 - p, 1e-12)))
+      }
+      ls.sum / ls.length
+    }
+    val l0 = logloss(Array.fill(6)(0.0)) // = ln 2
+    val lw = logloss(w)
+    assert(lw < l0, s"training did not reduce log-loss: $lw >= $l0")
+  }
+
   test("semantic dedup: drop list = greedy id-ordered sweep of the " +
     "near-dup pair graph; no surviving pair remains") {
     val pairs = Llm.embedNearDup(spark, sf).collect()
