@@ -94,8 +94,8 @@ object Bench {
       name -> times.min
     }
     // Like-for-like comparability: BENCH_r01/BASELINE totals cover the
-    // original 27-query set; the full total now spans 76 queries, so
-    // also publish the sum over exactly the round-1 set.
+    // original 27-query set; the full total now spans the whole
+    // inventory, so also publish the sum over exactly the round-1 set.
     val r1Set = Set(
       "q01_flagship_us_customers", "q02_pricing_summary", "q03_top_orders",
       "q04_latest_order_per_customer", "q05_brand_volume",
