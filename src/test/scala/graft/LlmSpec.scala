@@ -747,6 +747,42 @@ class LlmSpec extends SparkSuite {
     assert(badFp.count() === 0L)
   }
 
+  test("random projection: JL distortion falls as the target " +
+    "dimension grows (k=8 vs k=64)") {
+    def meanErr(k: Int): Double = {
+      val rows = Llm.projectionError(spark, sf, k).collect()
+      rows.map(_.getLong(2).toDouble).sum / rows.length
+    }
+    val coarse = meanErr(8)
+    val fine = meanErr(64)
+    assert(fine < coarse,
+      s"distortion should shrink with k: k=64 -> $fine vs k=8 -> $coarse")
+  }
+
+  test("incremental doc-count rollup: view after a corpus append " +
+    "equals a full rebuild, via a chained partial-agg delta") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def view() = Llm.incrementalDocCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    view() // builds the base artifact
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incr = view()
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/doc_counts_agg/fp=$fp/_PARENT").exists(),
+      "append must extend the partial-agg chain, not rebuild")
+    graft.observe.IndexStore.invalidate(spark, "doc_counts_agg")
+    assert(view() === incr)
+  }
+
   test("quality classifier: GD training moves every weight and beats " +
     "the zero model's log-loss on its weak labels") {
     val w = Llm.qcTrain(spark, sf)

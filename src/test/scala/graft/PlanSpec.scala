@@ -24,7 +24,8 @@ class PlanSpec extends SparkSuite {
     "q98_semantic_dedup" /* q39's cluster-build path */,
     "q99_dsir_selection" /* broadcast 1-row totals × bigram model */,
     "q108_bm25_topk" /* broadcast 1-row corpus stats onto postings */,
-    "q109_hybrid_rrf" /* same stats broadcast inside the BM25 leg */)
+    "q109_hybrid_rrf" /* same stats broadcast inside the BM25 leg */,
+    "q113_random_projection" /* broadcast probe vectors × corpus */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
