@@ -201,6 +201,13 @@ class PlanSpec extends SparkSuite {
         s"fold exists to avoid):\n$p")
   }
 
+  test("char entropy: in-row sorted fold — no explode, no join; the " +
+    "only aggregation is the per-lang report") {
+    val p = plan("q115_char_entropy")
+    assert(!p.contains("Generate"), s"q115 explodes its characters:\n$p")
+    assert(!p.contains("Join"), s"q115 plans a join:\n$p")
+  }
+
   test("lm rare filter joins the bigram model broadcast, never shuffled") {
     val p = plan("q92_lm_rare_filter")
     assert(p.contains("BroadcastHashJoin"),
