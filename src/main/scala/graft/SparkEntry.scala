@@ -27,7 +27,8 @@ object SparkEntry {
       observe.Materialize.queries ++
       model.Runs.queries ++
       sources.Layout.queries ++
-      ops.Retrieval.queries
+      ops.Retrieval.queries ++
+      ops.Cdc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       observe.Materialize.oracles ++
       model.Runs.oracles ++
       sources.Layout.oracles ++
-      ops.Retrieval.oracles
+      ops.Retrieval.oracles ++
+      ops.Cdc.oracles
 }

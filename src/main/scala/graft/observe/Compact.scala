@@ -47,6 +47,33 @@ object Compact {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Partition-scoped backfill — Spark's dynamic partition overwrite
+    * (`partitionOverwriteMode=dynamic`) as the idempotent-backfill
+    * primitive: `replacement` rewrites ONLY the hive-style partitions
+    * its rows belong to; every other partition's files are untouched
+    * (same paths, same bytes — ObserveSpec asserts this by mtime and
+    * content). This is how an hourly pipeline re-runs one bad
+    * day/language without rewriting — or even listing — the other
+    * 100 TB: the write plans against the replacement rows alone, and
+    * commit swaps just the affected partition directories. STATIC
+    * mode (the default) would silently drop every untouched partition,
+    * which is exactly the production incident this wrapper exists to
+    * make unrepresentable. */
+  def overwritePartitions(s: SparkSession, tableDir: String,
+      partitionCol: String, replacement: DataFrame): Unit = {
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      replacement.write.mode("overwrite")
+        .partitionBy(partitionCol).parquet(tableDir)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   def fileInventory(s: SparkSession, dir: String, probeCol: String): DataFrame =
     s.read.parquet(dir)
       .groupBy(input_file_name().as("file"))

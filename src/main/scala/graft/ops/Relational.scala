@@ -568,7 +568,57 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("source"))
 
+  /** A key is "heavy" when it holds more than this multiple of the
+    * mean per-key row count — a POLICY knob (like [[graft.ops.Llm]]'s
+    * domainCap), not a fixture constant: the derived threshold scales
+    * with whatever corpus flows in. */
+  private val skewHeavyFactor = 2L
+
+  /** q118: heavy-key replicated join — the explicit skew-mitigation
+    * join for when AQE's runtime skew split is unavailable (streaming
+    * joins, non-AQE engines) or insufficient (one key holding 10⁹
+    * rows no split width fixes).
+    *
+    * Shape: one partial-agg count pass derives the heavy-key set
+    * (every key whose row count exceeds [[skewHeavyFactor]]× the
+    * mean). The probe side splits by a broadcast semi/anti join on
+    * that set — NO driver collect anywhere, the set stays a relation
+    * bounded above by n/threshold keys. The heavy rows join their
+    * (equally few) dimension partners via broadcast-hash — skewed
+    * keys never enter an exchange, so no reducer inherits the 10⁹-row
+    * key. The light remainder takes the ordinary shuffle join it can
+    * afford. Results are the plain join's, proven by the oracle; the
+    * two-leg shape is machine-checked in PlanSpec. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cust = t(s, dir, "customer")
+    val perKey = ev.groupBy(col("user_id")).agg(count(lit(1)).as("kn"))
+    // global mean as a broadcast 1-row relation (the q67 pattern) — a
+    // plain window `avg().over()` would drag every distinct key into
+    // one task
+    val stats = perKey.agg(
+      (sum(col("kn")) / count(lit(1))).as("mean_n"))
+    val heavyKeys = perKey.crossJoin(broadcast(stats))
+      .filter(col("kn") > col("mean_n") * skewHeavyFactor)
+      .select(col("user_id"))
+    val heavyEv = ev.join(broadcast(heavyKeys), Seq("user_id"), "left_semi")
+    val lightEv = ev.join(broadcast(heavyKeys), Seq("user_id"), "left_anti")
+    val heavyDim = cust.join(broadcast(heavyKeys),
+      cust("c_custkey") === heavyKeys("user_id"), "left_semi")
+    val joined = heavyEv.join(broadcast(heavyDim),
+        heavyEv("user_id") === heavyDim("c_custkey"))
+      .unionByName(lightEv.join(cust,
+        lightEv("user_id") === cust("c_custkey")))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("bigint")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_skew_replicated_join" -> skewJoin,
     "q79_lang_source_pivot" -> pivotLangSource,
     "q66_sql_surface" -> sqlSurface,
     "q101_colocated_revenue" -> colocatedRevenue,
@@ -607,6 +657,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the split-and-reunite legs are semantics-free: the oracle is the
+    // plain join the operator must equal
+    "q118_skew_replicated_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q79_lang_source_pivot" ->
       """SELECT source,
         |  count(*) FILTER (WHERE lang = 'de') AS de,

@@ -783,6 +783,39 @@ class LlmSpec extends SparkSuite {
     assert(view() === incr)
   }
 
+  test("incremental HLL distinct-token view: merged chain equals a " +
+    "one-shot rebuild and tracks the exact distinct count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def view() = Llm.incrementalDistinctTokens(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    view() // builds the base sketch artifact
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incr = view()
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/token_hll/fp=$fp/_PARENT").exists(),
+      "append must extend the sketch chain, not rebuild")
+    graft.observe.IndexStore.invalidate(spark, "token_hll")
+    assert(view() === incr,
+      "max-merged chain must equal the one-shot sketch (merge law)")
+    val exact = spark.read.parquet(tbl)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source")).agg(countDistinct(col("token")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    incr.foreach { case (src, est) =>
+      val ex = exact(src).toDouble
+      assert(math.abs(est - ex) / ex < 0.05,
+        s"$src: estimate $est strays >5% from exact $ex")
+    }
+  }
+
   test("quality classifier: GD training moves every weight and beats " +
     "the zero model's log-loss on its weak labels") {
     val w = Llm.qcTrain(spark, sf)

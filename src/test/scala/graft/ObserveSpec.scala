@@ -237,6 +237,35 @@ class ObserveSpec extends SparkSuite {
     assert(counts.max - counts.min <= 1)
   }
 
+  test("overwritePartitions: backfill rewrites only its partitions; " +
+    "untouched partition files stay byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/t"
+    val docs = Tables.load(spark, sf, "documents")
+    docs.write.partitionBy("lang").parquet(dir)
+    def files(lang: String) =
+      new java.io.File(s"$dir/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val deBefore = files("de")
+    val enBefore = spark.read.parquet(dir)
+      .filter(col("lang") === "en").count()
+    // backfill: replace ONLY lang=en with a corrected slice
+    val fix = docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+    graft.observe.Compact.overwritePartitions(spark, dir, "lang", fix)
+    assert(files("de") === deBefore,
+      "untouched partition files must not change")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("lang") === "en").count() < enBefore)
+    assert(after.filter(col("lang") === "en" && col("doc_id") % 2 =!= 0)
+      .count() === 0, "the bad rows must be gone from the backfilled slice")
+    assert(after.filter(col("lang") === "de").count() ===
+      docs.filter(col("lang") === "de").count())
+    // the wrapper restores the session's overwrite mode
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "STATIC").toUpperCase === "STATIC")
+  }
+
   test("clusteredWrite: files hold disjoint key ranges (pruning layout)") {
     val base = Files.createTempDirectory("graft_cluster").toString
     val in = s"$base/in"

@@ -25,7 +25,8 @@ class PlanSpec extends SparkSuite {
     "q99_dsir_selection" /* broadcast 1-row totals × bigram model */,
     "q108_bm25_topk" /* broadcast 1-row corpus stats onto postings */,
     "q109_hybrid_rrf" /* same stats broadcast inside the BM25 leg */,
-    "q113_random_projection" /* broadcast probe vectors × corpus */)
+    "q113_random_projection" /* broadcast probe vectors × corpus */,
+    "q118_skew_replicated_join" /* broadcast 1-row mean × key counts */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
@@ -45,6 +46,22 @@ class PlanSpec extends SparkSuite {
     val p = plan("q01_flagship_us_customers")
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("PushedFilters") && p.contains("EqualTo(n_name,NATION_1)"))
+  }
+
+  test("cdc merge: touched-key anti join broadcasts — base never shuffles") {
+    val p = plan("q116_cdc_merge")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the change-feed key set must broadcast into the anti join")
+  }
+
+  test("skew join: both probe splits and the heavy leg broadcast") {
+    val p = plan("q118_skew_replicated_join")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "probe side must split by semi/anti on the heavy-key set")
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBhj >= 3,
+      s"heavy-key split + heavy-leg joins must broadcast, got $nBhj BHJs")
+    assert(p.contains("Union"), "the two legs must reunite plan-level")
   }
 
   test("top-k plans TakeOrderedAndProject, never a global sort") {
