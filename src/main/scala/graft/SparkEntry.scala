@@ -28,7 +28,8 @@ object SparkEntry {
       model.Runs.queries ++
       sources.Layout.queries ++
       ops.Retrieval.queries ++
-      ops.Cdc.queries
+      ops.Cdc.queries ++
+      observe.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       model.Runs.oracles ++
       sources.Layout.oracles ++
       ops.Retrieval.oracles ++
-      ops.Cdc.oracles
+      ops.Cdc.oracles ++
+      observe.Expectations.oracles
 }

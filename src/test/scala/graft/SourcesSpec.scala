@@ -96,4 +96,30 @@ class SourcesSpec extends SparkSuite {
     val tiny = Bucketed.bucketCount(spark, sf, "orders", targetBytes = 1024)
     assert(tiny > floor)
   }
+
+  test("schema evolution: mergeSchema unions parquet generations; " +
+    "old rows read the added column as null") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.parquet(dir)
+    // generation 2: the table grew a column — appended, not rewritten
+    Seq((3L, "c", "en")).toDF("id", "name", "lang")
+      .write.mode("append").parquet(dir)
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "lang", "name"),
+      "merged read must expose the union schema")
+    val rows = merged.select(col("id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty,
+      "generation-1 rows must read the new column as null")
+    assert(rows(3L).contains("en"))
+    // the default (no mergeSchema) samples one footer — the documented
+    // reason evolving tables must opt in
+    val sampled = s.read.parquet(dir)
+    assert(sampled.columns.length <= 3)
+  }
 }

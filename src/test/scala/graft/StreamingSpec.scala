@@ -693,4 +693,45 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(out === Set((2L, 20L, "FAILED"), (4L, 40L, "CANCELED")))
   }
+
+  test("streaming CDC upsert: micro-batched changes reach the snapshot " +
+    "and untouched buckets keep their exact files") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .toString
+    val dir = s"$root/snap"
+    val base = (0L until 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    graft.stream.Upsert.initSnapshot(spark, dir, base, "k", 8)
+    def filesOf(b: Int) = new java.io.File(s"$dir/bucket=$b").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+    val before = (0 until 8).map(filesOf)
+    val in = MemoryStream[(String, Long, String)]
+    val changes = in.toDS().toDF("op", "k", "v")
+    val q = graft.stream.Upsert.sink(
+      spark, dir, "k", 8, changes, s"$root/ckpt")
+    withQuery(q) {
+      in.addData(("U", 8L, "v8b"), ("D", 16L, "x"), ("I", 100L, "v100"))
+      q.processAllAvailable()
+      // second batch revises the first batch's insert — upsert chaining
+      in.addData(("U", 100L, "v100b"))
+      q.processAllAvailable()
+    }
+    val snap = spark.read.parquet(dir)
+      .select(col("k").cast("long"), col("v")).as[(Long, String)]
+      .collect().toMap
+    assert(snap(8L) === "v8b", "update must replace the base row")
+    assert(!snap.contains(16L), "delete must remove the base row")
+    assert(snap(100L) === "v100b", "the insert must carry batch-2's update")
+    assert(snap(9L) === "v9" && snap.size === 64,
+      "untouched keys must survive intact")
+    // only buckets 0 (keys 8, 16) and 4 (key 100) were ever rewritten
+    (0 until 8).filterNot(Set(0, 4)).foreach { b =>
+      assert(filesOf(b) === before(b),
+        s"bucket $b was rewritten by a batch that never touched it")
+    }
+  }
 }
