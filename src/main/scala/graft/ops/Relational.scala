@@ -617,7 +617,76 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q120: EQUI-DEPTH histogram (the profile-plane complement of q69's
+    * fixed-width buckets): per return flag, 5 buckets holding ~equal
+    * row counts, boundaries from the exact 20/40/60/80th percentiles.
+    * Shape: a 3-row boundary aggregate BROADCAST back onto the fact
+    * scan (the q78 discipline — never a per-group window sort), bucket
+    * assignment is an in-row fold over the 4-element boundary array,
+    * then one partial-agg count pass. Ulp-safety: a row value can
+    * never fall strictly between two adjacent order statistics, so
+    * `x > boundary` is stable even where the engines' interpolation
+    * rounds differently. */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val thr = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.2, 0.4, 0.6, 0.8))")
+        .as("bs"))
+    li.join(broadcast(thr), "l_returnflag")
+      .withColumn("bucket",
+        size(filter(col("bs"), b => col("l_extendedprice") > b))
+          .cast("bigint"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"))
+      .orderBy(col("l_returnflag"), col("bucket"))
+  }
+
+  /** q123: CUBE / grouping sets — every (lang × source) subtotal
+    * combination in ONE aggregation (Catalyst's Expand feeds the same
+    * partial-agg pass; at 100 TB this is 4× the groups, not 4 scans).
+    * Aggregated-away dimensions render as 'ALL' so the crosstab is
+    * self-describing (fixture dims are never null, so null ⇒
+    * subtotal is unambiguous). */
+  def cubeDocStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  /** q124: time-series gap-fill — per-(event_type, hour) counts
+    * INCLUDING empty hours, the dense series an event-rate monitor
+    * needs (a missing hour rendered as absence is exactly the outage
+    * the dashboard exists to show). Scale shape: the ONLY corpus-sized
+    * work is the first partial-agg count; the hour spine
+    * (`sequence(min, max, 1 hour)` × distinct types) is
+    * calendar-sized, built from a 1-row bounds aggregate, and the
+    * fill join runs spine ⋈ aggregated-counts — O(types·hours) rows
+    * on both sides no matter how many events flowed in. */
+  def hourlyGapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("h", date_trunc("hour", col("ts")))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(counts, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("n"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_equidepth_histogram" -> equidepthHistogram,
+    "q123_cube_doc_stats" -> cubeDocStats,
+    "q124_hourly_gapfill" -> hourlyGapfill,
     "q118_skew_replicated_join" -> skewJoin,
     "q79_lang_source_pivot" -> pivotLangSource,
     "q66_sql_surface" -> sqlSurface,
@@ -657,6 +726,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_equidepth_histogram" ->
+      """WITH thr AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, [0.2, 0.4, 0.6, 0.8]) AS bs
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  CAST(len(list_filter(bs, b -> l_extendedprice > b)) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q123_cube_doc_stats" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY 1, 2""".stripMargin,
+    "q124_hourly_gapfill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |counts AS (
+        |  SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM ev),
+        |hours AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, hr.h, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM types t CROSS JOIN hours hr
+        |LEFT JOIN counts c ON t.event_type = c.event_type AND hr.h = c.h
+        |ORDER BY t.event_type, hr.h""".stripMargin,
     // the split-and-reunite legs are semantics-free: the oracle is the
     // plain join the operator must equal
     "q118_skew_replicated_join" ->
