@@ -683,7 +683,45 @@ object Relational {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** q125: interval containment join via time-bucket decomposition —
+    * the scalable form of the non-equi join "which activity spans
+    * overlap the busy hours". A naive theta join (`mn < h+1h AND
+    * mx >= h`) is a range predicate Spark can only nest-loop; instead
+    * each per-(user, day) span EMITS the hour buckets it covers
+    * (bounded: ≤ 24 per span by construction) and the join becomes a
+    * broadcast equi-join against the 20 busy hours. The decomposition
+    * is EXACT, not a candidate step: an emitted hour h ∈
+    * [trunc(mn), trunc(mx)] always satisfies the overlap predicate
+    * (mn < h+1h because h ≥ trunc(mn); mx ≥ h because h ≤ trunc(mx)),
+    * and no overlapping hour is missed — so there is no verify pass,
+    * and the oracle states the raw theta join. At 100 TB: two
+    * partial-agg passes over events and a map-side explode; nothing
+    * non-equi ever reaches an exchange. */
+  def busyHourOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val spans = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val busy = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h"))
+      .limit(20)
+      .select(col("h"))
+    spans
+      .select(col("user_id"),
+        explode(expr(
+          "sequence(date_trunc('hour', mn), date_trunc('hour', mx)," +
+            " interval 1 hour)")).as("h"))
+      .join(broadcast(busy), "h")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_user_days"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_busy_hour_overlap" -> busyHourOverlap,
     "q120_equidepth_histogram" -> equidepthHistogram,
     "q123_cube_doc_stats" -> cubeDocStats,
     "q124_hourly_gapfill" -> hourlyGapfill,
@@ -726,6 +764,21 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the independent formulation: the RAW theta join the bucket
+    // decomposition must equal exactly
+    "q125_busy_hour_overlap" ->
+      """WITH spans AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    min(ts) AS mn, max(ts) AS mx
+        |  FROM events GROUP BY 1, 2),
+        |busy AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, h LIMIT 20)
+        |SELECT b.h, count(*) AS n_user_days,
+        |  count(DISTINCT s.user_id) AS n_users
+        |FROM busy b JOIN spans s
+        |  ON s.mn < b.h + INTERVAL 1 HOUR AND s.mx >= b.h
+        |GROUP BY b.h ORDER BY b.h""".stripMargin,
     "q120_equidepth_histogram" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -165,8 +165,67 @@ object Layout {
       .limit(100)
   }
 
+  /** Zone-map pruning as an EXECUTABLE read path (not just the
+    * [[rowGroupStats]] report): the per-file min/max rectangles of
+    * `probeCol` decide which files a range predicate needs, and only
+    * those paths reach `spark.read`. The rectangle collect is
+    * #files-sized metadata (the `Tables.discover` class — zero data
+    * pages, footer stats only); the payoff is the governing scan-cost
+    * equation at 100 TB: a range query over a [[clusteredWrite]] /
+    * [[zorderWrite]] layout opens O(selectivity · files), not O(files)
+    * — LayoutSpec measures the skipped-file count on a 4-file range
+    * layout, and correctness (≡ the full filtered scan) is q126's
+    * oracle. Files without footer stats never appear in the rectangle
+    * relation, so they are conservatively... NOT read — which is why
+    * [[pruneFiles]] keeps a file unless its rectangle PROVES
+    * disjointness: absence of stats keeps the file. */
+  def pruneFiles(s: SparkSession, path: String, probeCol: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    import s.implicits._
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val rects = rowGroupStats(s, path, Seq(probeCol))
+      .groupBy(col("file"))
+      .agg(min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val kept = all.filter { f =>
+      rects.get(f.substring(f.lastIndexOf('/') + 1)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // overlap
+        case None => true // no stats — cannot prove disjoint, must read
+      }
+    }
+    (kept.sorted, all.size)
+  }
+
+  /** The pruned scan itself; the residual filter still applies (file
+    * granularity over-approximates the predicate). */
+  def prunedScan(s: SparkSession, path: String, probeCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = pruneFiles(s, path, probeCol, lo, hi)
+    if (kept.isEmpty)
+      s.read.parquet(path).filter(lit(false))
+    else
+      s.read.parquet(kept: _*)
+        .filter(col(probeCol).between(lo, hi))
+  }
+
+  /** q126: a range rollup served through [[prunedScan]] — must equal
+    * the plain filtered aggregate (the oracle), whatever the file
+    * layout. */
+  def prunedRangeRollup(s: SparkSession, dir: String): DataFrame =
+    prunedScan(s, s"$dir/lineitem.parquet", "l_orderkey", 1000L, 2000L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_zorder_keys" -> zorderKeys,
+    "q126_pruned_range_rollup" -> prunedRangeRollup,
   )
 
   def oracles: Map[String, String] = {
@@ -175,6 +234,13 @@ object Layout {
     val pb = duckBucket("l_partkey", "pmn", "pmx", 256)
     val sb = duckBucket("l_suppkey", "smn", "smx", 256)
     Map(
+      // the plain filtered scan the pruned serve path must equal
+      "q126_pruned_range_rollup" ->
+        """SELECT count(*) AS n,
+          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+          |FROM lineitem
+          |WHERE l_orderkey BETWEEN 1000 AND 2000""".stripMargin,
       "q105_zorder_keys" ->
         s"""WITH mm AS (SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
            |  min(l_suppkey) AS smn, max(l_suppkey) AS smx FROM lineitem)

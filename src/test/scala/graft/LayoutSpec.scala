@@ -95,4 +95,39 @@ class LayoutSpec extends SparkSuite {
     assert(zorder * 2 <= linear,
       s"expected ≥2× pruning across the grid: z=$zorder linear=$linear")
   }
+
+  test("prunedScan: a range-clustered layout serves a narrow range " +
+    "from a strict file subset, result identical to the full scan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_prune")
+      .toString
+    val out = s"$base/clustered"
+    graft.observe.Compact.clusteredWrite(
+      spark, s"$sf/orders.parquet", out, 4, Seq("o_orderkey"))
+    // a range inside one quarter of the key space
+    val keys = spark.read.parquet(out)
+      .agg(min(col("o_orderkey")), max(col("o_orderkey"))).collect()(0)
+    val (kMin, kMax) = (keys.getLong(0), keys.getLong(1))
+    val lo = kMin
+    val hi = kMin + (kMax - kMin) / 8
+    val (kept, total) = graft.sources.Layout.pruneFiles(
+      spark, out, "o_orderkey", lo, hi)
+    assert(total === 4)
+    assert(kept.size < total,
+      s"narrow range must skip files: kept ${kept.size} of $total")
+    val served = graft.sources.Layout
+      .prunedScan(spark, out, "o_orderkey", lo, hi)
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    val full = spark.read.parquet(out)
+      .filter(col("o_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    assert(served === full, "pruned serve path must equal the full scan")
+    // disjoint range → zero files, empty result, schema intact
+    val (none, _) = graft.sources.Layout.pruneFiles(
+      spark, out, "o_orderkey", kMax + 10, kMax + 20)
+    assert(none.isEmpty)
+    assert(graft.sources.Layout
+      .prunedScan(spark, out, "o_orderkey", kMax + 10, kMax + 20)
+      .count() === 0L)
+  }
 }
