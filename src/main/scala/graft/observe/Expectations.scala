@@ -27,6 +27,7 @@ object Expectations {
     * (integer parts-per-million, so cross-engine float division can
     * only differ below the floor). */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations need at least one rule")
     val aggs = count(lit(1)).as("n") +:
       rules.zipWithIndex.map { case ((_, c), i) =>
         sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(s"v$i")
@@ -40,6 +41,23 @@ object Expectations {
       .withColumn("viol_ppm",
         expr("CAST(floor(n_viol * 1000000.0 / n_rows) AS BIGINT)"))
       .orderBy(col("rule"))
+  }
+
+  /** Attach the rule violations as OBSERVED metrics (one counter per
+    * rule, plus the row count) — ZERO extra pass, batch or streaming:
+    * the audit rides whatever job runs anyway (the A2 `Observation`
+    * discipline lifted to constraints). On a stream the counters
+    * surface per micro-batch via
+    * `StreamingQueryProgress.observedMetrics(name)` — the DLT
+    * expectations dashboard, without a second query. */
+  def observed(df: DataFrame, name: String,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations need at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (rn, c) =>
+        sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(rn)
+      }
+    df.observe(name, aggs.head, aggs.tail: _*)
   }
 
   /** expect_or_drop: rows passing EVERY rule vs the quarantine. Both

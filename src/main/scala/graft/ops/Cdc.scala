@@ -30,7 +30,13 @@ object Cdc {
     * Updates and deletes remove the old row via one anti join on the
     * touched-key set; updates and inserts then union their new
     * versions in. The changes side is broadcast — see the scale note
-    * above. */
+    * above.
+    *
+    * PRECONDITION: at most one op per key per batch (the contract
+    * every CDC log compaction provides). Conflicting U+D rows for one
+    * key would both fire — the U would resurrect the deleted row. A
+    * multi-op feed must first reduce to latest-op-per-key (A4's
+    * `max_by` on the feed's sequence number). */
   def merge(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val touched = changes
       .filter(col("op").isin("U", "D"))

@@ -178,7 +178,9 @@ object Layout {
     * oracle. Files without footer stats never appear in the rectangle
     * relation, so they are conservatively... NOT read — which is why
     * [[pruneFiles]] keeps a file unless its rectangle PROVES
-    * disjointness: absence of stats keeps the file. */
+    * disjointness: absence of stats keeps the file. `probeCol` must be
+    * a physical int64 column (footer min/max parse as longs — the
+    * [[rowGroupStats]] constraint). */
   def pruneFiles(s: SparkSession, path: String, probeCol: String,
       lo: Long, hi: Long): (Seq[String], Int) = {
     import s.implicits._

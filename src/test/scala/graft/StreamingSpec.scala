@@ -734,4 +734,54 @@ class StreamingSpec extends SparkSuite {
         s"bucket $b was rewritten by a batch that never touched it")
     }
   }
+
+  test("CDC upsert replay is idempotent: re-applying a batch leaves " +
+    "the snapshot unchanged (foreachBatch redelivery safety)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+      .toString + "/snap"
+    val base = (0L until 32L).map(k => (k, s"v$k")).toDF("k", "v")
+    graft.stream.Upsert.initSnapshot(spark, dir, base, "k", 4)
+    val batch = Seq(("U", 3L, "v3b"), ("D", 5L, "x"), ("I", 50L, "v50"))
+      .toDF("op", "k", "v")
+    def state() = spark.read.parquet(dir)
+      .select(col("k").cast("long"), col("v")).as[(Long, String)]
+      .collect().toMap
+    graft.stream.Upsert.applyBatch(spark, dir, "k", 4, batch)
+    val once = state()
+    // redelivery: a crashed foreachBatch re-runs the same batch
+    graft.stream.Upsert.applyBatch(spark, dir, "k", 4, batch)
+    assert(state() === once,
+      "replaying the identical batch must be a no-op on snapshot state")
+    assert(once(3L) === "v3b" && !once.contains(5L) && once(50L) === "v50")
+  }
+
+  test("expectations ride a stream via observe: per-micro-batch " +
+    "violation counters with no second pass") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val audited = graft.observe.Expectations.observed(
+      in.toDS().toDF("price", "status"), "quality",
+      Seq(
+        ("bad_price", col("price") > 0),
+        ("bad_status", col("status").isin("O", "F"))))
+    val q = audited.writeStream.format("memory").queryName("exp_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((5L, "O"), (-1L, "F"), (0L, "Z"))
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("quality"))).last
+      assert(m.getAs[Long]("n_rows") === 3L)
+      assert(m.getAs[Long]("bad_price") === 2L, "-1 and 0 violate")
+      assert(m.getAs[Long]("bad_status") === 1L, "Z violates")
+      // the audit is a rider: every row still reaches the sink
+      assert(s.table("exp_stream").count() === 3L)
+    }
+  }
 }
