@@ -720,7 +720,81 @@ object Relational {
       .orderBy(col("h"))
   }
 
+  /** q127: UNPIVOT / melt — wide-to-long reshape of per-flag metrics
+    * (the report-table shape a metrics exporter wants: one row per
+    * (dimension, metric)). Scale shape: the Expand that unpivot plans
+    * runs over the PRE-AGGREGATED relation (|flags| rows), never the
+    * fact scan — one corpus pass computes the wide row, the reshape is
+    * free. Money stays in integer cents for exact cross-engine sums. */
+  def unpivotFlagMetrics(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(round(col("l_quantity") * 100).cast("bigint")).as("qty_c"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint"))
+          .as("price_c"),
+        count(lit(1)).as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_c"), col("price_c"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** q128: INTERSECT / EXCEPT set reconciliation — which users both
+    * purchased and errored, and who is in exactly one set (the audit
+    * question behind audience-overlap and A/B-contamination checks).
+    * The set ops are declared as Dataset `intersect`/`except`:
+    * Catalyst plans each as a hash-distinct feeding a left-semi /
+    * left-anti hash join on the id — the exchange carries DISTINCT
+    * ids only (partial-agg dedup map-side), never event rows. The
+    * three legs share the two distinct-id relations, so the corpus is
+    * scanned once per side at 100 TB. */
+  def setReconciliation(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def ids(kind: String) =
+      ev.filter(col("event_type") === kind).select(col("user_id"))
+    val purch = ids("purchase")
+    val err = ids("error")
+    def leg(name: String, d: DataFrame) =
+      d.agg(count(lit(1)).as("n_users")).select(lit(name).as("set_op"),
+        col("n_users"))
+    leg("both", purch.intersect(err))
+      .unionByName(leg("error_only", err.except(purch)))
+      .unionByName(leg("purchase_only", purch.except(err)))
+      .orderBy(col("set_op"))
+  }
+
+  /** q129: VARIANT semi-structured analytics (Spark 4 open variant
+    * encoding): build a nested JSON payload, `parse_json` it ONCE into
+    * a variant value, then extract several typed paths with
+    * `variant_get`/`try_variant_get` — the parse-once/extract-many
+    * discipline that replaces N `get_json_object` string re-parses
+    * with one binary-encoded decode (at 100 TB the repeated string
+    * parse IS the hot stage). Missing paths surface as typed NULLs and
+    * take a coalesce default, same contract as q48's struct path. */
+  def variantPathStats(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(
+      lit("""{"meta":{"type":""""), col("event_type"),
+      lit("""","bucket":"""), pmod(col("user_id"), lit(5)),
+      lit("""},"k":"""), get_json_object(col("props"), "$.k"), lit("}"))
+    graft.Tables.loadSpread(s, dir, "events") // JSON parse is per-row CPU
+      .withColumn("v", parse_json(payload))
+      .select(
+        variant_get(col("v"), "$.meta.type", "string").as("etype"),
+        variant_get(col("v"), "$.meta.bucket", "bigint").as("bucket"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        coalesce(try_variant_get(col("v"), "$.meta.absent", "string"),
+          lit("none")).as("fallback"))
+      .groupBy(col("etype"), col("bucket"), col("fallback"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("etype"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_unpivot_flag_metrics" -> unpivotFlagMetrics,
+    "q128_set_reconciliation" -> setReconciliation,
+    "q129_variant_path_stats" -> variantPathStats,
     "q125_busy_hour_overlap" -> busyHourOverlap,
     "q120_equidepth_histogram" -> equidepthHistogram,
     "q123_cube_doc_stats" -> cubeDocStats,
@@ -764,6 +838,54 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent formulation: explicit UNION ALL instead of UNPIVOT
+    "q127_unpivot_flag_metrics" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS qty_c,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS price_c,
+        |    count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price_c', price_c FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q128_set_reconciliation" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'both' AS set_op,
+        |  (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM e))
+        |    AS n_users
+        |UNION ALL
+        |SELECT 'error_only',
+        |  (SELECT count(*) FROM (SELECT * FROM e EXCEPT SELECT * FROM p))
+        |UNION ALL
+        |SELECT 'purchase_only',
+        |  (SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM e))
+        |ORDER BY set_op""".stripMargin,
+    // the oracle re-parses the same constructed payload with DuckDB's
+    // JSON functions — the independent check on every extracted path
+    "q129_variant_path_stats" ->
+      """WITH payload AS (
+        |  SELECT '{"meta":{"type":"' || event_type || '","bucket":' ||
+        |    CAST(user_id % 5 AS VARCHAR) || '},"k":' ||
+        |    json_extract_string(props, '$.k') || '}' AS j
+        |  FROM events)
+        |SELECT json_extract_string(j, '$.meta.type') AS etype,
+        |  CAST(json_extract(j, '$.meta.bucket') AS BIGINT) AS bucket,
+        |  'none' AS fallback,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(j, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k
+        |FROM payload GROUP BY 1, 2, 3 ORDER BY etype, bucket""".stripMargin,
     // the independent formulation: the RAW theta join the bucket
     // decomposition must equal exactly
     "q125_busy_hour_overlap" ->

@@ -784,4 +784,62 @@ class StreamingSpec extends SparkSuite {
       assert(s.table("exp_stream").count() === 3L)
     }
   }
+
+  test("freshness watchdog (transformWithState): a silent key alerts " +
+    "when the watermark passes its deadline, re-arms on revival") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import graft.stream.Watchdog
+    import graft.stream.Watchdog.{StaleAlert, TableEvent}
+    // transformWithState runs on the RocksDB state store backend
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[TableEvent]
+      val q = Watchdog.staleAlerts(in.toDS(), staleAfterMs = 60000L)
+        .writeStream.format("memory").queryName("watchdog_out")
+        .outputMode("update").start()
+      withQuery(q) {
+        def alerts() = s.table("watchdog_out").as[StaleAlert]
+          .collect().toSeq.sortBy(a => (a.tableName, a.deadlineMs))
+        // t=100 s: both tables report; deadlines armed at t=160 s
+        in.addData(TableEvent("A", ts(100)), TableEvent("B", ts(100)))
+        q.processAllAvailable()
+        // A keeps reporting, B goes silent. Watermark reaches 200 s
+        // after this batch; B's 160 s timer fires on the next one.
+        in.addData(TableEvent("A", ts(200)))
+        q.processAllAvailable()
+        in.addData(TableEvent("A", ts(210)))
+        q.processAllAvailable()
+        assert(alerts() === Seq(StaleAlert("B", ts(100), 160000L)),
+          "only the silent key alerts, at last-heartbeat + staleAfter")
+        // B revives at t=300 s (new deadline 360 s), then goes silent
+        // again; advancing the watermark past 360 s re-alerts — the
+        // timer re-armed from the revived heartbeat. A keeps beating
+        // inside every 60 s deadline, so it must stay silent.
+        in.addData(TableEvent("A", ts(250)), TableEvent("B", ts(300)))
+        q.processAllAvailable()
+        in.addData(TableEvent("A", ts(350)))
+        q.processAllAvailable()
+        in.addData(TableEvent("A", ts(400)))
+        q.processAllAvailable()
+        in.addData(TableEvent("A", ts(450)))
+        q.processAllAvailable()
+        val after = alerts().filter(_.tableName == "B")
+        assert(after === Seq(
+          StaleAlert("B", ts(100), 160000L),
+          StaleAlert("B", ts(300), 360000L)))
+        // A reported within every deadline: never alerted
+        assert(alerts().forall(_.tableName == "B"))
+      }
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
 }
