@@ -431,4 +431,41 @@ class PlanSpec extends SparkSuite {
     assert(TopOnePerKey(global.queryExecution.optimizedPlan).toString
       .contains("Window"))
   }
+
+  test("q127 unpivot: ONE fact scan; the Expand reshapes the " +
+    "aggregated relation, not the corpus") {
+    val p = plan("q127_unpivot_flag_metrics")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"unpivot must not re-scan the fact table:\n$p")
+    assert(p.contains("Expand"), "unpivot plans through Expand")
+    // Expand above the final aggregate: everything below the first
+    // Expand occurrence must already contain both aggregation passes
+    val below = p.substring(p.indexOf("Expand"))
+    assert("HashAggregate".r.findAllIn(below).size >= 2,
+      s"Expand must sit above the partial+final aggregate, not the scan:\n$p")
+  }
+
+  test("q128 set ops: event filters pushed to the scans; exchanges " +
+    "carry distinct ids, never raw events") {
+    val p = plan("q128_set_reconciliation")
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,error)"),
+      s"set legs must push their event_type filter into parquet:\n$p")
+    // intersect/except plan as semi/anti joins over hash-distinct ids
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"intersect/except must plan as semi/anti joins:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"distinct-id joins should hash, not global-sort:\n$p")
+  }
+
+  test("q129 variant: map-only extraction — no join, no window, " +
+    "narrow scan") {
+    val p = plan("q129_variant_path_stats")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"variant path extraction must stay map-side:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(readSchema.nonEmpty && !readSchema.contains("value:"),
+      s"untouched columns (value) must be pruned from the scan:\n$readSchema")
+  }
 }
