@@ -214,6 +214,115 @@ object Layout {
         .filter(col(probeCol).between(lo, hi))
   }
 
+  // ---- E93: bloom-filtered point-lookup layout ------------------------
+
+  private val bloomLock = new Object
+
+  /** Hash-scattered parquet layout of lineitem with a COLUMN BLOOM
+    * FILTER on `l_orderkey` (parquet-mr's split-block bloom, written
+    * via the `parquet.bloom.filter.enabled#col` option). This is the
+    * layout regime zone maps cannot serve: a high-cardinality key
+    * hash-scattered across files makes every file's min/max rectangle
+    * span the whole domain ([[pruneFiles]] keeps everything), while
+    * each file's bloom proves ABSENCE for a point key with ~1% false
+    * positives — the complementary pruning structure (zone maps answer
+    * ranges on clustered keys; blooms answer equality on scattered
+    * ones). Expected NDV is DERIVED from the table's row count (a
+    * parquet-metadata count, no data pages), never a fixture constant.
+    *
+    * Built once per source state under the IndexStore root, keyed by
+    * the same (files × version) fingerprint — later sessions attach. */
+  def bloomLayout(s: SparkSession, dir: String,
+      nFiles: Int = 8): String = bloomLock.synchronized {
+    val src = s"$dir/lineitem.parquet"
+    val fp = graft.observe.IndexStore.fingerprint(s, src, version = nFiles)
+    val root = s.conf.get("spark.graft.indexDir",
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index")
+    val loc = new Path(s"$root/bloom_lineitem/fp=$fp")
+    val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(new Path(loc, "_SUCCESS"))) {
+      if (f.exists(loc)) f.delete(loc, true) // torn earlier build
+      val rows = s.read.parquet(src).count() // parquet-metadata count
+      s.read.parquet(src)
+        .repartition(nFiles, col("l_orderkey"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey",
+          math.max(1024L, rows / 2).toString)
+        // parquet-mr SKIPS the bloom when a chunk stays fully
+        // dictionary-encoded (the dictionary already proves absence).
+        // At 100 TB a surrogate key always overflows the dictionary
+        // into plain encoding and the bloom appears on its own; the
+        // small fixture would dictionary-encode and write NO bloom, so
+        // plain encoding is forced on the key column to exercise the
+        // same layout the production regime produces.
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(loc.toString)
+    }
+    loc.toString
+  }
+
+  /** Bloom-pruned file set for a point-lookup key list: a file is kept
+    * only if SOME row group's bloom admits SOME probe key (or proof is
+    * unavailable — missing column chunk or bloom ⇒ conservatively
+    * read, the [[pruneFiles]] discipline). Footer + bloom bitset reads
+    * only — bitsets are bounded by the writer (≤ ~1 MiB each), so this
+    * is #files-sized metadata like the rectangle collect. */
+  def bloomPruneFiles(s: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): (Seq[String], Int) = {
+    import scala.jdk.CollectionConverters._
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+    val conf = s.sessionState.newHadoopConf()
+    val kept = all.filter { file =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(file), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+            case None => true // column chunk missing — cannot prove
+            case Some(c) =>
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+              if (bf == null) true // no bloom written — must read
+              else keys.exists(k => bf.findHash(bf.hash(k)))
+          }
+        }
+      } finally reader.close()
+    }
+    (kept.sorted, all.size)
+  }
+
+  /** The bloom-pruned point scan; the exact `isin` filter still
+    * applies (a bloom keeps false-positive files, never drops true
+    * ones). */
+  def bloomPointScan(s: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): DataFrame = {
+    val (kept, _) = bloomPruneFiles(s, path, keyCol, keys)
+    if (kept.isEmpty) s.read.parquet(path).filter(lit(false))
+    else s.read.parquet(kept: _*).filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** q130: a point-lookup rollup served through the bloom-pruned
+    * layout — must equal the plain filtered aggregate over the source
+    * table whatever the file layout (the q126 contract, equality
+    * flavor). Probe keys derive from the key domain (max/7 × 1..5 —
+    * the oracle re-derives the same five), so the query is meaningful
+    * at every scale factor. */
+  def bloomPointRollup(s: SparkSession, dir: String): DataFrame = {
+    val layout = bloomLayout(s, dir)
+    val mx = s.read.parquet(s"$dir/lineitem.parquet")
+      .agg(max("l_orderkey")).collect().head.getLong(0)
+    val keys = (1L to 5L).map(i => math.max(1L, (mx / 7) * i))
+    bloomPointScan(s, layout, "l_orderkey", keys)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_keys"))
+  }
+
   /** q126: a range rollup served through [[prunedScan]] — must equal
     * the plain filtered aggregate (the oracle), whatever the file
     * layout. */
@@ -228,6 +337,7 @@ object Layout {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_zorder_keys" -> zorderKeys,
     "q126_pruned_range_rollup" -> prunedRangeRollup,
+    "q130_bloom_point_lookup" -> bloomPointRollup,
   )
 
   def oracles: Map[String, String] = {
@@ -236,6 +346,16 @@ object Layout {
     val pb = duckBucket("l_partkey", "pmn", "pmx", 256)
     val sb = duckBucket("l_suppkey", "smn", "smx", 256)
     Map(
+      // the plain filtered scan the bloom-pruned serve path must equal;
+      // the oracle re-derives the same five probe keys from the domain
+      "q130_bloom_point_lookup" ->
+        """WITH mm AS (SELECT max(l_orderkey) AS mx FROM lineitem),
+          |ks AS (SELECT DISTINCT greatest(1, (mx // 7) * i) AS k
+          |       FROM mm, generate_series(1, 5) AS t(i))
+          |SELECT count(*) AS n,
+          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          |  count(DISTINCT l_orderkey) AS n_keys
+          |FROM lineitem WHERE l_orderkey IN (SELECT k FROM ks)""".stripMargin,
       // the plain filtered scan the pruned serve path must equal
       "q126_pruned_range_rollup" ->
         """SELECT count(*) AS n,

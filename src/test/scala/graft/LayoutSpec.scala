@@ -130,4 +130,49 @@ class LayoutSpec extends SparkSuite {
       .prunedScan(spark, out, "o_orderkey", kMax + 10, kMax + 20)
       .count() === 0L)
   }
+
+  test("bloom layout: point lookups skip files zone maps cannot, " +
+    "serve path identical to the full scan") {
+    import org.apache.spark.sql.functions._
+    // scoped index root so the layout builds fresh in this test
+    val prevRoot = spark.conf.getOption("spark.graft.indexDir")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString
+    spark.conf.set("spark.graft.indexDir", scratch)
+    try {
+      val layout = Layout.bloomLayout(spark, sf, nFiles = 8)
+      val mx = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(max("l_orderkey")).collect()(0).getLong(0)
+      val probe = Seq(math.max(1L, mx / 3))
+      // hash-scattered: every file's min/max rectangle spans the
+      // domain, so ZONE-MAP pruning keeps everything...
+      val (zoneKept, total) = Layout.pruneFiles(
+        spark, layout, "l_orderkey", probe.head, probe.head)
+      assert(total === 8)
+      assert(zoneKept.size === total,
+        "scattered layout must defeat min/max pruning (the bloom regime)")
+      // ...while the BLOOM proves absence for all but the key's own
+      // file (plus ~1% false positives; 8 files ⇒ strict subset whp)
+      val (bloomKept, _) = Layout.bloomPruneFiles(
+        spark, layout, "l_orderkey", probe)
+      assert(bloomKept.nonEmpty && bloomKept.size < total,
+        s"bloom must skip files: kept ${bloomKept.size} of $total")
+      val served = Layout
+        .bloomPointScan(spark, layout, "l_orderkey", probe)
+        .agg(count(lit(1)), sum(col("l_quantity"))).collect()(0)
+      val full = spark.read.parquet(layout)
+        .filter(col("l_orderkey").isin(probe: _*))
+        .agg(count(lit(1)), sum(col("l_quantity"))).collect()(0)
+      assert(served === full, "bloom serve path must equal the full scan")
+      assert(served.getLong(0) > 0L, "the probe key must exist")
+      // an absent key: pruned to (whp) nothing, result empty regardless
+      assert(Layout.bloomPointScan(
+        spark, layout, "l_orderkey", Seq(mx + 987654321L)).count() === 0L)
+    } finally {
+      prevRoot match {
+        case Some(r) => spark.conf.set("spark.graft.indexDir", r)
+        case None => spark.conf.unset("spark.graft.indexDir")
+      }
+    }
+  }
 }
