@@ -804,7 +804,31 @@ object Relational {
       .orderBy(col("etype"), col("bucket"))
   }
 
+  /** q131: MATERIALIZED-VIEW-SERVED rollup (E94) — the user writes the
+    * plain aggregate over the 100 TB base table; [[graft.plans.MvRewrite]]
+    * reroutes it to the content-addressed daily MV artifact and
+    * re-aggregates O(grain) rows instead. The query text is exactly the
+    * naive one — the serve path is the optimizer's doing, proven by
+    * PlanSpec (the executed plan scans the MV artifact, never
+    * lineitem.parquet) and by this oracle (DuckDB computes the same
+    * rollup from the BASE table, so rewrite ≡ direct is the gate).
+    * Rollup exactness: count/sum/min/max are associative-decomposable,
+    * and l_quantity is integer-valued so re-associated double sums are
+    * exact. */
+  def mvRollupServe(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.MvCatalog.registerLineitemDaily(s, dir)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_mv_rollup_serve" -> mvRollupServe,
     "q127_unpivot_flag_metrics" -> unpivotFlagMetrics,
     "q128_set_reconciliation" -> setReconciliation,
     "q129_variant_path_stats" -> variantPathStats,
@@ -851,6 +875,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // the DIRECT rollup over the base table — what the MV-served
+    // rewrite must equal exactly
+    "q131_mv_rollup_serve" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // independent formulation: explicit UNION ALL instead of UNPIVOT
     "q127_unpivot_flag_metrics" ->
       """WITH wide AS (

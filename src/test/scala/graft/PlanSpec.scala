@@ -432,6 +432,53 @@ class PlanSpec extends SparkSuite {
       .contains("Window"))
   }
 
+  test("q131 MV rewrite: the served rollup scans the MV artifact, " +
+    "never the base table; non-derivable aggregates stay on the base") {
+    import org.apache.spark.sql.functions._
+    // building the q131 frame registers the MV + the optimizer rule
+    val served = SparkEntry.queries("q131_mv_rollup_serve")(spark, sf)
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("mv_lineitem_daily"),
+      s"rollup must be served from the MV artifact:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"the base table must not be scanned:\n$p")
+    // rewrite ≡ direct: compare against the same aggregate computed
+    // with the rule bypassed (a non-derivable aggregate keeps the
+    // whole query on the base path)
+    val base = Tables.load(spark, sf, "lineitem")
+    val direct = base.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    // sum(discount) is not covered by the MV: the plan must stay on base
+    val uncovered = base.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_discount")).as("s"))
+    assert(uncovered.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "an uncovered aggregate must not be rewritten")
+    // a filtered aggregate must not be rewritten (predicate could
+    // touch columns the MV grain lost)
+    val filtered = base.filter(col("l_partkey") > 100)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"),
+      "a filtered aggregate must not be rewritten")
+    // compute `direct` with the rule momentarily removed, or it would
+    // itself be MV-served and the equality would be vacuous
+    val saved = spark.experimental.extraOptimizations
+    val directRows =
+      try {
+        spark.experimental.extraOptimizations =
+          saved.filterNot(_ eq graft.plans.MvRewrite)
+        assert(direct.queryExecution.executedPlan.toString
+          .contains("lineitem.parquet"))
+        direct.collect().toSeq
+      } finally spark.experimental.extraOptimizations = saved
+    assert(served.collect().toSeq === directRows,
+      "MV-served result must equal the direct rollup")
+  }
+
   test("q127 unpivot: ONE fact scan; the Expand reshapes the " +
     "aggregated relation, not the corpus") {
     val p = plan("q127_unpivot_flag_metrics")
