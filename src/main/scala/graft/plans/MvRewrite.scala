@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -73,18 +73,32 @@ object MvRewrite extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(groups, aggExprs, child, _) =>
         baseRelationOf(child)
-          .flatMap(spec => rewrite(agg, groups, aggExprs, spec))
+          .flatMap { case (spec, cond) =>
+            rewrite(agg, groups, aggExprs, spec, cond) }
           .getOrElse(agg)
     }
 
   /** The registered base relation under `child`, tolerating the
     * column-pruning Project (pure attributes only — an expression in
-    * between could alias a computed value the MV cannot supply). */
-  private def baseRelationOf(child: LogicalPlan): Option[Spec] = child match {
-    case l: LogicalRelation => specFor(l)
-    case Project(projList, l: LogicalRelation)
+    * between could alias a computed value the MV cannot supply) and a
+    * Filter whose predicate touches ONLY grain columns (a slice on a
+    * grain dimension selects whole MV rows, so it pushes through the
+    * rollup exactly; any other predicate references detail the MV
+    * lost — bail). Returns the spec plus the translatable residual
+    * predicate. */
+  private def baseRelationOf(
+      child: LogicalPlan): Option[(Spec, Option[Expression])] = child match {
+    case l: LogicalRelation => specFor(l).map((_, None))
+    case Project(projList, inner)
         if projList.forall(_.isInstanceOf[AttributeReference]) =>
-      specFor(l)
+      baseRelationOf(inner)
+    case Filter(cond, inner) if cond.deterministic =>
+      baseRelationOf(inner).flatMap {
+        case (spec, None)
+            if cond.references.forall(a => spec.groupCols(a.name)) =>
+          Some((spec, Some(cond)))
+        case _ => None // stacked filters collapse before this rule runs
+      }
     case _ => None
   }
 
@@ -99,7 +113,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       agg: Aggregate,
       groups: Seq[Expression],
       aggExprs: Seq[NamedExpression],
-      spec: Spec): Option[LogicalPlan] = {
+      spec: Spec,
+      cond: Option[Expression]): Option[LogicalPlan] = {
     val mvAttr: Map[String, Attribute] =
       spec.mvPlan.output.map(a => a.name -> a).toMap
 
@@ -137,7 +152,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
     val newGroups = groupAttrs.map(a => mvAttr(a.name))
-    Some(Aggregate(newGroups, newAggExprs, spec.mvPlan))
+    val source = cond match {
+      case Some(c) =>
+        Filter(c.transform {
+          case a: AttributeReference => mvAttr(a.name)
+        }, spec.mvPlan)
+      case None => spec.mvPlan
+    }
+    Some(Aggregate(newGroups, newAggExprs, source))
   }
 }
 

@@ -457,26 +457,50 @@ class PlanSpec extends SparkSuite {
     assert(uncovered.queryExecution.executedPlan.toString
       .contains("lineitem.parquet"),
       "an uncovered aggregate must not be rewritten")
-    // a filtered aggregate must not be rewritten (predicate could
-    // touch columns the MV grain lost)
+    // a filter on a NON-grain column must not be rewritten (the
+    // predicate references detail the MV lost)
     val filtered = base.filter(col("l_partkey") > 100)
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     assert(filtered.queryExecution.executedPlan.toString
       .contains("lineitem.parquet"),
-      "a filtered aggregate must not be rewritten")
+      "a non-grain filter must not be rewritten")
+    // a filter on a GRAIN column selects whole MV rows: it rewrites,
+    // and the result equals the base computation
+    val grainFiltered = base.filter(col("l_returnflag") =!= "R")
+      .groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+    val gp = grainFiltered.queryExecution.executedPlan.toString
+    assert(gp.contains("mv_lineitem_daily") &&
+      !gp.contains("lineitem.parquet"),
+      s"a grain-column filter must serve from the MV:\n$gp")
+    val expectGrain = bypassingMvRule {
+      base.filter(col("l_returnflag") =!= "R")
+        .groupBy(col("l_linestatus")).agg(count(lit(1)))
+        .orderBy(col("l_linestatus"))
+        .collect().map(_.getLong(1)).toSeq
+    }
+    assert(grainFiltered.collect().map(_.getLong(1)).toSeq === expectGrain)
     // compute `direct` with the rule momentarily removed, or it would
     // itself be MV-served and the equality would be vacuous
-    val saved = spark.experimental.extraOptimizations
-    val directRows =
-      try {
-        spark.experimental.extraOptimizations =
-          saved.filterNot(_ eq graft.plans.MvRewrite)
-        assert(direct.queryExecution.executedPlan.toString
-          .contains("lineitem.parquet"))
-        direct.collect().toSeq
-      } finally spark.experimental.extraOptimizations = saved
+    val directRows = bypassingMvRule {
+      assert(direct.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet"))
+      direct.collect().toSeq
+    }
     assert(served.collect().toSeq === directRows,
       "MV-served result must equal the direct rollup")
+  }
+
+  /** Run `body` with MvRewrite removed from extraOptimizations (and
+    * restored after) — for computing ground truth the rule would
+    * otherwise rewrite. */
+  private def bypassingMvRule[T](body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        saved.filterNot(_ eq graft.plans.MvRewrite)
+      body
+    } finally spark.experimental.extraOptimizations = saved
   }
 
   test("q127 unpivot: ONE fact scan; the Expand reshapes the " +
