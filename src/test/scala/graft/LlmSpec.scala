@@ -244,6 +244,30 @@ class LlmSpec extends SparkSuite {
       "plane count must grow with the corpus (decline path)")
   }
 
+  test("multi-probe LSH: flipped low-margin probes dominate the " +
+    "own-bucket baseline (per-rank cosine and recall@5 vs brute force)") {
+    def resultOf(n: Int) = Llm.probeTopK(spark, sf, n).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val one = resultOf(1)
+    val four = resultOf(4)
+    // candidate-superset property, exactly: every rank the 1-probe
+    // run filled, the 4-probe run fills at least as well
+    assert(four.size > one.size,
+      "extra probes must surface extra candidates on a sparse index")
+    one.foreach { case (key, (_, cos1)) =>
+      assert(four.contains(key) && four(key)._2 >= cos1,
+        s"4-probe must dominate 1-probe at $key") }
+    val exact = Llm.topkCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r1 = one.map { case ((q, _), (id, _)) => (q, id) }.toSet
+      .intersect(exact).size.toDouble / exact.size
+    val r4 = four.map { case ((q, _), (id, _)) => (q, id) }.toSet
+      .intersect(exact).size.toDouble / exact.size
+    assert(r4 >= r1, s"recall must not drop: $r4 vs $r1")
+    info(f"multi-probe recall@5: 1-probe=$r1%.3f 4-probe=$r4%.3f")
+  }
+
   test("property: bounded-heap top-k ≡ global sort under any " +
     "partitioning and merge order (the mergeability claim)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -503,6 +503,22 @@ class PlanSpec extends SparkSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("q133 global sequence: no Window anywhere (the single-partition " +
+    "sort trap), no hash exchange in the serve plan") {
+    val p = plan("q133_global_sequence")
+    assert(!p.contains("Window"),
+      s"global row numbering must not plan a window:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"the serve path is range-shuffled once, never hash-shuffled:\n$p")
+  }
+
+  test("q132 multi-probe: the probe side broadcasts onto the index " +
+    "equi-join") {
+    val p = plan("q132_multiprobe_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes must broadcast-hash-join the index:\n$p")
+  }
+
   test("q127 unpivot: ONE fact scan; the Expand reshapes the " +
     "aggregated relation, not the corpus") {
     val p = plan("q127_unpivot_flag_metrics")
