@@ -283,6 +283,61 @@ object IndexStore {
       .exists(_.trim.nonEmpty)
   }
 
+  /** Time-travel read: artifact `name` AS OF the source state whose
+    * fingerprint is `fp` — any retained head or chain ancestor (both
+    * carry `_SUCCESS` + `_MANIFEST`, both appear in [[inventory]]).
+    * For a snapshot-chained artifact, reading at the parent
+    * fingerprint is the artifact BEFORE the last append: the chain is
+    * the version history, so "as of" is just a shorter multi-path
+    * scan — no copy, no restore step, the table-format time-travel
+    * semantics at zero storage cost. Retention bounds how far back a
+    * read can reach ([[keepFingerprints]] heads plus every ancestor
+    * they protect); a reclaimed or torn state fails loudly here
+    * rather than serving a partial chain. */
+  def readAsOf(s: SparkSession, name: String, fp: String): DataFrame = {
+    val base = new Path(s"${root(s)}/$name")
+    val f = fs(s, base)
+    require(f.exists(new Path(new Path(base, s"fp=$fp"), "_SUCCESS")) &&
+      chainIntact(f, base, fp),
+      s"no intact artifact $name at fingerprint $fp (reclaimed or torn)")
+    readChain(s, base, fp)
+  }
+
+  /** Garbage-collect abandoned STAGING dirs (`.build-*`): a builder
+    * that crashed between staging and publish leaves its hidden tmp
+    * dir forever — invisible to reads (never renamed into a `fp=`
+    * path) but real bytes on a real object store. Deleting them is
+    * safe once no in-flight builder can still own them, which is what
+    * the age floor expresses; published artifacts and their chains are
+    * never touched (reclaiming THOSE is the build-time retention
+    * pass's job, which knows the live chain). Returns one row per
+    * reclaimed dir `(artifact, staging, bytes)` — a vacuum that
+    * reports what it freed, not a silent delete. */
+  def vacuumStaging(s: SparkSession,
+      olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val base = new Path(root(s))
+    val f = fs(s, base)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val rows: Seq[(String, String, Long)] =
+      if (!f.exists(base)) Seq.empty
+      else
+        f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { art =>
+          f.listStatus(art.getPath).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(".build-") &&
+              st.getModificationTime < cutoff)
+            .map { st =>
+              val bytes = f.getContentSummary(st.getPath).getLength
+              f.delete(st.getPath, true)
+              (art.getPath.getName, st.getPath.getName, bytes)
+            }
+        }
+    rows.toDF("artifact", "staging", "bytes")
+      .orderBy(col("artifact"), col("staging"))
+  }
+
   /** Drop artifact `name` entirely; the next read rebuilds it. */
   def invalidate(s: SparkSession, name: String): Unit = {
     val base = new Path(s"${root(s)}/$name")

@@ -140,6 +140,60 @@ class IndexStoreSpec extends SparkSuite {
       "a rewrite must fall back to the full build")
   }
 
+  test("time travel: reading at the parent fingerprint serves the " +
+    "pre-append snapshot; a reclaimed state fails loudly") {
+    val name = freshName("asof")
+    val src = scratch("asof")
+    val s = spark
+    import s.implicits._
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      s.read.parquet(src))(
+      (_, added) => s.read.parquet(added: _*))
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    val fpBefore = IndexStore.fingerprint(s, src, 1)
+    Thread.sleep(5)
+    Seq(4L, 5L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+    // the parent segment is the version history: as-of = shorter scan
+    assert(IndexStore.readAsOf(s, name, fpBefore)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L),
+      "as-of read must serve the pre-append snapshot")
+    intercept[IllegalArgumentException] {
+      IndexStore.readAsOf(s, name, "deadbeef")
+    }
+  }
+
+  test("vacuumStaging reclaims only aged abandoned staging dirs; " +
+    "published artifacts and fresh stages survive") {
+    val name = freshName("vac")
+    val src = scratch("vac")
+    writeSource(src, 1L to 5L)
+    IndexStore.readOrBuild(spark, name, src) {
+      spark.read.parquet(src)
+    }.collect()
+    // a crashed builder's leftovers: one aged stage, one in-flight
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val aged = Paths.get(root, name, ".build-dead-1")
+    val fresh = Paths.get(root, name, ".build-live-2")
+    Files.createDirectories(aged)
+    Files.write(aged.resolve("part-0.parquet"), Array.fill(64)(7.toByte))
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    Files.createDirectories(fresh)
+    val report = IndexStore.vacuumStaging(spark)
+      .filter(col("artifact") === name).collect()
+    assert(report.length === 1 && report(0).getString(1) === ".build-dead-1")
+    assert(report(0).getLong(2) >= 64L)
+    assert(!Files.exists(aged), "aged stage must be reclaimed")
+    assert(Files.exists(fresh), "an in-flight stage must survive")
+    assert(IndexStore.readOrBuild(spark, name, src) {
+      fail("published artifact must still serve without a rebuild")
+    }.count() === 5L)
+  }
+
   test("inventory: the store describes its own artifacts — head, " +
     "chain depth, file/byte footprint") {
     val name = freshName("inv")

@@ -350,6 +350,37 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom-filter join: a selective dim predicate " +
+    "semi-prunes the fact side of a shuffle join at runtime") {
+    val s = spark
+    // At 100 TB the defaults fire on their own (application side
+    // > 10 GB); the fixture only has to clear the size gates to prove
+    // the engine's join shape is injection-eligible: a selective
+    // filter on the small side of a shuffle equi-join.
+    val conf = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+    conf.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val orders = s.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = s.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      assert(j.collect().length === 1)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter was not injected on the fact scan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   // ---- TopOnePerKey rewrite rule --------------------------------------
 
   import org.apache.spark.sql.{DataFrame, GraftBridge}
