@@ -338,6 +338,54 @@ object IndexStore {
       .orderBy(col("artifact"), col("staging"))
   }
 
+  /** Compact the live chain into ONE standalone segment at the same
+    * fingerprint — the checkpoint/rewrite step every snapshot-chained
+    * format needs: each pure append deepens the chain by one segment,
+    * and a read is a chain-length multi-path scan, so read
+    * amplification grows with append count until something folds the
+    * history. Compaction rewrites `union(chain)` as a parentless
+    * segment for the CURRENT source state (content unchanged — the
+    * fingerprint still matches, so no reader can observe a semantic
+    * difference); ancestor segments are left for the retention pass
+    * (other retained heads may still chain to them, and [[readAsOf]]
+    * keeps serving them as snapshots). The swap is rename-out /
+    * rename-in under the build lock; a crash between the renames
+    * leaves no artifact at `fp=` — the safe direction, since the next
+    * read just rebuilds — never a torn one. Returns true if a
+    * multi-segment chain was folded, false when there was nothing to
+    * do (absent, torn, or already standalone). */
+  def compactChain(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1): Boolean = {
+    val fp = fingerprint(s, srcDir, version)
+    val base = new Path(s"${root(s)}/$name")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, base)
+      val dest = new Path(base, s"fp=$fp")
+      val servable = f.exists(new Path(dest, "_SUCCESS")) &&
+        chainIntact(f, base, fp)
+      val chain = if (servable) chainPaths(f, base, fp) else Seq.empty
+      if (chain.size <= 1) false
+      else {
+        val manifest = readSmall(f, new Path(dest, "_MANIFEST"))
+          .getOrElse(sourceManifest(s, srcDir).mkString("\n"))
+        val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+        s.read.parquet(chain.map(_.toString): _*)
+          .write.mode("overwrite").parquet(tmp.toString)
+        writeSmall(f, new Path(tmp, "_MANIFEST"), manifest)
+        val old = new Path(base, s".old-$fp-${System.nanoTime()}")
+        if (f.rename(dest, old) && f.rename(tmp, dest)) {
+          f.delete(old, true)
+          true
+        } else { // lost a cross-process race; keep whatever is live
+          f.delete(tmp, true)
+          if (!f.exists(dest)) f.rename(old, dest) else f.delete(old, true)
+          false
+        }
+      }
+    }
+  }
+
   /** Drop artifact `name` entirely; the next read rebuilds it. */
   def invalidate(s: SparkSession, name: String): Unit = {
     val base = new Path(s"${root(s)}/$name")

@@ -282,6 +282,62 @@ object Lineage {
       .select(col("a").as("v"), least(col("a"), col("mn")).as("label"))
   }
 
+  /** Incremental connected-components maintenance: fold NEW pairs
+    * into a previous labeling without re-clustering the corpus — the
+    * append path of the dup-cluster lifecycle (the label analog of the
+    * band-index delta segments). A previous labeling is a CONTRACTED
+    * view of its edge set: every old component is one super-node named
+    * by its min-id label. New edges can only (a) merge existing
+    * components, (b) attach new vertices, or (c) land inside one
+    * component — so CC over the contracted delta graph (endpoints
+    * mapped through their old labels; new endpoints label themselves)
+    * decides everything that can change. That graph has ≤ |new pairs|
+    * edges, so the append cost is O(delta + affected components) and
+    * NEVER O(all pairs ever) — at 100 TB the full relabel is the
+    * hidden rebuild this path exists to avoid. The relabel join is on
+    * the old LABEL (component-count-sized); min-label composition is
+    * exact: a merged component's final label is the min over its
+    * merged old labels, each already the min over its members.
+    *
+    * Both inputs use the caller's column pairing: `prevLabels` is
+    * (v, label) as produced by [[connectedComponents]] /
+    * [[connectedComponentsBigStar]]; returns the same shape for the
+    * union edge set, provably equal to a from-scratch run (LineageSpec
+    * property). */
+  def incrementalComponents(prevLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val Seq(c1, c2) = newPairs.columns.toSeq.map(col)
+    val prev = prevLabels.select(col("v"), col("label"))
+    val d = newPairs.select(c1.as("a"), c2.as("b"))
+    def tagged(side: String) = prev
+      .select(col("v").as(side), col("label").as(s"l$side"))
+    val contracted = d
+      .join(tagged("a"), Seq("a"), "left_outer")
+      .join(tagged("b"), Seq("b"), "left_outer")
+      .select(coalesce(col("la"), col("a")).as("ca"),
+        coalesce(col("lb"), col("b")).as("cb"))
+      .filter(col("ca") =!= col("cb"))
+    // CC over super-nodes: rows only for labels/new vertices that a
+    // new edge actually touches — everything else keeps its label
+    val merged = connectedComponents(contracted)
+      .select(col("v").as("old"), col("label").as("nl"))
+    val relabeled = prev
+      .join(merged, prev("label") === col("old"), "left_outer")
+      .select(col("v"), coalesce(col("nl"), col("label")).as("label"))
+    // New vertices: delta endpoints the previous labeling never saw.
+    // Any legitimate one (a pair with DISTINCT endpoints) survives the
+    // contraction and is labeled by `merged`; the inner join therefore
+    // also drops self-pair-only vertices, which a from-scratch run
+    // excludes too (singletons never enter the graph).
+    val newLabeled = d.select(col("a").as("v"))
+      .union(d.select(col("b").as("v")))
+      .distinct()
+      .join(prev.select(col("v")), Seq("v"), "left_anti")
+      .join(merged, col("v") === col("old"))
+      .select(col("v"), col("nl").as("label"))
+    relabeled.union(newLabeled)
+  }
+
   /** PageRank rounds and damping — shared, via interpolation, with the
     * unrolled-CTE oracle so both engines iterate the identical
     * recurrence. */

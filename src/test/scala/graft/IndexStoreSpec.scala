@@ -194,6 +194,48 @@ class IndexStoreSpec extends SparkSuite {
     }.count() === 5L)
   }
 
+  test("chain compaction folds the history into one standalone " +
+    "segment: same fingerprint, same rows, depth 1; later appends " +
+    "chain onto the compacted head; ancestors keep serving as-of") {
+    val name = freshName("cpt")
+    val src = scratch("cpt")
+    val s = spark
+    import s.implicits._
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      s.read.parquet(src))(
+      (_, added) => s.read.parquet(added: _*))
+    def depth() = IndexStore.inventory(s)
+      .filter(col("artifact") === name &&
+        col("fingerprint") === IndexStore.fingerprint(s, src, 1))
+      .select("chain_depth").head().getInt(0)
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    val fpBase = IndexStore.fingerprint(s, src, 1)
+    Thread.sleep(5)
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    Thread.sleep(5)
+    Seq(4L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    assert(depth() === 3)
+    assert(IndexStore.compactChain(s, name, src))
+    assert(depth() === 1, "compaction must fold the chain")
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L), "content is unchanged by compaction")
+    assert(!IndexStore.compactChain(s, name, src),
+      "an already-standalone head has nothing to fold")
+    // the ancestor snapshot survives for time travel
+    assert(IndexStore.readAsOf(s, name, fpBase)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // a later append chains onto the COMPACTED head
+    Thread.sleep(5)
+    Seq(5L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+    assert(depth() === 2,
+      "the incremental path must treat the compacted head as a parent")
+  }
+
   test("inventory: the store describes its own artifacts — head, " +
     "chain depth, file/byte footprint") {
     val name = freshName("inv")

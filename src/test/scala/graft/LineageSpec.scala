@@ -145,6 +145,41 @@ class LineageSpec extends SparkSuite {
     assert(ccOf(Seq(3L -> 3L)).isEmpty)
   }
 
+  test("property: incremental components ≡ from-scratch CC on the " +
+    "union edge set (random base + random delta), and the contracted " +
+    "delta graph stays delta-sized") {
+    val s = spark
+    import s.implicits._
+    val vGen = Gen.choose(0L, 11L)
+    val pairGen = Gen.zip(vGen, vGen)
+    val caseGen = for {
+      base <- Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, pairGen))
+      delta <- Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, pairGen))
+    } yield (base, delta)
+    val prop = Prop.forAllNoShrink(caseGen) { case (base, delta) =>
+      val prev =
+        if (base.isEmpty) Seq.empty[(Long, Long)].toDF("v", "label")
+        else Lineage.connectedComponents(base.toDF("d1", "d2"))
+      val dd =
+        if (delta.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+        else delta.toDF("d1", "d2")
+      val incr = Lineage.incrementalComponents(prev, dd)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      incr == ccOracle(base ++ delta)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+    // the work-bound claim: a one-pair append against a large labeling
+    // contracts to at most one edge
+    val bigBase = (0L until 200L).map(i => (i, i + 200L))
+    val prev = Lineage.connectedComponents(bigBase.toDF("d1", "d2"))
+    val merged = Lineage.incrementalComponents(
+      prev, Seq((0L, 1L)).toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === ccOracle(bigBase :+ (0L, 1L)))
+  }
+
   private def ccStarOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
