@@ -40,6 +40,37 @@ object Metrics {
     obs.get
   }
 
+  /** Plan-derived access lineage: which tables a query READS, and
+    * which columns actually survive pruning — the third observability
+    * plane (query-level metrics, task-level metrics, and now
+    * data-access lineage). Walks the OPTIMIZED plan's file-source
+    * relations, so the column list is what the scan will truly fetch
+    * (column pruning applied), not what the user referenced — the
+    * honest input for access auditing, impact analysis ("who reads
+    * this column I want to drop"), and cache/layout decisions. Pure
+    * plan metadata: zero jobs, zero data pages. One row per scanned
+    * relation: `(table, columns, n_columns)`, table = the scan's root
+    * path leaf. */
+  def accessLineage(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // sparkPlan (pre-AQE physical): FileSourceScanExec's output IS the
+    // pruned column set the scan fetches, and its pushed filters are
+    // the predicates parquet will evaluate against row-group stats
+    val rows = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec =>
+        val table = f.relation.location.rootPaths.headOption
+          .map(_.getName).getOrElse("<unknown>")
+        (table,
+          f.output.map(_.name).sorted,
+          f.output.size.toLong,
+          f.dataFilters.map(_.sql).sorted)
+    }.distinct
+    rows.toDF("table", "columns", "n_columns", "pushed_filters")
+      .orderBy(col("table"), col("columns"))
+  }
+
   /** Cumulative per-stage task metrics captured by [[listen]]. */
   private val stageMetrics = TrieMap.empty[Int, (Long, Long, Long, Long)]
 

@@ -192,6 +192,28 @@ class ObserveSpec extends SparkSuite {
     assert(m("sum_acctbal") === recomputed)
   }
 
+  test("access lineage: the scan relation reports pruned columns and " +
+    "pushed filters, zero jobs") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")).as("s"))
+      .join(graft.Tables.load(spark, sf, "orders")
+        .select(col("o_orderkey")).limit(5),
+        col("l_returnflag").isNotNull, "left_outer")
+    val rows = graft.observe.Metrics.accessLineage(df).collect()
+    val byTable = rows.map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getSeq[String](3))).toMap
+    assert(byTable.keySet === Set("lineitem.parquet", "orders.parquet"))
+    val (liCols, liFilters) = byTable("lineitem.parquet")
+    assert(liCols === Seq("l_extendedprice", "l_quantity", "l_returnflag"),
+      s"lineitem scan must be pruned to the 3 used columns: $liCols")
+    assert(liFilters.exists(_.contains("l_quantity")),
+      s"the quantity predicate must reach the scan: $liFilters")
+    assert(byTable("orders.parquet")._1 === Seq("o_orderkey"))
+  }
+
   test("task-metrics listener surfaces execution metrics as a relation") {
     graft.observe.Metrics.listen(spark)
     Tables.load(spark, sf, "lineitem").count() // generate some stages
