@@ -827,6 +827,89 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** q134: co-purchase triangle counting — the graph-analytics pair
+    * every recommender/fraud pipeline runs on an affiliation graph:
+    * project baskets (orders) into an item–item edge set, then count
+    * triangles (the clustering signal). Both halves are built for the
+    * skew that kills the naive forms at 100 TB:
+    *
+    *  - **Pair projection**: per-order sorted distinct parts, pairs
+    *    generated IN-ROW by a nested `transform` over the array — one
+    *    aggregation + one map-only explode, never the orderkey
+    *    SELF-JOIN (whose output a mega-basket quadruples before any
+    *    filter can prune it). Work per order is C(basket, 2) either
+    *    way, but it stays inside the order's row — a production
+    *    pipeline caps basket size at projection time with one
+    *    `size(ps) <= cap` filter (fixture baskets are bounded, so none
+    *    is applied).
+    *  - **Triangle counting**: edges ORIENTED by (degree, id) — each
+    *    triangle is found exactly once as a wedge at its
+    *    lowest-(degree, id) vertex closed by an oriented edge
+    *    (Chiba–Nishizeki ordering; MapReduce form per
+    *    Suri–Vassilvitskii, WWW 2011). Orientation is what bounds the
+    *    wedge join: a hub's fan-out counts only HIGHER-degree
+    *    neighbors, so wedge multiplicity is arboricity-bounded instead
+    *    of degree², and the id-ordered formulation (the oracle's, and
+    *    any engine's naive one) remains the skew trap this plan
+    *    refuses. The triangle SET is orientation-independent, which is
+    *    why the DuckDB oracle can use plain `a < b < c` and still gate
+    *    bit-for-bit.
+    *
+    * Output: top-20 parts by triangle participation (each triangle
+    * credits its 3 vertices) with the global triangle count carried on
+    * every row. */
+  def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
+        .as("e"))
+      .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
+      .distinct()
+      .localCheckpoint() // feeds degrees, wedges, and the closing probe
+    val deg = pairs.select(col("p1").as("v"))
+      .union(pairs.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient each edge toward the larger (degree, id) endpoint
+    val keyed = pairs
+      .join(deg.select(col("v").as("p1"), col("d").as("d1")), Seq("p1"))
+      .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
+      .select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          struct(col("p1").as("v"), col("d1").as("d")))
+          .otherwise(struct(col("p2").as("v"), col("d2").as("d")))
+          .as("lo"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          struct(col("p2").as("v"), col("d2").as("d")))
+          .otherwise(struct(col("p1").as("v"), col("d1").as("d")))
+          .as("hi"))
+    val wedges = keyed.select(col("lo").as("a"), col("hi").as("b"))
+      .join(keyed.select(col("lo").as("a2"), col("hi").as("c")),
+        col("a") === col("a2") &&
+          struct(col("b.d"), col("b.v")) < struct(col("c.d"), col("c.v")))
+      .select(col("a.v").as("av"), col("b").as("b"), col("c").as("c"))
+    val tris = wedges.join(keyed,
+        col("b") === col("lo") && col("c") === col("hi"))
+      .select(col("av"), col("b.v").as("bv"), col("c.v").as("cv"))
+      .localCheckpoint() // total + per-vertex credit read it twice
+    val total = tris.agg(count(lit(1)).as("total_triangles"))
+    tris.select(explode(array(col("av"), col("bv"), col("cv"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_tri").desc, col("part")))
+          .cast("bigint"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_mv_rollup_serve" -> mvRollupServe,
     "q127_unpivot_flag_metrics" -> unpivotFlagMetrics,
@@ -834,6 +917,7 @@ object Relational {
     "q129_variant_path_stats" -> variantPathStats,
     "q125_busy_hour_overlap" -> busyHourOverlap,
     "q120_equidepth_histogram" -> equidepthHistogram,
+    "q134_copurchase_triangles" -> copurchaseTriangles,
     "q123_cube_doc_stats" -> cubeDocStats,
     "q124_hourly_gapfill" -> hourlyGapfill,
     "q118_skew_replicated_join" -> skewJoin,
@@ -959,6 +1043,27 @@ object Relational {
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem l JOIN thr t ON l.l_returnflag = t.l_returnflag
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q134: the oracle uses the naive id-ordered triangle join — the
+    // triangle set is orientation-independent, so degree-oriented
+    // Spark and id-ordered DuckDB must agree exactly.
+    "q134_copurchase_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |    FROM lineitem),
+        |pr AS (SELECT DISTINCT a.p p1, b.p p2 FROM d a JOIN d b
+        |    ON a.ok = b.ok AND a.p < b.p),
+        |tr AS (SELECT e1.p1 a, e1.p2 b, e2.p2 c
+        |  FROM pr e1 JOIN pr e2 ON e1.p2 = e2.p1
+        |  JOIN pr e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |vc AS (SELECT v AS part, count(*) AS n_tri FROM (
+        |    SELECT a v FROM tr UNION ALL SELECT b FROM tr
+        |    UNION ALL SELECT c FROM tr)
+        |  GROUP BY v),
+        |tot AS (SELECT count(*) AS t FROM tr)
+        |SELECT part, n_tri,
+        |  CAST(row_number() OVER (ORDER BY n_tri DESC, part) AS BIGINT)
+        |    AS rank,
+        |  (SELECT t FROM tot) AS total_triangles
+        |FROM vc ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
     "q123_cube_doc_stats" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         |  coalesce(source, 'ALL') AS source,
