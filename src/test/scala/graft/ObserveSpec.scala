@@ -214,6 +214,37 @@ class ObserveSpec extends SparkSuite {
     assert(byTable("orders.parquet")._1 === Seq("o_orderkey"))
   }
 
+  test("plan lint: flags cartesian, unpartitioned window, unpushed " +
+    "filter; a disciplined query lints clean of errors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+      graft.observe.Lint.planLint(df).collect().map(_.getString(0)).toSet
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(3, 4).toDF("y")
+    assert(rules(a.crossJoin(b)).contains("broadcast-nested-loop") ||
+      rules(a.crossJoin(b)).contains("cartesian-product"))
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(rules(a.crossJoin(b)).contains("cartesian-product"))
+    finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(rules(a.withColumn("r",
+      row_number().over(Window.orderBy(col("x")))))
+      .contains("single-partition-window"))
+    // a predicate parquet cannot evaluate: nothing reaches the reader
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    assert(rules(li.filter(length(col("l_returnflag")) > 3)
+      .select(col("l_orderkey"))).contains("filter-not-pushed"))
+    // the flagship query: broadcast dim join, pushed filters — no
+    // error-severity findings
+    val clean = graft.observe.Lint.planLint(
+      graft.ops.Relational.flagship(spark, sf)).collect()
+    assert(!clean.exists(_.getString(1) === "error"),
+      s"flagship must lint clean: ${clean.mkString(";")}")
+  }
+
   test("task-metrics listener surfaces execution metrics as a relation") {
     graft.observe.Metrics.listen(spark)
     Tables.load(spark, sf, "lineitem").count() // generate some stages
