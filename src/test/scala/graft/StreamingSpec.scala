@@ -694,6 +694,34 @@ class StreamingSpec extends SparkSuite {
     assert(out === Set((2L, 20L, "FAILED"), (4L, 40L, "CANCELED")))
   }
 
+  test("streaming HLL distinct-token view: sketch registers merge " +
+    "across micro-batches — streamed estimates ≡ batch estimates") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val rows = graft.Tables.load(s, sf, "documents")
+      .select("source", "text").as[(String, String)].collect()
+    val batch = graft.ops.Llm.distinctTokensOf(
+      rows.toSeq.toDF("source", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[(String, String)]
+    val q = graft.ops.Llm.distinctTokensOf(
+      in.toDS().toDF("source", "text"))
+      .writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode("complete").start()
+    withQuery(q) {
+      rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = s.table("hll_stream_out")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        "per-source HLL estimates must match the batch run exactly " +
+          "(sketch merge is register-max, not approximate)")
+    }
+  }
+
   test("streaming CDC upsert: micro-batched changes reach the snapshot " +
     "and untouched buckets keep their exact files") {
     val s = spark
