@@ -894,15 +894,7 @@ object Relational {
     // materialized row count stays O(edges) + O(triangles), never the
     // O(Σ outdeg²) wedge relation (41 M rows at sf0.1, measured 7×
     // slower as an explicit wedge equi-join).
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
-    val tri = oriented
-      .join(adj.select(col("src"), col("nb").as("nu")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("nb").as("nv")),
-        Seq("dst"))
-      .select(col("src"), col("dst"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
-      .filter(size(col("ws")) > 0)
+    val tri = triangleRelation(oriented)
       .localCheckpoint() // total + per-vertex credit read it
     val total = tri.agg(
       sum(size(col("ws"))).cast("bigint").as("total_triangles"))
@@ -925,6 +917,24 @@ object Relational {
           .cast("bigint"))
       .crossJoin(broadcast(total))
       .orderBy(col("rank"))
+  }
+
+  /** The compact-forward closing stage over an oriented edge set
+    * `(src, dst)`: per-src sorted out-neighbor arrays, one row per
+    * edge whose endpoints share a later neighbor, `ws` = the common
+    * neighbors that close a triangle on that edge. Exposed
+    * pre-checkpoint so PlanSpec can assert the in-row-intersection
+    * shape (a checkpoint hides its upstream plan). */
+  private[graft] def triangleRelation(oriented: DataFrame): DataFrame = {
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    oriented
+      .join(adj.select(col("src"), col("nb").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nb").as("nv")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
   }
 
   /** q135: cohort retention — the product-analytics staple: users

@@ -551,6 +551,33 @@ class PlanSpec extends SparkSuite {
       s"probes must broadcast-hash-join the index:\n$p")
   }
 
+  test("q134 triangles: compact-forward — in-row intersections, " +
+    "never a materialized wedge relation") {
+    val s = spark
+    import s.implicits._
+    // the checkpointed serve plan hides the closing stage, so assert
+    // on the pre-checkpoint triangle relation itself
+    val oriented = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val rel = graft.ops.Relational.triangleRelation(oriented)
+    val p = rel.queryExecution.executedPlan.toString
+    assert(p.contains("array_intersect"),
+      s"triangle closing must be the in-row sorted intersection:\n$p")
+    assert(rel.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSeq ===
+      Seq((1L, 2L, Seq(3L))),
+      "the triangle {1,2,3} closes once, on its lowest-ordered edge")
+  }
+
+  test("q135 cohort: plain counts over pre-distinct'd pairs — no " +
+    "countDistinct state; q136 funnel: in-row fold — no join, no window") {
+    val cohort = plan("q135_cohort_retention")
+    assert(!cohort.contains("count(distinct"),
+      s"cohort counts must not carry per-group dedup state:\n$cohort")
+    val funnel = plan("q136_funnel_stages")
+    assert(!funnel.contains("Join") && !funnel.contains("Window"),
+      s"the funnel walk is one aggregation + an in-row fold:\n$funnel")
+  }
+
   test("q127 unpivot: ONE fact scan; the Expand reshapes the " +
     "aggregated relation, not the corpus") {
     val p = plan("q127_unpivot_flag_metrics")
