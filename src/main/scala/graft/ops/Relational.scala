@@ -860,41 +860,44 @@ object Relational {
     * credits its 3 vertices) with the global triangle count carried on
     * every row. */
   def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .groupBy(col("ok")) // collect_set dedups in-basket repeats:
-      .agg(sort_array(collect_set(col("p"))).as("ps")) // ONE shuffle
-    val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
-        .as("e"))
-      .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
-      .distinct()
-      .localCheckpoint() // feeds degrees, wedges, and the closing probe
-    val deg = pairs.select(col("p1").as("v"))
-      .union(pairs.select(col("p2").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    // orient each edge toward the larger (degree, id) endpoint
-    val lt = (col("d1") < col("d2")) ||
-      (col("d1") === col("d2") && col("p1") < col("p2"))
-    val oriented = pairs
-      .join(deg.select(col("v").as("p1"), col("d").as("d1")), Seq("p1"))
-      .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
-      .select(
-        when(lt, col("p1")).otherwise(col("p2")).as("src"),
-        when(lt, col("p2")).otherwise(col("p1")).as("dst"))
-      .localCheckpoint() // adjacency build + both probe joins read it
-    // Compact-forward (Latapy 2008): per-vertex SORTED out-neighbor
-    // arrays; each oriented edge (u→v) closes exactly the triangles
-    // in N⁺(u) ∩ N⁺(v), so every triangle is found once at its
-    // lowest-(degree, id) vertex. The intersection is an in-row
-    // codegen'd merge over arboricity-bounded arrays — the
-    // materialized row count stays O(edges) + O(triangles), never the
-    // O(Σ outdeg²) wedge relation (41 M rows at sf0.1, measured 7×
-    // slower as an explicit wedge equi-join).
-    val tri = triangleRelation(oriented)
+    // The oriented co-purchase edge set is a derived INDEX of the
+    // lineitem table — projection + degrees + orientation cost one
+    // build per source state, not one per query, so it persists via
+    // IndexStore (content-addressed: a changed lineitem can never
+    // serve a stale graph). No incremental rule: an appended file may
+    // extend EXISTING orders' baskets, so delta pairs are not
+    // file-local and a changed source rebuilds the graph outright.
+    val adj = graft.observe.IndexStore.readOrBuild(
+      s, "copurchase_adjacency", s"$dir/lineitem.parquet") {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .groupBy(col("ok")) // collect_set dedups in-basket repeats:
+        .agg(sort_array(collect_set(col("p"))).as("ps")) // ONE shuffle
+      val pairs = baskets
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
+          .as("e"))
+        .select(col("e.p1").as("p1"), col("e.p2").as("p2"))
+        .distinct()
+        .localCheckpoint() // feeds degrees and the orientation join
+      val deg = pairs.select(col("p1").as("v"))
+        .union(pairs.select(col("p2").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      // orient each edge toward the larger (degree, id) endpoint
+      val lt = (col("d1") < col("d2")) ||
+        (col("d1") === col("d2") && col("p1") < col("p2"))
+      pairs
+        .join(deg.select(col("v").as("p1"), col("d").as("d1")), Seq("p1"))
+        .join(deg.select(col("v").as("p2"), col("d").as("d2")), Seq("p2"))
+        .select(
+          when(lt, col("p1")).otherwise(col("p2")).as("src"),
+          when(lt, col("p2")).otherwise(col("p1")).as("dst"))
+        .groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    }
+    val tri = triangleRelation(adj)
       .localCheckpoint() // total + per-vertex credit read it
     val total = tri.agg(
       sum(size(col("ws"))).cast("bigint").as("total_triangles"))
@@ -919,23 +922,31 @@ object Relational {
       .orderBy(col("rank"))
   }
 
-  /** The compact-forward closing stage over an oriented edge set
-    * `(src, dst)`: per-src sorted out-neighbor arrays, one row per
-    * edge whose endpoints share a later neighbor, `ws` = the common
-    * neighbors that close a triangle on that edge. Exposed
-    * pre-checkpoint so PlanSpec can assert the in-row-intersection
-    * shape (a checkpoint hides its upstream plan). */
-  private[graft] def triangleRelation(oriented: DataFrame): DataFrame = {
-    val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
-    oriented
-      .join(adj.select(col("src"), col("nb").as("nu")), Seq("src"))
+  /** Compact-forward closing (Latapy 2008) over the ADJACENCY form of
+    * an oriented graph, `adj = (src, nb sorted)`: edges re-derive
+    * MAP-SIDE by exploding `nb` — the exploded row carries its own
+    * `nu` in-row, so only ONE join remains (fetch `nv` for the edge's
+    * head) and `ws = N⁺(u) ∩ N⁺(v)` is an in-row codegen'd merge over
+    * arboricity-bounded arrays. Each triangle appears exactly once,
+    * at its lowest-(degree, id) vertex. The adjacency relation is
+    * O(vertices) rows — Catalyst auto-broadcasts it from the
+    * artifact's real parquet size at fixture scale and falls back to
+    * a sort-merge at 100 TB, both without the array-carrying side
+    * ever entering an exchange twice. Materialized rows stay
+    * O(edges) + O(triangles), never the O(Σ outdeg²) wedge relation
+    * (41 M rows at sf0.1, measured 7× slower as an explicit wedge
+    * equi-join). Exposed pre-checkpoint so PlanSpec can assert the
+    * in-row-intersection shape (a checkpoint hides its upstream
+    * plan). */
+  private[graft] def triangleRelation(adj: DataFrame): DataFrame =
+    adj
+      .select(col("src"), col("nb").as("nu"),
+        explode(col("nb")).as("dst"))
       .join(adj.select(col("src").as("dst"), col("nb").as("nv")),
         Seq("dst"))
       .select(col("src"), col("dst"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
-  }
 
   /** q135: cohort retention — the product-analytics staple: users
     * grouped by FIRST-activity week, tracked for activity in each

@@ -556,9 +556,10 @@ class PlanSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     // the checkpointed serve plan hides the closing stage, so assert
-    // on the pre-checkpoint triangle relation itself
-    val oriented = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
-    val rel = graft.ops.Relational.triangleRelation(oriented)
+    // on the pre-checkpoint triangle relation itself (adjacency form
+    // of the oriented 3-cycle 1→2, 1→3, 2→3)
+    val adj = Seq((1L, Seq(2L, 3L)), (2L, Seq(3L))).toDF("src", "nb")
+    val rel = graft.ops.Relational.triangleRelation(adj)
     val p = rel.queryExecution.executedPlan.toString
     assert(p.contains("array_intersect"),
       s"triangle closing must be the in-row sorted intersection:\n$p")
