@@ -948,6 +948,54 @@ object Relational {
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
 
+  /** q137: association rules over the co-purchase baskets (the
+    * support/confidence/lift trio of market-basket mining, Agrawal &
+    * Srikant 1994 flavor at the pair level): the top-supported item
+    * pairs, scored by how much MORE often they co-occur than
+    * independence predicts. Ranking by support (not a minimum-support
+    * cutoff) keeps the contract scale-stable — a fixed minsup is a
+    * fixture constant that empties or explodes as the corpus grows,
+    * while top-k by support is defined at every scale. All three aggregations are map-side
+    * partial (per-basket in-row pair emission — the q134 projection,
+    * un-distinct'd because support counts baskets — one count per
+    * pair, one per item, one global); the item-support join onto the
+    * pair relation is item-cardinality-sized. Scores are BIGINT
+    * micro-units computed by integer cross-multiply
+    * (`⌊n_uv·N·10⁶ / (n_u·n_v)⌋`) so both engines agree exactly —
+    * no float division crosses engines. Output: top-20 pairs by
+    * (lift, p1, p2). */
+  def associationRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .localCheckpoint() // pair counts, item counts, N read it
+    val pairCnt = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
+        .as("e"))
+      .groupBy(col("e.p1").as("p1"), col("e.p2").as("p2"))
+      .agg(count(lit(1)).as("n_uv"))
+    val itemCnt = baskets.select(explode(col("ps")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_v"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    pairCnt
+      .join(itemCnt.select(col("v").as("p1"), col("n_v").as("n_u")),
+        Seq("p1"))
+      .join(itemCnt.select(col("v").as("p2"), col("n_v").as("n_w")),
+        Seq("p2"))
+      .crossJoin(broadcast(total))
+      .select(col("p1"), col("p2"), col("n_uv"),
+        // integer cross-multiply micro-units: exact in both engines
+        expr("n_uv * n_baskets * 1000000L div (n_u * n_w)")
+          .as("lift_micros"),
+        expr("n_uv * 1000000L div n_u").as("conf_micros"))
+      .orderBy(col("n_uv").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
   /** q135: cohort retention — the product-analytics staple: users
     * grouped by FIRST-activity week, tracked for activity in each
     * later week. Scale shape: (user, week) pairs are DISTINCT'd
@@ -1022,6 +1070,7 @@ object Relational {
     "q120_equidepth_histogram" -> equidepthHistogram,
     "q134_copurchase_triangles" -> copurchaseTriangles,
     "q135_cohort_retention" -> cohortRetention,
+    "q137_association_rules" -> associationRules,
     "q136_funnel_stages" -> funnelStages,
     "q123_cube_doc_stats" -> cubeDocStats,
     "q124_hourly_gapfill" -> hourlyGapfill,
@@ -1169,6 +1218,21 @@ object Relational {
         |    AS rank,
         |  (SELECT t FROM tot) AS total_triangles
         |FROM vc ORDER BY n_tri DESC, part LIMIT 20""".stripMargin,
+    // q137: pair/item supports from the same basket relation; scores
+    // re-derived by the identical integer cross-multiply.
+    "q137_association_rules" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey ok, l_partkey p
+        |    FROM lineitem),
+        |pc AS (SELECT a.p p1, b.p p2, count(*) n_uv FROM d a JOIN d b
+        |    ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |ic AS (SELECT p v, count(*) n_v FROM d GROUP BY p),
+        |nb AS (SELECT count(DISTINCT ok) n_baskets FROM d)
+        |SELECT p1, p2, n_uv,
+        |  n_uv * n_baskets * 1000000 // (u.n_v * w.n_v) AS lift_micros,
+        |  n_uv * 1000000 // u.n_v AS conf_micros
+        |FROM pc JOIN ic u ON u.v = p1 JOIN ic w ON w.v = p2 CROSS JOIN nb
+        |ORDER BY n_uv DESC, p1, p2 LIMIT 20""".stripMargin,
     "q135_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

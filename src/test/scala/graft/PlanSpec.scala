@@ -28,7 +28,8 @@ class PlanSpec extends SparkSuite {
     "q113_random_projection" /* broadcast probe vectors × corpus */,
     "q118_skew_replicated_join" /* broadcast 1-row mean × key counts */,
     "q124_hourly_gapfill" /* calendar spine × broadcast distinct types */,
-    "q134_copurchase_triangles" /* 20-row top-k × broadcast 1-row total */)
+    "q134_copurchase_triangles" /* 20-row top-k × broadcast 1-row total */,
+    "q137_association_rules" /* pair scores × broadcast 1-row N */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
