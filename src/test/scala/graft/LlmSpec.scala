@@ -268,6 +268,28 @@ class LlmSpec extends SparkSuite {
     info(f"multi-probe recall@5: 1-probe=$r1%.3f 4-probe=$r4%.3f")
   }
 
+  test("global sequence is invariant to the range-partition count " +
+    "(the boundary-invariance claim behind the nondeterministic " +
+    "sampler)") {
+    val s = spark
+    def seqs(): Map[Long, Long] =
+      graft.ops.Llm.globalSequence(s, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    val narrow = try { s.conf.set(key, "2"); seqs() }
+      finally s.conf.set(key, saved)
+    val wide = try { s.conf.set(key, "11"); seqs() }
+      finally s.conf.set(key, saved)
+    assert(narrow === wide,
+      "offset + local position must equal the global rank wherever " +
+        "the range cuts land")
+    // and it IS the rank: dense from 1, ordered by doc_id
+    val byId = narrow.toSeq.sortBy(_._1).map(_._2)
+    assert(byId === (1L to narrow.size.toLong),
+      "sequence must be the contiguous 1..n rank in doc_id order")
+  }
+
   test("property: bounded-heap top-k ≡ global sort under any " +
     "partitioning and merge order (the mergeability claim)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}

@@ -237,6 +237,11 @@ class ObserveSpec extends SparkSuite {
     val li = graft.Tables.load(spark, sf, "lineitem")
     assert(rules(li.filter(length(col("l_returnflag")) > 3)
       .select(col("l_orderkey"))).contains("filter-not-pushed"))
+    // full-width scan: selecting every column of a wide relation
+    assert(rules(li).contains("full-width-scan"))
+    assert(!rules(li.select(col("l_orderkey"), col("l_quantity")))
+      .contains("full-width-scan"),
+      "a pruned scan must not be flagged full-width")
     // the flagship query: broadcast dim join, pushed filters — no
     // error-severity findings
     val clean = graft.observe.Lint.planLint(
