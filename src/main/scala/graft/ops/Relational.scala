@@ -996,6 +996,32 @@ object Relational {
       .limit(20)
   }
 
+  /** q138: event-transition matrix (clickstream path analysis): how
+    * often each event type follows each other type in a user's
+    * time-ordered stream — the Markov-chain view funnels and session
+    * analytics both build on. ONE user-keyed aggregation, then
+    * transitions emit IN-ROW (`arrays_zip` of the sorted list against
+    * its own tail — no self-join, no window shuffle; the q104/q115
+    * discipline), then one small (type × type) count aggregation.
+    * Ties sort by (ts, event_id) in-row, exactly the window
+    * `lead() OVER (ORDER BY ts, event_id)` ordering the oracle uses,
+    * so the engines agree on every adjacent pair. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"),
+          col("event_id").as("id"), col("event_type").as("et"))
+          .as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(explode(expr(
+        """arrays_zip(slice(evs, 1, size(evs) - 1),
+          |           slice(evs, 2, size(evs) - 1))""".stripMargin))
+        .as("tr"))
+      .groupBy(col("tr.0.et").as("from_type"), col("tr.1.et").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+
   /** q135: cohort retention — the product-analytics staple: users
     * grouped by FIRST-activity week, tracked for activity in each
     * later week. Scale shape: (user, week) pairs are DISTINCT'd
@@ -1071,6 +1097,7 @@ object Relational {
     "q134_copurchase_triangles" -> copurchaseTriangles,
     "q135_cohort_retention" -> cohortRetention,
     "q137_association_rules" -> associationRules,
+    "q138_event_transitions" -> eventTransitions,
     "q136_funnel_stages" -> funnelStages,
     "q123_cube_doc_stats" -> cubeDocStats,
     "q124_hourly_gapfill" -> hourlyGapfill,
@@ -1233,6 +1260,17 @@ object Relational {
         |  n_uv * 1000000 // u.n_v AS conf_micros
         |FROM pc JOIN ic u ON u.v = p1 JOIN ic w ON w.v = p2 CROSS JOIN nb
         |ORDER BY n_uv DESC, p1, p2 LIMIT 20""".stripMargin,
+    // q138: window-lead formulation — identical (ts, event_id) tie
+    // ordering as the engine's in-row sort.
+    "q138_event_transitions" ->
+      """WITH nxt AS (SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM nxt
+        |WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "q135_cohort_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
