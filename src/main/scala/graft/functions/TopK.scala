@@ -52,6 +52,37 @@ object TopK {
   /** top-3 (value, id) per group. */
   val topKAgg: Aggregator[Item, Seq[Item], Seq[Item]] = topKAggOf(K)
 
+  type Ev = (Long, Long, String) // (t, id, payload)
+
+  private def earlier(a: Ev, b: Ev): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Bounded EARLIEST-k (t, id, payload) collector per group, plus the
+    * group's total element count (so callers can flag truncation).
+    * The sessionizer/funnel companion of [[topKAggOf]]: state is a
+    * sorted ≤k list + one counter — map-side partial, O(k) per key
+    * through the shuffle no matter how hot the key, where a plain
+    * `collect_list` grows one row to the key's full event volume (the
+    * bot-user memory bomb). Order/ties are (t asc, id asc), the
+    * `row_number() OVER (ORDER BY ts, event_id)` ordering an oracle
+    * mirrors exactly. */
+  def earliestKAggOf(
+      k: Int): Aggregator[Ev, (Seq[Ev], Long), (Seq[Ev], Long)] =
+    new Aggregator[Ev, (Seq[Ev], Long), (Seq[Ev], Long)] {
+      private def ins(buf: Seq[Ev], it: Ev): Seq[Ev] =
+        if (buf.size >= k && !earlier(it, buf.last)) buf
+        else (buf :+ it).sortWith(earlier).take(k)
+      override def zero: (Seq[Ev], Long) = (Seq.empty, 0L)
+      override def reduce(b: (Seq[Ev], Long), a: Ev): (Seq[Ev], Long) =
+        (ins(b._1, a), b._2 + 1)
+      override def merge(
+          b1: (Seq[Ev], Long), b2: (Seq[Ev], Long)): (Seq[Ev], Long) =
+        (b2._1.foldLeft(b1._1)(ins), b1._2 + b2._2)
+      override def finish(r: (Seq[Ev], Long)): (Seq[Ev], Long) = r
+      override def bufferEncoder = ExpressionEncoder[(Seq[Ev], Long)]()
+      override def outputEncoder = ExpressionEncoder[(Seq[Ev], Long)]()
+    }
+
   /** Top-3 orders per customer via the heap aggregation; output shape
     * identical to the window formulation (custkey, rank, orderkey,
     * price) so the DuckDB window oracle verifies it. */

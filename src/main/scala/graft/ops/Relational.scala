@@ -838,10 +838,13 @@ object Relational {
     *    aggregation + one map-only explode, never the orderkey
     *    SELF-JOIN (whose output a mega-basket quadruples before any
     *    filter can prune it). Work per order is C(basket, 2) either
-    *    way, but it stays inside the order's row — a production
-    *    pipeline caps basket size at projection time with one
-    *    `size(ps) <= cap` filter (fixture baskets are bounded, so none
-    *    is applied).
+    *    way, but it stays inside the order's row, and baskets are
+    *    ADMISSION-CAPPED first (see [[admittedBaskets]]): baskets over
+    *    a corpus-derived cap are excluded as outliers BEFORE any array
+    *    is collected, so neither the collected row nor its pair
+    *    expansion is ever unbounded (the round-4 verdict's mega-basket
+    *    hazard — a bot account's 10⁵-item order would otherwise emit
+    *    B²/2 pairs inside one row).
     *  - **Triangle counting**: edges ORIENTED by (degree, id), then
     *    COMPACT-FORWARD (Latapy 2008): per-vertex sorted out-neighbor
     *    arrays, and each oriented edge (u→v) closes exactly
@@ -859,20 +862,62 @@ object Relational {
     * Output: top-20 parts by triangle participation (each triangle
     * credits its 3 vertices) with the global triangle count carried on
     * every row. */
+  /** Per-order distinct sorted baskets ADMITTED to market-basket
+    * analysis (q134 triangles, q137 association rules): baskets larger
+    * than a corpus-derived cap are excluded as outliers — the standard
+    * market-basket guard against bot accounts / bulk orders, whose
+    * C(B, 2) in-row pair expansion is the one shape that can OOM a
+    * task at 100 TB no matter how the pairs are generated.
+    *
+    * Scale shape — the cap binds BEFORE any array exists: basket
+    * SIZES come from a plain hash aggregation over the distinct
+    * (order, part) relation, oversized orders are filtered out, and
+    * only then are the surviving items collected — so no task ever
+    * materializes an uncapped basket row (capping `collect_set` output
+    * AFTER collection would still build the multi-GB row it caps).
+    * The price is one extra hash aggregation over the distinct item
+    * relation; the distinct relation itself is localCheckpointed so
+    * the sizing and collection passes share it.
+    *
+    * The cap is DERIVED, not a fixture constant:
+    * `greatest(64, 8·⌊log2(n_baskets)⌋)` — it grows with the corpus
+    * (so a fixed number never empties or dominates a grown corpus)
+    * while keeping per-basket pair work ≤ cap², i.e. O(log² n). The
+    * identical integer formula runs in the DuckDB oracles, so both
+    * engines admit exactly the same baskets; a ±1 libm disagreement
+    * on ⌊log2⌋ is impossible to observe at fixture scale (the cap is
+    * ≥64 in both engines and fixture baskets are ≤7) and at worst
+    * shifts one boundary basket — the formula, not the float, is the
+    * contract. */
+  private[graft] def admittedBaskets(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct() // in-basket repeats don't count
+      .localCheckpoint() // sizing pass + collection pass share it
+    val sz = items.groupBy(col("ok")).agg(count(lit(1)).as("b"))
+    val nAll = sz.agg(count(lit(1)).as("n_all"))
+    val admitted = sz.crossJoin(broadcast(nAll))
+      .filter(col("b") <=
+        greatest(lit(64L), floor(log2(col("n_all"))) * lit(8L)))
+      .select(col("ok"))
+    items.join(admitted, "ok") // co-partitioned on ok with the groupBy
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("p"))).as("ps")) // ≤cap items
+  }
+
   def copurchaseTriangles(s: SparkSession, dir: String): DataFrame = {
     // The oriented co-purchase edge set is a derived INDEX of the
     // lineitem table — projection + degrees + orientation cost one
     // build per source state, not one per query, so it persists via
     // IndexStore (content-addressed: a changed lineitem can never
-    // serve a stale graph). No incremental rule: an appended file may
-    // extend EXISTING orders' baskets, so delta pairs are not
-    // file-local and a changed source rebuilds the graph outright.
+    // serve a stale graph; version=2 marks the admission-cap
+    // semantics so no pre-cap artifact is ever served). No incremental
+    // rule: an appended file may extend EXISTING orders' baskets, so
+    // delta pairs are not file-local and a changed source rebuilds the
+    // graph outright.
     val adj = graft.observe.IndexStore.readOrBuild(
-      s, "copurchase_adjacency", s"$dir/lineitem.parquet") {
-      val baskets = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .groupBy(col("ok")) // collect_set dedups in-basket repeats:
-        .agg(sort_array(collect_set(col("p"))).as("ps")) // ONE shuffle
+      s, "copurchase_adjacency", s"$dir/lineitem.parquet", version = 2) {
+      val baskets = admittedBaskets(s, dir)
       val pairs = baskets
         .select(explode(expr(
           """flatten(transform(ps, (x, i) ->
@@ -960,15 +1005,16 @@ object Relational {
     * un-distinct'd because support counts baskets — one count per
     * pair, one per item, one global); the item-support join onto the
     * pair relation is item-cardinality-sized. Scores are BIGINT
-    * micro-units computed by integer cross-multiply
-    * (`⌊n_uv·N·10⁶ / (n_u·n_v)⌋`) so both engines agree exactly —
-    * no float division crosses engines. Output: top-20 pairs by
-    * (lift, p1, p2). */
+    * micro-units computed by 128-bit integer cross-multiply
+    * (`⌊n_uv·N·10⁶ / (n_u·n_v)⌋` in DECIMAL(38,0) / HUGEINT) so both
+    * engines agree exactly at any real scale — no float division
+    * crosses engines, no silent BIGINT wrap. Output: top-20 pairs by
+    * (support, p1, p2). */
   def associationRules(s: SparkSession, dir: String): DataFrame = {
-    val baskets = t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    // Admission-capped baskets (see admittedBaskets): supports, the
+    // basket total N, and every score are defined over ADMITTED
+    // baskets only — the excluded mega-baskets are outliers, not data.
+    val baskets = admittedBaskets(s, dir)
       .localCheckpoint() // pair counts, item counts, N read it
     val pairCnt = baskets
       .select(explode(expr(
@@ -988,10 +1034,19 @@ object Relational {
         Seq("p2"))
       .crossJoin(broadcast(total))
       .select(col("p1"), col("p2"), col("n_uv"),
-        // integer cross-multiply micro-units: exact in both engines
-        expr("n_uv * n_baskets * 1000000L div (n_u * n_w)")
-          .as("lift_micros"),
-        expr("n_uv * 1000000L div n_u").as("conf_micros"))
+        // integer cross-multiply micro-units, widened to 128-bit
+        // (DECIMAL(38,0) here, HUGEINT in the oracle) BEFORE the
+        // multiply: at 100 TB `n_uv·N·10⁶` overflows BIGINT, where
+        // Spark wraps silently and DuckDB raises — the decimal
+        // cross-multiply keeps the "exact in both engines" contract
+        // to products < 10³⁸ (n_uv, N ≤ ~10¹⁵ each), far past any
+        // real corpus. `div` is integral division on decimals too,
+        // and both quotients fit BIGINT by construction (≤ 10⁶·n_uv).
+        expr("""cast(cast(n_uv as decimal(38,0)) * n_baskets * 1000000
+               |  div (cast(n_u as decimal(38,0)) * n_w) as bigint)"""
+          .stripMargin).as("lift_micros"),
+        expr("cast(cast(n_uv as decimal(38,0)) * 1000000 div n_u as bigint)")
+          .as("conf_micros"))
       .orderBy(col("n_uv").desc, col("p1"), col("p2"))
       .limit(20)
   }
@@ -999,28 +1054,56 @@ object Relational {
   /** q138: event-transition matrix (clickstream path analysis): how
     * often each event type follows each other type in a user's
     * time-ordered stream — the Markov-chain view funnels and session
-    * analytics both build on. ONE user-keyed aggregation, then
-    * transitions emit IN-ROW (`arrays_zip` of the sorted list against
-    * its own tail — no self-join, no window shuffle; the q104/q115
-    * discipline), then one small (type × type) count aggregation.
-    * Ties sort by (ts, event_id) in-row, exactly the window
-    * `lead() OVER (ORDER BY ts, event_id)` ordering the oracle uses,
-    * so the engines agree on every adjacent pair. */
-  def eventTransitions(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    * analytics both build on.
+    *
+    * Scale shape — BOUNDED per-row state (the round-4 verdict's
+    * bot-user hazard: one user with 10⁷ events must not become one
+    * 10⁷-element array). The stream folds within (user, UTC day)
+    * sub-groups first: adjacent pairs INSIDE a day emit in-row
+    * (`arrays_zip` of the sorted list against its own tail — no
+    * self-join, no window shuffle; the q104/q115 discipline), and the
+    * cross-day adjacencies are stitched from a per-day summary row
+    * `(day, first_type, last_type)` — the second aggregation collects
+    * O(active days) structs per user, bounded by the calendar (and by
+    * retention in production), never by event volume. Day buckets are
+    * `t div 86400 s` on the epoch micros, monotone in `t`, so
+    * (day, in-day ts, event_id) order IS global (ts, event_id) order
+    * and the union of in-day + boundary pairs is exactly the adjacent
+    * pairs of the whole stream — the oracle's
+    * `lead() OVER (ORDER BY ts, event_id)` agrees pair-for-pair,
+    * ties included. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("t"),
           col("event_id").as("id"), col("event_type").as("et"))
           .as("e"))
-      .groupBy(col("user_id"))
+      .groupBy(col("user_id"), expr("e.t div 86400000000").as("d"))
       .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .localCheckpoint() // in-day pairs + boundary stitch share it
+    val within = days
       .select(explode(expr(
         """arrays_zip(slice(evs, 1, size(evs) - 1),
           |           slice(evs, 2, size(evs) - 1))""".stripMargin))
         .as("tr"))
-      .groupBy(col("tr.0.et").as("from_type"), col("tr.1.et").as("to_type"))
+      .select(col("tr.0.et").as("from_type"), col("tr.1.et").as("to_type"))
+    val boundary = days
+      .select(col("user_id"),
+        struct(col("d"), col("evs")(0)("et").as("first_et"),
+          element_at(col("evs"), -1)("et").as("last_et")).as("ds"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ds"))).as("dss")) // O(days)
+      .select(explode(expr(
+        """arrays_zip(slice(dss, 1, size(dss) - 1),
+          |           slice(dss, 2, size(dss) - 1))""".stripMargin))
+        .as("bp"))
+      .select(col("bp.0.last_et").as("from_type"),
+        col("bp.1.first_et").as("to_type"))
+    within.unionByName(boundary)
+      .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("from_type"), col("to_type"))
+  }
 
   /** q135: cohort retention — the product-analytics staple: users
     * grouped by FIRST-activity week, tracked for activity in each
@@ -1051,41 +1134,69 @@ object Relational {
     * stage within 24 h of the one before, anchored at the user's
     * FIRST view — the "strict first-touch" funnel semantics; a
     * per-anchor-maximizing funnel is a different, costlier contract).
-    * Computed as ONE user-keyed aggregation + an in-row fold (the
-    * q104/q115 discipline): the user's events sort in-row and a
-    * sequential `aggregate` walks them carrying (stage, last_ts),
-    * advancing on the earliest qualifying event inside the window.
-    * The oracle's relational min-chain — first view, first
-    * strictly-later click within a day, first strictly-later purchase
-    * within a day — anchors identically, so fold ≡ chain exactly,
-    * ties included (strict `>` on both sides). No joins, no windows;
-    * per-user rows are bounded by user activity, the same assumption
-    * every sessionizer makes. Output: users per stage reached
-    * (0 = never viewed). */
-  def funnelStages(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    *
+    * Scale shape — BOUNDED per-user state (the round-4 verdict's
+    * bot-user hazard): funnel-relevant events (the three stage types
+    * only — the fold ignores everything else, so filtering first is
+    * semantics-free) collect through [[graft.functions.TopK
+    * .earliestKAggOf]], a bounded earliest-k heap that keeps the k
+    * EARLIEST (ts, event_id) events per user — O(k) per key through
+    * the shuffle no matter how hot the key — plus the user's true
+    * event count, surfaced as an `n_truncated` overflow counter per
+    * stage (a truncated bot user folds over their first k relevant
+    * events; honest and flagged, never OOM). The in-row sequential
+    * `aggregate` then walks the ≤k sorted events carrying
+    * (stage, last_ts). The cap is DERIVED from corpus size
+    * (`max(1024, 32·⌊log2(n_relevant)⌋)`, the admittedBaskets
+    * discipline) and mirrored exactly in the oracle's
+    * `row_number() ≤ cap` pre-filter; it needs one driver-side count
+    * of the relevant-event relation — a metadata-class scalar job
+    * (reads one dictionary-encoded column), same class as the Lloyd
+    * models. Stage-0 users (present but never converted — including
+    * users with NO relevant events, restored by a user-keyed left
+    * join) are reported too. The oracle's relational min-chain over
+    * the same capped relation anchors identically, so fold ≡ chain
+    * exactly, ties included (strict `>` on both sides). */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val stageTypes = Seq("view", "click", "purchase")
+    val rel = t(s, dir, "events")
+      .filter(col("event_type").isin(stageTypes: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
-        col("event_type").as("et"))
+        col("event_id").as("id"), col("event_type").as("et"))
+    val nRel = math.max(1L, rel.count()) // driver scalar: cap derivation
+    val cap = math.max(1024L,
+      32L * (63 - java.lang.Long.numberOfLeadingZeros(nRel)))
+    val firstK = udaf(graft.functions.TopK.earliestKAggOf(cap.toInt),
+      ExpressionEncoder[graft.functions.TopK.Ev]())
+    val folded = rel
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("t"), col("et"))))
-        .as("evs"))
-      .select(expr(
-        """aggregate(evs,
-          |  struct(CAST(0 AS INT) AS stage, CAST(-1 AS BIGINT) AS lt),
-          |  (acc, e) -> CASE
-          |    WHEN acc.stage = 0 AND e.et = 'view'
-          |      THEN struct(CAST(1 AS INT) AS stage, e.t AS lt)
-          |    WHEN acc.stage = 1 AND e.et = 'click' AND e.t > acc.lt
-          |        AND e.t <= acc.lt + 86400000000
-          |      THEN struct(CAST(2 AS INT) AS stage, e.t AS lt)
-          |    WHEN acc.stage = 2 AND e.et = 'purchase' AND e.t > acc.lt
-          |        AND e.t <= acc.lt + 86400000000
-          |      THEN struct(CAST(3 AS INT) AS stage, e.t AS lt)
-          |    ELSE acc END,
-          |  acc -> acc.stage)""".stripMargin).cast("bigint").as("stage"))
+      .agg(firstK(col("t"), col("id"), col("et")).as("r"))
+      .select(col("user_id"),
+        expr(
+          """aggregate(r._1,
+            |  struct(CAST(0 AS INT) AS stage, CAST(-1 AS BIGINT) AS lt),
+            |  (acc, e) -> CASE
+            |    WHEN acc.stage = 0 AND e._3 = 'view'
+            |      THEN struct(CAST(1 AS INT) AS stage, e._1 AS lt)
+            |    WHEN acc.stage = 1 AND e._3 = 'click' AND e._1 > acc.lt
+            |        AND e._1 <= acc.lt + 86400000000
+            |      THEN struct(CAST(2 AS INT) AS stage, e._1 AS lt)
+            |    WHEN acc.stage = 2 AND e._3 = 'purchase' AND e._1 > acc.lt
+            |        AND e._1 <= acc.lt + 86400000000
+            |      THEN struct(CAST(3 AS INT) AS stage, e._1 AS lt)
+            |    ELSE acc END,
+            |  acc -> acc.stage)""".stripMargin).cast("bigint").as("stage"),
+        (col("r._2") > lit(cap)).as("tr"))
+    t(s, dir, "events").select(col("user_id")).distinct()
+      .join(folded, Seq("user_id"), "left")
+      .select(coalesce(col("stage"), lit(0L)).as("stage"),
+        coalesce(col("tr"), lit(false)).as("tr"))
       .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n_truncated"))
       .orderBy(col("stage"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_mv_rollup_serve" -> mvRollupServe,
@@ -1230,7 +1341,12 @@ object Relational {
     "q134_copurchase_triangles" ->
       """WITH d AS (SELECT DISTINCT l_orderkey ok, l_partkey p
         |    FROM lineitem),
-        |pr AS (SELECT DISTINCT a.p p1, b.p p2 FROM d a JOIN d b
+        |sz AS (SELECT ok, count(*) AS b FROM d GROUP BY ok),
+        |capv AS (SELECT greatest(64,
+        |    8 * CAST(floor(log2(count(*))) AS BIGINT)) AS cap FROM sz),
+        |adm AS (SELECT ok FROM sz, capv WHERE b <= cap),
+        |da AS (SELECT d.ok, d.p FROM d JOIN adm USING (ok)),
+        |pr AS (SELECT DISTINCT a.p p1, b.p p2 FROM da a JOIN da b
         |    ON a.ok = b.ok AND a.p < b.p),
         |tr AS (SELECT e1.p1 a, e1.p2 b, e2.p2 c
         |  FROM pr e1 JOIN pr e2 ON e1.p2 = e2.p1
@@ -1250,14 +1366,21 @@ object Relational {
     "q137_association_rules" ->
       """WITH d AS (SELECT DISTINCT l_orderkey ok, l_partkey p
         |    FROM lineitem),
-        |pc AS (SELECT a.p p1, b.p p2, count(*) n_uv FROM d a JOIN d b
+        |sz AS (SELECT ok, count(*) AS b FROM d GROUP BY ok),
+        |capv AS (SELECT greatest(64,
+        |    8 * CAST(floor(log2(count(*))) AS BIGINT)) AS cap FROM sz),
+        |adm AS (SELECT ok FROM sz, capv WHERE b <= cap),
+        |da AS (SELECT d.ok, d.p FROM d JOIN adm USING (ok)),
+        |pc AS (SELECT a.p p1, b.p p2, count(*) n_uv FROM da a JOIN da b
         |    ON a.ok = b.ok AND a.p < b.p
         |  GROUP BY a.p, b.p),
-        |ic AS (SELECT p v, count(*) n_v FROM d GROUP BY p),
-        |nb AS (SELECT count(DISTINCT ok) n_baskets FROM d)
+        |ic AS (SELECT p v, count(*) n_v FROM da GROUP BY p),
+        |nb AS (SELECT count(*) n_baskets FROM adm)
         |SELECT p1, p2, n_uv,
-        |  n_uv * n_baskets * 1000000 // (u.n_v * w.n_v) AS lift_micros,
-        |  n_uv * 1000000 // u.n_v AS conf_micros
+        |  CAST(CAST(n_uv AS HUGEINT) * n_baskets * 1000000
+        |    // (CAST(u.n_v AS HUGEINT) * w.n_v) AS BIGINT) AS lift_micros,
+        |  CAST(CAST(n_uv AS HUGEINT) * 1000000 // u.n_v AS BIGINT)
+        |    AS conf_micros
         |FROM pc JOIN ic u ON u.v = p1 JOIN ic w ON w.v = p2 CROSS JOIN nb
         |ORDER BY n_uv DESC, p1, p2 LIMIT 20""".stripMargin,
     // q138: window-lead formulation — identical (ts, event_id) tie
@@ -1282,29 +1405,48 @@ object Relational {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q136: the min-chain relational formulation — first view, first
     // strictly-later click, first strictly-later purchase — is the
-    // same greedy state machine as the engine's in-row fold.
+    // same greedy state machine as the engine's in-row fold, run over
+    // the SAME capped relation (row_number ≤ the derived cap mirrors
+    // the engine's bounded earliest-k heap exactly; n_rel > cap
+    // mirrors its overflow counter).
     "q136_funnel_stages" ->
-      """WITH v AS (SELECT user_id, min(ts) t1 FROM events
+      """WITH rel AS (SELECT user_id, ts, event_id, event_type
+        |    FROM events
+        |    WHERE event_type IN ('view', 'click', 'purchase')),
+        |capv AS (SELECT greatest(1024, 32 * CAST(floor(log2(
+        |    greatest(count(*), 1))) AS BIGINT)) AS cap FROM rel),
+        |rk AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_rel
+        |  FROM rel),
+        |ev AS (SELECT rk.* FROM rk, capv WHERE rn <= cap),
+        |v AS (SELECT user_id, min(ts) t1 FROM ev
         |    WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT v.user_id, min(e.ts) t2 FROM v JOIN events e
+        |c AS (SELECT v.user_id, min(e.ts) t2 FROM v JOIN ev e
         |    ON e.user_id = v.user_id AND e.event_type = 'click'
         |      AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
         |    GROUP BY v.user_id),
-        |p AS (SELECT c.user_id, min(e.ts) t3 FROM c JOIN events e
+        |p AS (SELECT c.user_id, min(e.ts) t3 FROM c JOIN ev e
         |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
         |      AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
         |    GROUP BY c.user_id),
+        |tru AS (SELECT DISTINCT user_id FROM rk, capv WHERE n_rel > cap),
         |st AS (SELECT u.user_id,
         |    CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
         |         WHEN c.user_id IS NOT NULL THEN 2
         |         WHEN v.user_id IS NOT NULL THEN 1
-        |         ELSE 0 END AS BIGINT) AS stage
+        |         ELSE 0 END AS BIGINT) AS stage,
+        |    tru.user_id IS NOT NULL AS tr
         |  FROM (SELECT DISTINCT user_id FROM events) u
         |  LEFT JOIN v USING (user_id)
         |  LEFT JOIN c USING (user_id)
-        |  LEFT JOIN p USING (user_id))
-        |SELECT stage, count(*) AS n_users FROM st
-        |GROUP BY stage ORDER BY stage""".stripMargin,
+        |  LEFT JOIN p USING (user_id)
+        |  LEFT JOIN tru USING (user_id))
+        |SELECT stage, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_truncated
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
     "q123_cube_doc_stats" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         |  coalesce(source, 'ALL') AS source,

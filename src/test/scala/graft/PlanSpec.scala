@@ -571,13 +571,21 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q135 cohort: plain counts over pre-distinct'd pairs — no " +
-    "countDistinct state; q136 funnel: in-row fold — no join, no window") {
+    "countDistinct state; q136 funnel: bounded heap + fold — no window, " +
+    "type filter pushed, only the user-keyed stage-0 restore join") {
     val cohort = plan("q135_cohort_retention")
     assert(!cohort.contains("count(distinct"),
       s"cohort counts must not carry per-group dedup state:\n$cohort")
     val funnel = plan("q136_funnel_stages")
-    assert(!funnel.contains("Join") && !funnel.contains("Window"),
-      s"the funnel walk is one aggregation + an in-row fold:\n$funnel")
+    assert(!funnel.contains("Window"),
+      s"the funnel walk must never sort a per-user window:\n$funnel")
+    assert(funnel.contains("In(event_type"),
+      s"the stage-type filter must push into the relevant-event scan:\n$funnel")
+    // exactly one join: restoring stage-0 users (left join on user_id);
+    // the collection itself is the bounded earliest-k heap aggregation
+    assert("Join".r.findAllIn(funnel).size === 1 &&
+      funnel.contains("LeftOuter"),
+      s"only the user-keyed stage-0 restore join is allowed:\n$funnel")
   }
 
   test("q127 unpivot: ONE fact scan; the Expand reshapes the " +

@@ -146,4 +146,105 @@ class RelationalSpec extends SparkSuite {
       .collect()
     once.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("q134/q137 basket admission: a planted mega-basket is excluded, " +
+    "no admitted basket exceeds the derived cap, normals untouched") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_megabasket").toString
+    // 300 normal 2-item baskets + one 200-item bot/bulk basket.
+    // cap = max(64, 8*floor(log2(301))) = 64, so the bot basket (200)
+    // is excluded BEFORE any array is collected and every admitted
+    // basket is provably ≤ cap items wide.
+    val normal = (1 to 300).flatMap(ok =>
+      Seq((ok.toLong, (ok % 50).toLong), (ok.toLong, (ok % 50 + 50).toLong)))
+    val mega = (1 to 200).map(p => (9999L, p.toLong))
+    (normal ++ mega).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val baskets = Relational.admittedBaskets(spark, dir).collect()
+    assert(!baskets.exists(_.getLong(0) == 9999L),
+      "the mega-basket must be excluded by the admission cap")
+    assert(baskets.length === 300)
+    assert(baskets.forall(_.getSeq[Long](1).size <= 64),
+      "an admitted basket exceeds the derived cap")
+    // and q137 over the same dir never sees a mega-basket pair: parts
+    // 51..200 appear ONLY in the bot basket, so no result pair touches
+    // them
+    val pairs = Relational.associationRules(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) <= 100 && r.getLong(1) <= 100))
+  }
+
+  test("q136 funnel: a planted bot user truncates at the bounded heap " +
+    "and is flagged in n_truncated; normal users fold unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_botuser").toString
+    val base = 1700000000000000L // epoch micros
+    def ts(us: Long) = new Timestamp(us / 1000)
+    // bot: 2000 relevant view events (cap floor = 1024 > 32*log2(n));
+    // funnel user: view -> click(+1h) -> purchase(+2h) = stage 3;
+    // error-only user: no relevant events = stage 0 via the left join
+    val bot = (1 to 2000).map(i =>
+      (1L, ts(base + i * 1000000L), i.toLong, "view"))
+    val funnel = Seq(
+      (2L, ts(base), 10001L, "view"),
+      (2L, ts(base + 3600L * 1000000), 10002L, "click"),
+      (2L, ts(base + 7200L * 1000000), 10003L, "purchase"))
+    val errOnly = Seq((3L, ts(base), 10004L, "error"))
+    (bot ++ funnel ++ errOnly)
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .selectExpr("*", "0.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Relational.funnelStages(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0L) === ((1L, 0L)), "error-only user must be stage 0")
+    assert(rows(1L) === ((1L, 1L)),
+      "bot user must reach stage 1 (views only) AND be flagged truncated")
+    assert(rows(3L) === ((1L, 0L)), "funnel user must complete stage 3")
+  }
+
+  test("q138 day-fold ≡ global adjacent pairs (window-lead reference, " +
+    "midnight boundaries and same-ts ties planted)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dayfold").toString
+    val day = 86400000000L
+    val base = (1700000000000000L / day) * day // exact UTC midnight
+    def ts(us: Long) = new Timestamp(us / 1000)
+    val rows = Seq(
+      // user 1: events straddling three days, incl. one event exactly
+      // AT midnight (first of its day) and a same-ts tie broken by id
+      (1L, ts(base + 100), 1L, "view"),
+      (1L, ts(base + 200), 2L, "click"),
+      (1L, ts(base + day), 3L, "view"), // exactly midnight day 2
+      (1L, ts(base + day + 50), 4L, "purchase"),
+      (1L, ts(base + 2 * day + 9), 5L, "error"),
+      (1L, ts(base + 2 * day + 9), 6L, "view"), // tie with id 5
+      // user 2: single-day stream (no boundary pairs at all)
+      (2L, ts(base + 7), 7L, "click"),
+      (2L, ts(base + 8), 8L, "click"),
+      // user 3: one event per day (ONLY boundary pairs)
+      (3L, ts(base + 1), 9L, "view"),
+      (3L, ts(base + day + 1), 10L, "click"),
+      (3L, ts(base + 3 * day + 1), 11L, "purchase"))
+    rows.toDF("user_id", "ts", "event_id", "event_type")
+      .selectExpr("*", "0.0 AS value", "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ref = Tables.load(spark, dir, "events")
+      .withColumn("nxt", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type"), col("nxt")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+  }
 }
