@@ -127,15 +127,39 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMat = if (matResults.nonEmpty) matResults.values.sum else 0.0
+    // Fixture fingerprint: the content identity of the sf dir this
+    // pass measured (same preimage as the IndexStore's artifact
+    // addressing). Cross-round per-query comparisons are only valid
+    // between passes with EQUAL fingerprints — round 4's apparent +32%
+    // "regression" was a silently regenerated fixture, undetectable
+    // from the numbers alone.
+    val fixtureFp = scala.util.Try(
+      graft.observe.IndexStore.fingerprint(spark, sfDir, 1))
+      .getOrElse("unknown")
     // Two lines, detail FIRST and the compact headline LAST. The
     // headline keeps the one-JSON-line contract, but every scalar that
     // must survive a truncated capture ("value", the totals, the flags)
-    // sits AFTER the ~90-entry per-query dict: tail captures that eat
+    // sits AFTER the ~140-entry per-query dict: tail captures that eat
     // the line's FRONT (observed in r2 AND r3) can then only ever lose
     // per-query detail, never the headline numbers. JSON key order is
     // irrelevant to any parser.
-    println(s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}""")
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}""")
+    val detailLine =
+      s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}"""
+    val headline =
+      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
+    // Durability: the driver's stdout capture truncates to the last
+    // ~2,000 chars, which historically ate most per-query entries; the
+    // FULL detail also lands in a file, so cross-round attribution
+    // never depends on what survived the pipe.
+    try {
+      val out = java.nio.file.Paths.get("target/bench-detail.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, detailLine + "\n" + headline + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
+    println(detailLine)
+    println(headline)
     spark.stop()
   }
 }

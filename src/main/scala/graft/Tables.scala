@@ -79,23 +79,34 @@ object Tables {
     else df.repartition(cores)
   }
 
-  /** Planner-faithful split estimate from file metadata only: each file
-    * contributes ceil(len / maxPartitionBytes) splits (small files pack
-    * together, so this over-estimates only when many files are tiny —
-    * in which case the scan fills the cluster anyway and the spread
-    * correctly no-ops). */
+  /** Planner-faithful split estimate from file metadata only,
+    * mirroring `FilePartition.maxSplitBytes`: the planner ADAPTS its
+    * split size downward for small scans —
+    * `min(maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism))`
+    * — so a scan well under `cores × maxPartitionBytes` still plans
+    * ~one split per core. Estimating with the static conf value alone
+    * under-counts exactly there, and loadSpread would then add a
+    * round-robin exchange the planner's own splitting already made
+    * redundant. Per-file ceil (ignoring the final bin-packing)
+    * over-estimates only when many files are tiny — in which case the
+    * scan fills the cluster anyway and the spread correctly no-ops. */
   private def estimatedSplits(
       spark: SparkSession, dir: String, name: String): Long = {
     import org.apache.hadoop.fs.Path
     val path = new Path(s"$dir/$name.parquet")
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val maxSplit =
-      math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val files =
       if (fs.getFileStatus(path).isDirectory)
         fs.listStatus(path).filter(f => f.isFile &&
           !f.getPath.getName.startsWith("_"))
       else Array(fs.getFileStatus(path))
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = files.map(_.getLen + openCost).sum
+    val bytesPerCore =
+      totalBytes / math.max(1, spark.sparkContext.defaultParallelism)
+    val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore)))
     files.map(f => math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)).sum
   }
 

@@ -57,7 +57,26 @@ object IndexStore {
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Sorted (path, length, mtime) lines of every data file under
+  /** One manifest line for a file: `path|len|mtime[|etag]`. The
+    * etag/checksum component is folded in WHEN the FileStatus subclass
+    * exposes one (object-store clients do — the S3A/ABFS status
+    * classes carry a `getETag`/`getEtag` accessor; probed reflectively
+    * so no store-specific dependency is linked). Where present it
+    * upgrades the documented same-size-same-mtime preimage caveat on
+    * [[fingerprint]] to a content check: a rewrite that forges (path,
+    * len, mtime) still moves the etag, so the stale artifact cannot be
+    * served. On filesystems without one (local, plain HDFS status) the
+    * line is exactly the classic triple. */
+  private[graft] def manifestLine(st: FileStatus): String = {
+    val base = s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+    val etag = Seq("getETag", "getEtag").iterator.flatMap { m =>
+      try Option(st.getClass.getMethod(m).invoke(st)).map(_.toString)
+      catch { case _: ReflectiveOperationException => None }
+    }.find(_.nonEmpty)
+    etag.fold(base)(e => s"$base|$e")
+  }
+
+  /** Sorted manifest lines ([[manifestLine]]) of every data file under
     * `srcDir` — the fingerprint's preimage, also saved next to each
     * artifact so a later build can compute the file-level delta. */
   private def sourceManifest(s: SparkSession, srcDir: String): Seq[String] = {
@@ -70,7 +89,7 @@ object IndexStore {
     else walk(p)
       .filterNot(_.getPath.getName.startsWith("_"))
       .filterNot(_.getPath.getName.startsWith("."))
-      .map(st => s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+      .map(manifestLine)
       .sorted
   }
 
@@ -85,9 +104,11 @@ object IndexStore {
     * granularity is indistinguishable from "unchanged" and would serve
     * the previous artifact. Engines that commit through a writer
     * (Spark's job-UUID part file names, table-format snapshot ids)
-    * never produce such a rewrite; on object stores a stronger signal
-    * (etag/checksum from FileStatus) can be folded into the manifest
-    * line where the FS exposes one. */
+    * never produce such a rewrite; on object stores the stronger
+    * signal IS folded in — [[manifestLine]] appends the etag/checksum
+    * whenever the FileStatus subclass exposes one, closing the forged
+    * (path, len, mtime) hole exactly where such rewrites are
+    * plausible. */
   def fingerprint(s: SparkSession, srcDir: String, version: Int): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"v$version".getBytes(StandardCharsets.UTF_8))
@@ -263,9 +284,43 @@ object IndexStore {
           chainPaths(f, base, h).map(_.getName))
         all.filterNot(st => protectedNames.contains(st.getPath.getName))
           .foreach(st => f.delete(st.getPath, true))
+        // AUTO-COMPACTION: each pure append deepens the chain by one
+        // segment and a read is a chain-length multi-path scan, so
+        // read amplification is O(depth) until something folds the
+        // history. Fold when the live chain exceeds the bound: the
+        // fold costs one rewrite of the live state per ≥maxChainDepth
+        // appends (amortized O(1/depth) per append), and ancestors
+        // stay behind for retained as-of readers exactly as a manual
+        // [[compactChain]] leaves them.
+        if (chainPaths(f, base, fp).size > maxChainDepth)
+          compactChain(s, name, srcDir, version)
       }
     }
     readChain(s, base, fp)
+  }
+
+  /** Live chains deeper than this auto-fold at the end of the next
+    * incremental build (read amplification is O(depth); 8 keeps the
+    * fold cost amortized well under one full rebuild per append). */
+  private val maxChainDepth = 8
+
+  /** The artifact at `srcDir`'s CURRENT fingerprint, if one is
+    * already published and chain-intact — a read-only probe that
+    * NEVER builds. Costs one `ls -R` of the source dir (the
+    * fingerprint) plus O(chain) metadata stats. This is the plan-time
+    * consumer's entry point ([[graft.plans.MvRewrite]] re-resolves its
+    * artifact here on every candidate rewrite): a consumer that must
+    * fall back rather than trigger a build inside the optimizer, and
+    * that must never hold a resolved handle across a source change. */
+  def readIfCurrent(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1): Option[DataFrame] = {
+    val fp = fingerprint(s, srcDir, version)
+    val base = new Path(s"${root(s)}/$name")
+    val f = fs(s, base)
+    val dest = new Path(base, s"fp=$fp")
+    if (f.exists(new Path(dest, "_SUCCESS")) && chainIntact(f, base, fp))
+      Some(readChain(s, base, fp))
+    else None
   }
 
   /** True when the artifact serving `srcDir`'s CURRENT state is a
@@ -303,16 +358,18 @@ object IndexStore {
     readChain(s, base, fp)
   }
 
-  /** Garbage-collect abandoned STAGING dirs (`.build-*`): a builder
-    * that crashed between staging and publish leaves its hidden tmp
-    * dir forever — invisible to reads (never renamed into a `fp=`
-    * path) but real bytes on a real object store. Deleting them is
-    * safe once no in-flight builder can still own them, which is what
-    * the age floor expresses; published artifacts and their chains are
-    * never touched (reclaiming THOSE is the build-time retention
-    * pass's job, which knows the live chain). Returns one row per
-    * reclaimed dir `(artifact, staging, bytes)` — a vacuum that
-    * reports what it freed, not a silent delete. */
+  /** Garbage-collect abandoned HIDDEN dirs: `.build-*` staging (a
+    * builder that crashed between staging and publish) and `.old-*`
+    * compaction leftovers (a [[compactChain]] that crashed after
+    * renaming the pre-compaction head out but before deleting it) —
+    * both invisible to reads (never at a `fp=` path) but real bytes
+    * on a real object store. Deleting them is safe once no in-flight
+    * builder/compactor can still own them, which is what the age
+    * floor expresses; published artifacts and their chains are never
+    * touched (reclaiming THOSE is the build-time retention pass's
+    * job, which knows the live chain). Returns one row per reclaimed
+    * dir `(artifact, staging, bytes)` — a vacuum that reports what it
+    * freed, not a silent delete. */
   def vacuumStaging(s: SparkSession,
       olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
     val sess = s
@@ -326,7 +383,8 @@ object IndexStore {
         f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { art =>
           f.listStatus(art.getPath).toSeq
             .filter(st => st.isDirectory &&
-              st.getPath.getName.startsWith(".build-") &&
+              (st.getPath.getName.startsWith(".build-") ||
+                st.getPath.getName.startsWith(".old-")) &&
               st.getModificationTime < cutoff)
             .map { st =>
               val bytes = f.getContentSummary(st.getPath).getLength
@@ -351,9 +409,17 @@ object IndexStore {
     * keeps serving them as snapshots). The swap is rename-out /
     * rename-in under the build lock; a crash between the renames
     * leaves no artifact at `fp=` — the safe direction, since the next
-    * read just rebuilds — never a torn one. Returns true if a
-    * multi-segment chain was folded, false when there was nothing to
-    * do (absent, torn, or already standalone). */
+    * read just rebuilds — never a torn one; a crash just after leaves
+    * a `.old-*` leftover that [[vacuumStaging]] reclaims. CROSS-
+    * PROCESS CAVEAT: the build lock is per-JVM, so the swap is not
+    * atomic for readers in OTHER processes — a reader that resolved
+    * the head's file list in the rename window can lose files
+    * mid-scan (and retries; the content it then reads is identical,
+    * compaction never changes it). Run compaction from the writer
+    * that owns the store — which is what the auto-fold inside
+    * [[readOrBuildIncremental]] does — not from arbitrary readers.
+    * Returns true if a multi-segment chain was folded, false when
+    * there was nothing to do (absent, torn, or already standalone). */
   def compactChain(s: SparkSession, name: String, srcDir: String,
       version: Int = 1): Boolean = {
     val fp = fingerprint(s, srcDir, version)

@@ -1,6 +1,7 @@
 package graft.observe
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Expression}
 import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -15,18 +16,43 @@ import org.apache.spark.sql.functions.col
   *
   *  - `cartesian-product` (error): every pair of rows meets — O(n·m)
   *    at any scale; almost always a missing join key.
-  *  - `single-partition-window` (error): an unpartitioned window
-  *    funnels the whole input through ONE task (the q133 trap —
-  *    100 TB through one sort buffer).
+  *  - `single-partition-window` (error / warn / info): an
+  *    unpartitioned window funnels the whole input through ONE task
+  *    (the q133 trap — 100 TB through one sort buffer). Severity
+  *    reads the window's INPUT: over a raw relation it is an error;
+  *    over an aggregated child it is a warn (bounded by the group
+  *    grain — one task still, but O(groups) rows; confirm the grain
+  *    is small); under a literal limit it is info (bounded by a
+  *    constant).
   *  - `broadcast-nested-loop` (warn): legitimate for a model-sized
   *    side streamed against once (the q31/q93 pattern); fatal if the
   *    "small" side is not actually small — surfaced for a human call.
-  *  - `filter-not-pushed` (warn): a Filter sits directly on a scan
-  *    but NOTHING reached the parquet reader — every row group is
-  *    read and decoded before the predicate runs (non-pushable
-  *    expressions: UDFs, transforms of the column, …).
+  *  - `filter-not-pushed` (warn / info): a Filter holding predicates
+  *    BEYOND null guards sits directly on a scan, yet nothing beyond
+  *    IsNotNull reached the parquet reader — every row group is read
+  *    and decoded before the predicate runs. Severity is
+  *    ACTIONABILITY: `warn` when some conjunct has the pushable SHAPE
+  *    (column vs literal comparison / IN / prefix) and still didn't
+  *    push — something wrapped the column (a cast, a coalesce, an IF)
+  *    and unwrapping it buys row-group pruning; `info` when every
+  *    residual conjunct is inherently untranslatable (column-vs-
+  *    column, arithmetic, UDFs, string transforms) — the decode cost
+  *    is the predicate's nature, no better plan exists. A filter that
+  *    is ONLY join-key null guards does not fire at all: its null
+  *    guard DID push, and there was nothing else to push.
   *  - `full-width-scan` (info): the scan fetches every column of a
   *    wider relation — fine for `SELECT *`, a pruning bug otherwise.
+  *  - `unbounded-in-row-expansion` (warn): a `transform` iterates a
+  *    slice/reference of ITS OWN input array — the self-quadratic
+  *    pair-emission shape (`transform(a, (x,i) -> transform(slice(a,
+  *    i+1, ...), ...))`). Row width grows as the element count
+  *    SQUARED, inside one row where no partitioner can split it: one
+  *    pathological group (a bot account, a catalog-wide bulk order)
+  *    builds a multi-GB row and OOMs its task at 100 TB. Legitimate
+  *    only when the element count is provably capped UPSTREAM (an
+  *    admission filter before collection — the engine's own basket
+  *    operators do this); linear zips of the array against its own
+  *    tail (`arrays_zip(slice(a,1,..), slice(a,2,..))`) do NOT fire.
   *
   * One row per finding: `(rule, severity, node)`, `node` = the plan
   * node's one-line rendering (truncated) so the finding points at the
@@ -50,28 +76,100 @@ object Lint {
       case p: BroadcastNestedLoopJoinExec =>
         findings += (("broadcast-nested-loop", "warn", head(p)))
       case p: WindowExec if p.partitionSpec.isEmpty =>
-        findings += (("single-partition-window", "error", head(p)))
-      case FilterExec(_, scan: FileSourceScanExec)
+        // severity by input boundedness: a limit bounds rows by a
+        // constant; an aggregate bounds them by the group grain; a raw
+        // relation bounds nothing
+        val sev =
+          if (p.child.exists(n =>
+            n.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
+              n.isInstanceOf[org.apache.spark.sql.execution
+                .TakeOrderedAndProjectExec] ||
+              n.isInstanceOf[org.apache.spark.sql.execution
+                .CollectLimitExec])) "info"
+          else if (p.child.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.aggregate
+              .BaseAggregateExec])) "warn"
+          else "error"
+        findings += (("single-partition-window", sev, head(p)))
+      case FilterExec(cond, scan: FileSourceScanExec)
           // null-guards alone don't prune row groups: judge by the
           // TRANSLATED source filters (what parquet actually receives,
           // rendered in scan metadata), not dataFilters (the catalyst
           // predicates, which keep non-translatable expressions). A
           // comma inside a rendered filter only makes this check MORE
           // conservative (the fragment won't parse as IsNotNull).
-          if scan.metadata.getOrElse("PushedFilters", "[]")
+          // Fire only when the RESIDUAL condition carries more than
+          // null guards — a join-key IsNotNull filter has nothing else
+          // to push and is the planner doing its job.
+          if conjuncts(cond).exists(c =>
+            !c.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .IsNotNull]) &&
+            scan.metadata.getOrElse("PushedFilters", "[]")
             .stripPrefix("[").stripSuffix("]")
             .split(",").map(_.trim).filter(_.nonEmpty)
             .forall(_.startsWith("IsNotNull(")) &&
             scan.partitionFilters.isEmpty =>
-        findings += (("filter-not-pushed", "warn", head(scan)))
+        val actionable = conjuncts(cond).exists(pushableShaped)
+        findings += (("filter-not-pushed",
+          if (actionable) "warn" else "info", head(scan)))
       case scan: FileSourceScanExec
           if scan.relation.dataSchema.size > 1 &&
             scan.output.size >= scan.relation.dataSchema.size =>
         findings += (("full-width-scan", "info", head(scan)))
       case _ =>
     }
+    // second pass, every node: the self-quadratic expansion hides in
+    // ANY operator's expressions (project, generate, aggregate), so it
+    // can't ride the typed matches above
+    plan.foreach { p =>
+      if (p.expressions.exists(selfQuadraticTransform))
+        findings += (("unbounded-in-row-expansion", "warn", head(p)))
+    }
     findings.toSeq.distinct
       .toDF("rule", "severity", "node")
       .orderBy(col("severity"), col("rule"), col("node"))
   }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Does this predicate have the SHAPE the parquet source can
+    * translate (bare column vs literal)? If yes and it still didn't
+    * push, something actionable wrapped the column. */
+  private def pushableShaped(c: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    c match {
+      case b: BinaryComparison =>
+        (b.left.isInstanceOf[AttributeReference] &&
+          b.right.isInstanceOf[Literal]) ||
+        (b.right.isInstanceOf[AttributeReference] &&
+          b.left.isInstanceOf[Literal])
+      case In(_: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+      case InSet(_: AttributeReference, _) => true
+      case StartsWith(_: AttributeReference, _: Literal) => true
+      case Not(inner) => pushableShaped(inner)
+      case _ => false
+    }
+  }
+
+  /** A `transform` whose function body runs another `transform` over a
+    * slice/reference of the OUTER transform's own input array — per
+    * element of `a`, iterate (part of) `a` again: O(|a|²) output in
+    * one row. Matched structurally (the inner argument's tree contains
+    * an expression semantically equal to the outer argument), so
+    * nesting over a DIFFERENT array, and linear self-zips that never
+    * re-iterate per element, stay clean. */
+  private def selfQuadraticTransform(e: Expression): Boolean =
+    e.exists {
+      case outer: ArrayTransform =>
+        outer.function.exists {
+          case inner: ArrayTransform =>
+            inner.argument.exists(_.semanticEquals(outer.argument))
+          case _ => false
+        }
+      case _ => false
+    }
 }

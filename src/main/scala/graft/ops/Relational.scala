@@ -260,11 +260,19 @@ object Relational {
           .as("segment_or_default"))
       .orderBy(col("c_custkey"))
 
-  /** Null-presence predicate (P6) + cast (F5): non-'O' order statuses. */
+  /** Null-presence predicate (P6) + cast (F5): non-'O' order statuses.
+    * The predicate is phrased on the SOURCE column (`=!= 'O'`, which
+    * pushes Not(EqualTo) + IsNotNull into the parquet reader and
+    * prunes row groups) rather than on the nullif projection —
+    * `isNotNull(nullif(x, 'O'))` optimizes into an IF that parquet
+    * cannot evaluate, so the semantically identical filter would
+    * decode every row group first (caught by the self-lint sweep).
+    * The nullif projection stays for the operator's P6 shape; after
+    * the filter it is the identity. */
   def nonOpenOrderCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
+      .filter(col("o_orderstatus") =!= "O")
       .select(nullif(col("o_orderstatus"), lit("O")).as("st"))
-      .filter(col("st").isNotNull)
       .groupBy(col("st")).agg(count(lit(1)).as("n"))
       .orderBy(col("st"))
 
@@ -488,17 +496,23 @@ object Relational {
     * partial+final hash agg, TakeOrderedAndProject for the top-10. */
   def sqlSurface(s: SparkSession, dir: String): DataFrame = {
     // Register the discovered warehouse as the session catalog ONCE per
-    // warehouse dir (the reference discovers once at definition load,
+    // warehouse STATE (the reference discovers once at definition load,
     // not per query): re-registration re-reads every table's footer for
     // schema — a measured ~0.9 s of pure metadata churn per call. The
-    // marker conf keys the registration to the dir, so switching
-    // warehouses mid-session re-registers correctly.
-    val marker = "graft.sqlSurface.viewsDir"
-    if (!s.conf.getOption(marker).contains(dir)) {
+    // marker is keyed on the dir's CONTENT FINGERPRINT, not the dir
+    // string: cached temp views pin their file-index snapshot, so a
+    // dir-string key would serve views blind to files appended to the
+    // same dir mid-session (the IndexStore staleness class). The
+    // fingerprint costs one `ls -R` per call — metadata-class, ~100×
+    // cheaper than the footer walk it gates — and moves whenever any
+    // table's files change, which re-registers the views.
+    val marker = "graft.sqlSurface.viewsState"
+    val state = s"$dir@${graft.observe.IndexStore.fingerprint(s, dir, 1)}"
+    if (!s.conf.getOption(marker).contains(state)) {
       Tables.discover(dir).foreach { name =>
         Tables.load(s, dir, name).createOrReplaceTempView(name)
       }
-      s.conf.set(marker, dir)
+      s.conf.set(marker, state)
     }
     s.sql("""
       SELECT o_orderkey,

@@ -236,6 +236,82 @@ class IndexStoreSpec extends SparkSuite {
       "the incremental path must treat the compacted head as a parent")
   }
 
+  test("deep chains auto-fold: once the live chain passes the depth " +
+    "bound an append compacts it back to a standalone head; retained " +
+    "as-of snapshots survive the fold") {
+    val name = freshName("autofold")
+    val src = scratch("autofold")
+    val s = spark
+    import s.implicits._
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      s.read.parquet(src))(
+      (_, added) => s.read.parquet(added: _*))
+    def depth() = IndexStore.inventory(s)
+      .filter(col("artifact") === name &&
+        col("fingerprint") === IndexStore.fingerprint(s, src, 1))
+      .select("chain_depth").head().getInt(0)
+    Seq(0L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    var fpMid: String = null
+    (1 to 9).foreach { i =>
+      Thread.sleep(5)
+      Seq(i.toLong).toDF("x").coalesce(1).write.mode("append").parquet(src)
+      get().collect()
+      if (i == 4) fpMid = IndexStore.fingerprint(s, src, 1)
+    }
+    // without the auto-fold the chain would be 10 deep (base + 9
+    // deltas); the fold at depth 9 leaves the 9th append chaining onto
+    // a standalone compacted head
+    assert(depth() === 2,
+      s"chain depth ${depth()}: the deep chain must have auto-folded")
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      (0L to 9L).toSet, "content must be complete across the fold")
+    assert(IndexStore.readAsOf(s, name, fpMid)
+      .collect().map(_.getLong(0)).toSet === (0L to 4L).toSet,
+      "a pre-fold snapshot must keep serving as-of reads")
+  }
+
+  test("manifestLine folds an exposed etag into the fingerprint " +
+    "preimage: same (path, len, mtime) with a different etag is a " +
+    "different source state; plain statuses keep the classic triple") {
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    // the S3A/ABFS-shaped status: exposes getETag (probed reflectively
+    // by manifestLine, so no object-store client is linked)
+    class EtagStatus(len: Long, mtime: Long, p: HPath, etag: String)
+        extends FileStatus(len, false, 1, 4096, mtime, p) {
+      def getETag: String = etag
+    }
+    val p = new HPath("/warehouse/part-0.parquet")
+    val a = IndexStore.manifestLine(new EtagStatus(10, 1000, p, "e1"))
+    val b = IndexStore.manifestLine(new EtagStatus(10, 1000, p, "e2"))
+    assert(a === s"$p|10|1000|e1" && b === s"$p|10|1000|e2" && a != b,
+      "a same-size same-mtime rewrite must still move the manifest line")
+    val plain = IndexStore.manifestLine(
+      new FileStatus(10, false, 1, 4096, 1000, p))
+    assert(plain === s"$p|10|1000",
+      "filesystems without a checksum keep the classic triple")
+  }
+
+  test("vacuumStaging also reclaims aged .old-* compaction leftovers") {
+    val name = freshName("vacold")
+    val src = scratch("vacold")
+    writeSource(src, 1L to 3L)
+    IndexStore.readOrBuild(spark, name, src) {
+      spark.read.parquet(src)
+    }.collect()
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val aged = Paths.get(root, name, ".old-dead-1")
+    Files.createDirectories(aged)
+    Files.write(aged.resolve("part-0.parquet"), Array.fill(32)(1.toByte))
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val report = IndexStore.vacuumStaging(spark)
+      .filter(col("artifact") === name).collect()
+    assert(report.length === 1 && report(0).getString(1) === ".old-dead-1")
+    assert(!Files.exists(aged), "aged .old-* leftover must be reclaimed")
+  }
+
   test("inventory: the store describes its own artifacts — head, " +
     "chain depth, file/byte footprint") {
     val name = freshName("inv")

@@ -250,6 +250,83 @@ class ObserveSpec extends SparkSuite {
       s"flagship must lint clean: ${clean.mkString(";")}")
   }
 
+  test("lint: unbounded-in-row-expansion fires on the self-quadratic " +
+    "transform shape; linear self-zips and cross-array nesting stay " +
+    "clean") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+      graft.observe.Lint.planLint(df).collect().map(_.getString(0)).toSet
+    val arr = Seq((1L, Seq(1L, 2L, 3L))).toDF("k", "a")
+    // the quadratic pair-emission shape: per element, iterate the own
+    // array's tail
+    val quad = arr.select(explode(expr(
+      "flatten(transform(a, (x, i) -> " +
+        "transform(slice(a, i + 2, size(a)), y -> x + y)))")).as("p"))
+    assert(rules(quad).contains("unbounded-in-row-expansion"),
+      s"the self-quadratic transform must be flagged: ${rules(quad)}")
+    // linear: zip the array against its own tail (adjacent pairs)
+    val lin = arr.select(explode(expr(
+      "arrays_zip(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1))"))
+      .as("p"))
+    assert(!rules(lin).contains("unbounded-in-row-expansion"),
+      "a linear self-zip must not be flagged")
+    // nesting over a DIFFERENT array is a plain cross product of two
+    // bounded arrays, not self-quadratic
+    val two = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .select(expr("transform(a, x -> transform(b, y -> x + y))").as("m"))
+    assert(!rules(two).contains("unbounded-in-row-expansion"),
+      "cross-array nesting must not be flagged")
+  }
+
+  test("self-lint sweep: every declared query lints free of errors; " +
+    "warn findings only on the named allowlist") {
+    // the engine holds its own queries to the standard it offers
+    // users: planLint over all of SparkEntry.queries. `info` rows
+    // (full-width-scan) are informational by contract. Allowlisted
+    // warns, each deliberate:
+    //  - broadcast-nested-loop: model-sized broadcast sides (query
+    //    vectors, centroids, 1-row totals/stats) streamed against
+    //    once — PlanSpec pins the same set;
+    //  - unbounded-in-row-expansion: in-row pair/containment emission
+    //    over arrays whose element count is capped UPSTREAM — shingle
+    //    vocabularies bounded by construction (q33/q68/q88) and the
+    //    admission-capped baskets (q137, see admittedBaskets);
+    //  - single-partition-window: q70's rolling window runs over the
+    //    day-grain pre-aggregated relation — one task over O(days)
+    //    rows, which is the documented contract.
+    val warnAllowed: Map[String, Set[String]] = Map(
+      "broadcast-nested-loop" -> Set(
+        "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
+        "q67_tfidf_top_terms", "q83_filtered_topk", "q93_quantized_topk",
+        "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
+        "q109_hybrid_rrf", "q113_random_projection",
+        "q118_skew_replicated_join", "q124_hourly_gapfill",
+        "q134_copurchase_triangles", "q137_association_rules"),
+      "unbounded-in-row-expansion" -> Set(
+        "q33_jaccard_pairs", "q68_containment_pairs",
+        "q88_contamination_matrix", "q137_association_rules"),
+      "single-partition-window" -> Set("q70_rolling_revenue"),
+      "filter-not-pushed" -> Set.empty)
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val findings = graft.observe.Lint.planLint(fn(spark, sf)).collect()
+      findings.foreach { r =>
+        val (rule, sev) = (r.getString(0), r.getString(1))
+        sev match {
+          case "error" => bad += s"$name: ERROR $rule"
+          case "warn"
+              if !warnAllowed.getOrElse(rule, Set.empty)(name) =>
+            bad += s"$name: warn $rule"
+          case _ => ()
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      s"queries with un-allowlisted lint findings:\n${bad.mkString("\n")}")
+  }
+
   test("task-metrics listener surfaces execution metrics as a relation") {
     graft.observe.Metrics.listen(spark)
     Tables.load(spark, sf, "lineitem").count() // generate some stages

@@ -524,6 +524,112 @@ class PlanSpec extends SparkSuite {
       "MV-served result must equal the direct rollup")
   }
 
+  test("MV staleness: a base append makes the rule FALL BACK to the " +
+    "base table (never a stale serve); re-registering re-serves") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvstale")
+      .toString
+    val basePath = s"$dir/lineitem.parquet"
+    Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+        "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(basePath)
+    graft.plans.MvCatalog.registerLineitemDaily(spark, dir)
+    def q = spark.read.parquet(basePath)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("mv_lineitem_daily"), "fresh registration must serve")
+    val before = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pure append: one more data file in the base dir -> fingerprint
+    // moves -> the registered artifact no longer matches
+    Tables.load(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity",
+        "l_extendedprice")
+      .limit(100).coalesce(1).write.mode("append").parquet(basePath)
+    val p2 = q.queryExecution.executedPlan.toString
+    assert(!p2.contains("mv_lineitem_daily") &&
+      p2.contains("lineitem.parquet"),
+      s"after a base append the rule must fall back to the base:\n$p2")
+    val after = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.values.sum === before.values.sum + 100,
+      "the fallback must see the appended rows (stale serve = bug)")
+    // rebuild + re-register: serving resumes, now over the grown base
+    graft.plans.MvCatalog.registerLineitemDaily(spark, dir)
+    val p3 = q.queryExecution.executedPlan.toString
+    assert(p3.contains("mv_lineitem_daily"),
+      s"re-registration must serve the rebuilt artifact:\n$p3")
+    assert(q.collect().map(_.getLong(1)).sum === after.values.sum)
+  }
+
+  test("MV type safety: sum over a DECIMAL base never rewrites (rolled " +
+    "sum widens the type); count over the same spec still serves") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mvdec")
+      .toString
+    val basePath = s"$dir/dec.parquet"
+    Seq(("a", "1.10"), ("a", "2.20"), ("b", "3.30"))
+      .toDF("g", "vs")
+      .select(col("g"), col("vs").cast("decimal(10,2)").as("v"))
+      .write.mode("overwrite").parquet(basePath)
+    graft.observe.IndexStore.invalidate(spark, "mv_dec_test")
+    graft.observe.IndexStore.readOrBuild(spark, "mv_dec_test", basePath) {
+      spark.read.parquet(basePath).groupBy(col("g"))
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("cnt"))
+    }
+    graft.plans.MvRewrite.register(graft.plans.MvRewrite.Spec(
+      basePath = basePath, artifact = "mv_dec_test", version = 1,
+      groupCols = Set("g"), cntCol = "cnt",
+      sumCols = Map("v" -> "sum_v"), minCols = Map.empty,
+      maxCols = Map.empty))
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MvRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    }
+    val sumQ = spark.read.parquet(basePath)
+      .groupBy(col("g")).agg(sum(col("v")).as("s"))
+    val sp = sumQ.queryExecution.executedPlan.toString
+    assert(sp.contains("dec.parquet") && !sp.contains("mv_dec_test"),
+      s"sum(decimal) would widen decimal(20,2)->decimal(30,2): must not " +
+        s"rewrite:\n$sp")
+    val cntQ = spark.read.parquet(basePath)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    assert(cntQ.queryExecution.executedPlan.toString
+      .contains("mv_dec_test"),
+      "count over the same spec is type-stable and must still serve")
+    assert(cntQ.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("MV avg synthesis: avg(double) serves as sum/non-null-count " +
+    "from the artifact and matches the direct plan") {
+    import org.apache.spark.sql.functions._
+    graft.plans.MvCatalog.registerLineitemDaily(spark, sf)
+    val avgQ = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val p = avgQ.queryExecution.executedPlan.toString
+    assert(p.contains("mv_lineitem_daily") &&
+      !p.contains("lineitem.parquet"),
+      s"avg must be synthesized from the MV's sum + non-null count:\n$p")
+    val served = avgQ.collect().map(_.getDouble(2))
+    val direct = bypassingMvRule {
+      Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().map(_.getDouble(2))
+    }
+    served.zip(direct).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b)),
+        s"served avg $a drifted from direct $b")
+    }
+  }
+
   /** Run `body` with MvRewrite removed from extraOptimizations (and
     * restored after) — for computing ground truth the rule would
     * otherwise rewrite. */
