@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an N× scale fixture from an existing sf dir by unioning
+  * re-keyed copies — the empirical scaling probe's data generator
+  * (`runMain graft.SynthScale <srcSfDir> <outDir> <copies>`).
+  *
+  * Every integer key space is offset by a per-copy stride so copies
+  * never collide and referential joins stay consistent (orders↔
+  * lineitem↔part↔customer all offset together); nation/region are
+  * shared dimensions and stay single. Two columns are PERTURBED
+  * rather than copied:
+  *
+  *  - `documents.text` goes through a per-copy substitution cipher
+  *    (alphabet rotation; copy 0 is the identity). A verbatim copy
+  *    would make every document a 10-way near-duplicate, and the
+  *    near-dup/shingle operators' PAIR output would grow
+  *    quadratically in the copy count — a property of that synthetic
+  *    data, not of the engine, and exactly what a scaling probe must
+  *    not measure. The cipher preserves length, word structure, and
+  *    token frequencies' SHAPE while making shingles disjoint across
+  *    copies.
+  *  - `embeddings.embedding` gets a per-copy epsilon on its first
+  *    component so vector ops see distinct points, not 10-way ties.
+  */
+object SynthScale {
+  private val stride = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: SynthScale <srcSfDir> <outDir> <copies>")
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def off(c: Column, i: Int): Column = c + lit(i * stride)
+    def cp(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map(i => f(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+
+    Seq("region", "nation").foreach { n => // shared dims: one copy
+      spark.read.parquet(s"$src/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    cp("customer")((d, i) =>
+      d.withColumn("c_custkey", off(col("c_custkey"), i)))
+    cp("supplier")((d, i) =>
+      d.withColumn("s_suppkey", off(col("s_suppkey"), i)))
+    cp("part")((d, i) =>
+      d.withColumn("p_partkey", off(col("p_partkey"), i)))
+    cp("orders")((d, i) => d
+      .withColumn("o_orderkey", off(col("o_orderkey"), i))
+      .withColumn("o_custkey", off(col("o_custkey"), i)))
+    cp("lineitem")((d, i) => d
+      .withColumn("l_orderkey", off(col("l_orderkey"), i))
+      .withColumn("l_partkey", off(col("l_partkey"), i))
+      .withColumn("l_suppkey", off(col("l_suppkey"), i)))
+    cp("events")((d, i) => d
+      .withColumn("event_id", off(col("event_id"), i))
+      .withColumn("user_id", off(col("user_id"), i)))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    cp("documents")((d, i) => {
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      d.withColumn("doc_id", off(col("doc_id"), i))
+        .withColumn("text", translate(col("text"), alpha, rot))
+    })
+    cp("embeddings")((d, i) => d
+      .withColumn("vec_id", off(col("vec_id"), i))
+      .withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          x + when(j === 0, lit(i / 1000.0)).otherwise(lit(0.0)))
+          .cast("array<float>")))
+    spark.stop()
+  }
+}
