@@ -84,19 +84,35 @@ object Runs {
     * reference mapped from event_type; run_id = event_id (unique),
     * entity_id = user_id % 20. */
   def runs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
-      .select(
-        col("event_id").as("run_id"),
-        (col("user_id") % 20).as("entity_id"),
-        col("ts"),
-        when(col("event_type") === "purchase", "TERMINATED")
-          .when(col("event_type") === "error", "INTERNAL_ERROR")
-          .when(col("event_type") === "signup", "SKIPPED")
-          .when(col("event_type") === "view", "RUNNING")
-          .otherwise("PENDING").as("state"),
-        when(col("event_type") === "purchase", "SUCCESS")
-          .when(col("event_type") === "error", "FAILED")
-          .otherwise(lit(null).cast("string")).as("result_state"))
+    runsProjection(Tables.load(s, dir, "events"))
+
+  private def runsProjection(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("run_id"),
+      (col("user_id") % 20).as("entity_id"),
+      col("ts"),
+      when(col("event_type") === "purchase", "TERMINATED")
+        .when(col("event_type") === "error", "INTERNAL_ERROR")
+        .when(col("event_type") === "signup", "SKIPPED")
+        .when(col("event_type") === "view", "RUNNING")
+        .otherwise("PENDING").as("state"),
+      when(col("event_type") === "purchase", "SUCCESS")
+        .when(col("event_type") === "error", "FAILED")
+        .otherwise(lit(null).cast("string")).as("result_state"))
+
+  /** [[runs]] restricted to terminal states, with the restriction ALSO
+    * phrased on the SOURCE column — `event_type IN (purchase, error,
+    * signup)`, the inverse image of the CASE state mapping — so the
+    * predicate pushes into the parquet reader and prunes row groups.
+    * A filter on the mapped `state` column alone wraps the source
+    * column in a CASE parquet cannot evaluate, and every row group
+    * decodes first (the self-lint `filter-not-pushed` class). The F8
+    * state-set membership still applies over the mapped column, where
+    * it is the identity on the pre-filtered rows. */
+  private def terminalRuns(s: SparkSession, dir: String): DataFrame =
+    runsProjection(Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("purchase", "error", "signup")))
+      .filter(col("state").isin(terminalStates: _*))
 
   /** S11/A4: latest run per entity via max_by aggregation — partial
     * aggregation is map-side (each partition keeps one candidate per
@@ -115,8 +131,7 @@ object Runs {
 
   /** F8: terminal-state set membership + per-entity outcome counts. */
   def terminalRunStats(s: SparkSession, dir: String): DataFrame =
-    runs(s, dir)
-      .filter(col("state").isin(terminalStates: _*))
+    terminalRuns(s, dir)
       .groupBy(col("entity_id"))
       .agg(
         count(lit(1)).as("n_terminal"),
@@ -134,15 +149,13 @@ object Runs {
     * feed. Broadcasting the outputs side would collect the runs relation
     * to the driver at scale. */
   def runOutputLookup(s: SparkSession, dir: String): DataFrame = {
-    val latestTerminal = runs(s, dir)
-      .filter(col("state").isin(terminalStates: _*))
+    val latestTerminal = terminalRuns(s, dir)
       .groupBy(col("entity_id"))
       .agg(max_by(struct(col("run_id"), col("result_state"), col("ts")),
         struct(col("ts"), col("run_id"))).as("r"))
       .select(col("entity_id"), col("r.run_id").as("run_id"),
         col("r.result_state").as("result_state"))
-    val outputs = runs(s, dir)
-      .filter(col("state").isin(terminalStates: _*))
+    val outputs = terminalRuns(s, dir)
       .select(col("run_id"),
         to_json(struct(col("run_id"), col("state"),
           coalesce(col("result_state"), lit("")).as("result_state")))

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions.col
 /** Plan lint — the 100 TB discipline PlanSpec enforces on the engine's
   * own queries, offered to the USER's queries as a relation: hand any
   * DataFrame in and get back the scale hazards its physical plan
-  * carries, before a cluster burns a day discovering them. Pure plan
-  * metadata (zero jobs); the rules are exactly the invariants this
-  * repo machine-checks on itself:
+  * carries, before a cluster burns a day discovering them. Two modes:
+  * [[planLint]] reads pure plan metadata (zero jobs, pre-AQE);
+  * [[executedPlanLint]] opts into executing the frame and lints the
+  * AQE-final plan. The rules are exactly the invariants this repo
+  * machine-checks on itself:
   *
   *  - `cartesian-product` (error): every pair of rows meets — O(n·m)
   *    at any scale; almost always a missing join key.
@@ -64,10 +66,33 @@ object Lint {
     if (s.length <= 120) s else s.take(117) + "..."
   }
 
-  def planLint(df: DataFrame): DataFrame = {
-    val s: SparkSession = df.sparkSession
+  /** Lint on the PRE-AQE `sparkPlan` — zero jobs (nothing executes),
+    * which is what makes the lint safe to run on anything. BOUNDARY:
+    * hazards that only appear or disappear in the AQE-finalized plan
+    * (runtime broadcast conversions, skew-split legs) are invisible
+    * here; [[executedPlanLint]] is the opt-in that sees them, at the
+    * cost of executing the query. */
+  def planLint(df: DataFrame): DataFrame =
+    lintPlan(df.sparkSession, df.queryExecution.sparkPlan)
+
+  /** [[planLint]] over the AQE-FINAL physical plan: EXECUTES the query
+    * (a noop-sink write materializes every stage so adaptive re-plans
+    * settle), then lints what actually ran — runtime BHJ conversions,
+    * AQE skew-join splits, and the final exchange layout included. Use
+    * on a sampled/bounded frame during development, not on the 100 TB
+    * run itself. */
+  def executedPlanLint(df: DataFrame): DataFrame = {
+    df.write.format("noop").mode("overwrite").save()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    lintPlan(df.sparkSession, finalPlan)
+  }
+
+  private def lintPlan(s: SparkSession, plan: SparkPlan): DataFrame = {
     import s.implicits._
-    val plan = df.queryExecution.sparkPlan
     val findings = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]
     plan.foreach {

@@ -278,6 +278,11 @@ class ObserveSpec extends SparkSuite {
       .select(expr("transform(a, x -> transform(b, y -> x + y))").as("m"))
     assert(!rules(two).contains("unbounded-in-row-expansion"),
       "cross-array nesting must not be flagged")
+    // the executed-plan mode sees the same hazard through the noop
+    // write + AQE-final plan unwrap
+    assert(graft.observe.Lint.executedPlanLint(quad).collect()
+      .map(_.getString(0)).contains("unbounded-in-row-expansion"),
+      "executedPlanLint must lint the AQE-final plan")
   }
 
   test("self-lint sweep: every declared query lints free of errors; " +

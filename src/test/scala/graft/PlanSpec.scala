@@ -75,6 +75,12 @@ class PlanSpec extends SparkSuite {
   test("set-membership filter pushed to parquet") {
     val p = plan("q15_error_purchase_by_user")
     assert(p.contains("In(event_type"))
+    // the terminal-state filters phrase their CASE-mapped predicate on
+    // the source column too (inverse image), so the run queries prune
+    assert(plan("q45_terminal_run_stats").contains("In(event_type"),
+      "q45 must push the terminal-type inverse image into the scan")
+    assert(plan("q46_run_output_lookup").contains("In(event_type"),
+      "q46 must push the terminal-type inverse image into the scan")
   }
 
   test("column pruning: narrow projection reaches the scan") {
