@@ -121,6 +121,25 @@ object Sensors {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("state"), col("n"))
 
+  /** Gap-based SESSION windows over the stream — the streaming face of
+    * q57's batch sessionization, on Spark's native `session_window`:
+    * per (user, session) event counts, sessions GROWING as events
+    * arrive (any event within 30 min of the session extends it; Spark
+    * merges overlapping candidate windows in the state store) and
+    * FINALIZING in append mode once the watermark passes gap-end — the
+    * training-pipeline/product-analytics sessionizer with state
+    * bounded by watermark eviction, per-key session state instead of a
+    * per-user event array. The identical plan runs in batch (the
+    * watermark is a no-op there), which is what the stream ≡ batch
+    * spec gates. */
+  def sessionCounts(updates: Dataset[UpdateEvent]): DataFrame =
+    updates
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("entityId"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("entityId").as("user_id"), col("n_events"))
+
   /** T6 — watermarked stream-stream interval join: pair each terminal
     * update with the start poll of the same (entity, update) observed
     * at most 2 hours earlier, emitting the update's wall-clock

@@ -208,6 +208,43 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming session windows: gap sessions merge across " +
+    "micro-batches, finalize at the watermark, and equal the batch " +
+    "session_window sessionization") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val evs = Tables.load(s, sf, "events")
+      .orderBy(col("event_id")).limit(600)
+      .select(col("user_id").as("entityId"), col("event_id").as("updateId"),
+        col("event_type").as("state"), col("ts"))
+      .as[UpdateEvent].collect().toSeq
+    val in = MemoryStream[UpdateEvent]
+    val q = Sensors.sessionCounts(in.toDS())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    withQuery(q) {
+      // split mid-stream so some sessions MERGE across micro-batches
+      val (b1, b2) = evs.splitAt(300)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val closer = evs.map(_.ts.getTime).max + 100L * 3600 * 1000
+      in.addData(UpdateEvent(-1L, -1L, "closer", new Timestamp(closer)))
+      q.processAllAvailable()
+      val streamed = s.table("session_out")
+        .filter(col("user_id") =!= -1L)
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val batch = Sensors.sessionCounts(s.createDataset(evs))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch,
+        "streamed gap sessions must equal the batch sessionization")
+      assert(streamed.nonEmpty)
+    }
+  }
+
   test("file-stream replay: readStream over events.parquet -> windowed agg") {
     val s = spark
     import org.apache.spark.sql.functions._
