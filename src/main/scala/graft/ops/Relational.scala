@@ -1070,46 +1070,52 @@ object Relational {
     * time-ordered stream — the Markov-chain view funnels and session
     * analytics both build on.
     *
-    * Scale shape — BOUNDED per-row state (the round-4 verdict's
-    * bot-user hazard: one user with 10⁷ events must not become one
-    * 10⁷-element array). The stream folds within (user, UTC day)
-    * sub-groups first: adjacent pairs INSIDE a day emit in-row
-    * (`arrays_zip` of the sorted list against its own tail — no
-    * self-join, no window shuffle; the q104/q115 discipline), and the
-    * cross-day adjacencies are stitched from a per-day summary row
-    * `(day, first_type, last_type)` — the second aggregation collects
-    * O(active days) structs per user, bounded by the calendar (and by
-    * retention in production), never by event volume. Day buckets are
-    * `t div 86400 s` on the epoch micros, monotone in `t`, so
-    * (day, in-day ts, event_id) order IS global (ts, event_id) order
-    * and the union of in-day + boundary pairs is exactly the adjacent
-    * pairs of the whole stream — the oracle's
-    * `lead() OVER (ORDER BY ts, event_id)` agrees pair-for-pair,
-    * ties included. */
+    * Scale shape — NO unbounded per-row state anywhere (the round-4
+    * verdict's bot-user hazard: one user with 10⁷ events must not
+    * become one 10⁷-element array):
+    *
+    *  - adjacent pairs INSIDE a (user, UTC day) group come from a
+    *    HASH-PARTITIONED window `lead()` — the sort is per-group,
+    *    spills to disk under memory pressure, and never materializes
+    *    an array, so even a bot whose 10⁷ events land in ONE day
+    *    cannot OOM a task (a per-day `collect_list` would — capping
+    *    the one-task trap, q133's UNPARTITIONED window, is the lint's
+    *    job; a keyed window is the spill-safe tool here);
+    *  - the per-day boundary summary `(day, first_type, last_type)`
+    *    aggregates with `min_by`/`max_by` — O(1) state per group —
+    *    and the cross-day stitch collects O(active days) structs per
+    *    user, bounded by the calendar (and retention in production),
+    *    never by event volume.
+    *
+    * Day buckets are `t div 86400 s` on the epoch micros, monotone in
+    * `t`, so (day, in-day ts, event_id) order IS global (ts, event_id)
+    * order and the union of in-day + boundary pairs is exactly the
+    * adjacent pairs of the whole stream — the oracle's global
+    * `lead() OVER (ORDER BY ts, event_id)` agrees pair-for-pair, ties
+    * included (proven on planted midnight/tie data in the spec). */
   def eventTransitions(s: SparkSession, dir: String): DataFrame = {
-    val days = t(s, dir, "events")
-      .select(col("user_id"),
-        struct(unix_micros(col("ts")).as("t"),
-          col("event_id").as("id"), col("event_type").as("et"))
-          .as("e"))
-      .groupBy(col("user_id"), expr("e.t div 86400000000").as("d"))
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
-      .localCheckpoint() // in-day pairs + boundary stitch share it
-    val within = days
-      .select(explode(expr(
-        """arrays_zip(slice(evs, 1, size(evs) - 1),
-          |           slice(evs, 2, size(evs) - 1))""".stripMargin))
-        .as("tr"))
-      .select(col("tr.0.et").as("from_type"), col("tr.1.et").as("to_type"))
-    val boundary = days
-      .select(col("user_id"),
-        struct(col("d"), col("evs")(0)("et").as("first_et"),
-          element_at(col("evs"), -1)("et").as("last_et")).as("ds"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("id"), col("event_type").as("et"))
+      .withColumn("d", expr("t div 86400000000"))
+      .localCheckpoint() // within-day lead + boundary summary share it
+    val wd = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("t"), col("id"))
+    val within = ev
+      .withColumn("nxt", lead(col("et"), 1).over(wd))
+      .filter(col("nxt").isNotNull)
+      .select(col("et").as("from_type"), col("nxt").as("to_type"))
+    val boundary = ev
+      .groupBy(col("user_id"), col("d"))
+      .agg(
+        min_by(col("et"), struct(col("t"), col("id"))).as("first_et"),
+        max_by(col("et"), struct(col("t"), col("id"))).as("last_et"))
       .groupBy(col("user_id"))
-      .agg(sort_array(collect_list(col("ds"))).as("dss")) // O(days)
+      .agg(sort_array(collect_list(struct(col("d"), col("first_et"),
+        col("last_et")))).as("ds")) // O(active days) per user
       .select(explode(expr(
-        """arrays_zip(slice(dss, 1, size(dss) - 1),
-          |           slice(dss, 2, size(dss) - 1))""".stripMargin))
+        """arrays_zip(slice(ds, 1, size(ds) - 1),
+          |           slice(ds, 2, size(ds) - 1))""".stripMargin))
         .as("bp"))
       .select(col("bp.0.last_et").as("from_type"),
         col("bp.1.first_et").as("to_type"))
@@ -1161,16 +1167,24 @@ object Relational {
     * events; honest and flagged, never OOM). The in-row sequential
     * `aggregate` then walks the ≤k sorted events carrying
     * (stage, last_ts). The cap is DERIVED from corpus size
-    * (`max(1024, 32·⌊log2(n_relevant)⌋)`, the admittedBaskets
+    * (`max(1024, 32·⌊log2(n_events)⌋)`, the admittedBaskets
     * discipline) and mirrored exactly in the oracle's
-    * `row_number() ≤ cap` pre-filter; it needs one driver-side count
-    * of the relevant-event relation — a metadata-class scalar job
-    * (reads one dictionary-encoded column), same class as the Lloyd
-    * models. Stage-0 users (present but never converted — including
+    * `row_number() ≤ cap` pre-filter. The basis is the TOTAL event
+    * count — a zero-column count Spark answers from parquet footer
+    * row counts, never a data scan — and it is memoized per
+    * events-table STATE (content fingerprint), so repeated calls pay
+    * an `ls`, not even the footer pass. Stage-0 users (present but
+    * never converted — including
     * users with NO relevant events, restored by a user-keyed left
     * join) are reported too. The oracle's relational min-chain over
     * the same capped relation anchors identically, so fold ≡ chain
     * exactly, ties included (strict `>` on both sides). */
+  // q136's cap basis, memoized per events-table STATE: the fingerprint
+  // key means a changed/appended table re-counts, an unchanged one
+  // never does — holds Longs only, nothing session-bound
+  private val funnelCapBasis =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   def funnelStages(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val stageTypes = Seq("view", "click", "purchase")
@@ -1178,9 +1192,12 @@ object Relational {
       .filter(col("event_type").isin(stageTypes: _*))
       .select(col("user_id"), unix_micros(col("ts")).as("t"),
         col("event_id").as("id"), col("event_type").as("et"))
-    val nRel = math.max(1L, rel.count()) // driver scalar: cap derivation
+    val fp = graft.observe.IndexStore
+      .fingerprint(s, s"$dir/events.parquet", 1)
+    val nEv = funnelCapBasis.getOrElseUpdate(fp,
+      math.max(1L, t(s, dir, "events").count())) // footer-count job
     val cap = math.max(1024L,
-      32L * (63 - java.lang.Long.numberOfLeadingZeros(nRel)))
+      32L * (63 - java.lang.Long.numberOfLeadingZeros(nEv)))
     val firstK = udaf(graft.functions.TopK.earliestKAggOf(cap.toInt),
       ExpressionEncoder[graft.functions.TopK.Ev]())
     val folded = rel
@@ -1428,7 +1445,7 @@ object Relational {
         |    FROM events
         |    WHERE event_type IN ('view', 'click', 'purchase')),
         |capv AS (SELECT greatest(1024, 32 * CAST(floor(log2(
-        |    greatest(count(*), 1))) AS BIGINT)) AS cap FROM rel),
+        |    greatest(count(*), 1))) AS BIGINT)) AS cap FROM events),
         |rk AS (SELECT user_id, ts, event_type,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS rn,

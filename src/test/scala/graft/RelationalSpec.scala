@@ -147,6 +147,33 @@ class RelationalSpec extends SparkSuite {
     once.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("q137 lift/confidence micro-units are exact past BIGINT: the " +
+    "decimal cross-multiply equals BigInt arithmetic in the overflow " +
+    "regime") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    // counts at web-corpus scale: n_uv·N·10⁶ ≈ 10³³ — a plain BIGINT
+    // multiply wraps silently here; the DECIMAL(38,0) form must not
+    val cases = Seq(
+      (912345678901L, 1987654321098L, 2345678901L, 3456789012L),
+      (1L, 9007199254740993L, 97L, 101L), // > 2^53: double math would drift
+      (500000000000L, 800000000000L, 123456789L, 987654321L))
+    val got = cases.toDF("n_uv", "n_baskets", "n_u", "n_w")
+      .select(
+        expr("""cast(cast(n_uv as decimal(38,0)) * n_baskets * 1000000
+               |  div (cast(n_u as decimal(38,0)) * n_w) as bigint)"""
+          .stripMargin).as("lift"),
+        expr("cast(cast(n_uv as decimal(38,0)) * 1000000 div n_u as bigint)")
+          .as("conf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = cases.map { case (uv, nb, u, w) =>
+      ((BigInt(uv) * nb * 1000000 / (BigInt(u) * w)).toLong,
+        (BigInt(uv) * 1000000 / u).toLong)
+    }
+    assert(got.toSeq === want)
+  }
+
   test("q134/q137 basket admission: a planted mega-basket is excluded, " +
     "no admitted basket exceeds the derived cap, normals untouched") {
     val s = spark
