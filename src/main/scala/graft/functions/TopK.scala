@@ -27,13 +27,25 @@ object TopK {
   private def better(a: Item, b: Item): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  private def insert(k: Int)(buf: Seq[Item], it: Item): Seq[Item] = {
-    // buf is kept sorted, so a full buffer rejects a non-improving row
-    // with ONE comparison — the overwhelmingly common case on a skewed
-    // key (a host with 10⁹ pages sees k sorts, not 10⁹)
-    if (buf.size >= k && !better(it, buf.last)) buf
-    else (buf :+ it).sortWith(better).take(k)
+  /** Insert into a sorted ≤k buffer: a full buffer rejects a
+    * non-improving row with ONE comparison (the overwhelmingly common
+    * case on a skewed key — a host with 10⁹ pages sees k splices, not
+    * 10⁹), and a qualifying row SPLICES at its position in O(k) rather
+    * than re-sorting — adversarial best-first arrival on a hot key
+    * would otherwise pay O(k log k) per event. */
+  private def spliceSorted[T](k: Int, before: (T, T) => Boolean)(
+      buf: Seq[T], it: T): Seq[T] = {
+    if (buf.size >= k && !before(it, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => before(it, b))
+      val at = if (i < 0) buf.size else i
+      val out = (buf.take(at) :+ it) ++ buf.drop(at)
+      if (out.size > k) out.take(k) else out
+    }
   }
+
+  private def insert(k: Int)(buf: Seq[Item], it: Item): Seq[Item] =
+    spliceSorted(k, better)(buf, it)
 
   /** Bounded top-k (value, id) heap per group, parameterized by k —
     * the capture is a plain Int, so the Aggregator stays serializable
@@ -70,8 +82,7 @@ object TopK {
       k: Int): Aggregator[Ev, (Seq[Ev], Long), (Seq[Ev], Long)] =
     new Aggregator[Ev, (Seq[Ev], Long), (Seq[Ev], Long)] {
       private def ins(buf: Seq[Ev], it: Ev): Seq[Ev] =
-        if (buf.size >= k && !earlier(it, buf.last)) buf
-        else (buf :+ it).sortWith(earlier).take(k)
+        spliceSorted(k, earlier)(buf, it)
       override def zero: (Seq[Ev], Long) = (Seq.empty, 0L)
       override def reduce(b: (Seq[Ev], Long), a: Ev): (Seq[Ev], Long) =
         (ins(b._1, a), b._2 + 1)

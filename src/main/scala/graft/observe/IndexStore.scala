@@ -149,13 +149,43 @@ object IndexStore {
       } finally in.close()
     }
 
-  /** Segment paths of the chain rooted at `fp`, child first. */
-  private def chainPaths(f: FileSystem, base: Path, fp: String): Seq[Path] = {
+  /** The DATA directory serving fingerprint `fp`: the `fp=` head dir
+    * itself, unless a published `_HEAD` pointer redirects it to a
+    * compacted sibling segment (`seg-*`). The pointer is one small
+    * file swapped in by a single atomic rename, so a reader in ANY
+    * process resolves either the whole pre-compaction layout (the old
+    * data files are left in place for it — vacuum reclaims them after
+    * an age floor) or the whole post-compaction one — never a torn
+    * mix. A pointer whose target lost its `_SUCCESS` is ignored (the
+    * un-compacted layout is still on disk and still correct). */
+  private def resolved(f: FileSystem, base: Path, fp: String): Path = {
     val seg = new Path(base, s"fp=$fp")
-    readSmall(f, new Path(seg, "_PARENT")) match {
-      case Some(parent) if parent.nonEmpty =>
-        seg +: chainPaths(f, base, parent.trim)
-      case _ => Seq(seg)
+    readSmall(f, new Path(seg, "_HEAD")).map(_.trim).filter(_.nonEmpty)
+      .map(g => new Path(base, g))
+      .filter(g => f.exists(new Path(g, "_SUCCESS")))
+      .getOrElse(seg)
+  }
+
+  /** Segment DATA paths of the chain rooted at `fp`, child first —
+    * each fingerprint resolved through its `_HEAD` pointer. */
+  private def chainPaths(f: FileSystem, base: Path, fp: String): Seq[Path] = {
+    val dir = resolved(f, base, fp)
+    readSmall(f, new Path(dir, "_PARENT")) match {
+      case Some(parent) if parent.trim.nonEmpty =>
+        dir +: chainPaths(f, base, parent.trim)
+      case _ => Seq(dir)
+    }
+  }
+
+  /** Fingerprints of the chain rooted at `fp`, child first — the
+    * retention pass protects by fingerprint name, which [[chainPaths]]
+    * no longer exposes once a segment resolves to a `seg-*` dir. */
+  private def chainFps(f: FileSystem, base: Path, fp: String): Seq[String] = {
+    val dir = resolved(f, base, fp)
+    readSmall(f, new Path(dir, "_PARENT")) match {
+      case Some(parent) if parent.trim.nonEmpty =>
+        fp +: chainFps(f, base, parent.trim)
+      case _ => Seq(fp)
     }
   }
 
@@ -212,7 +242,12 @@ object IndexStore {
       val servable = f.exists(new Path(dest, "_SUCCESS")) &&
         chainIntact(f, base, fp)
       if (!servable) {
-        if (f.exists(dest)) f.delete(dest, true) // incomplete or orphaned
+        if (f.exists(dest)) { // incomplete or orphaned
+          readSmall(f, new Path(dest, "_HEAD")).map(_.trim)
+            .filter(_.startsWith("seg-"))
+            .foreach(g => f.delete(new Path(base, g), true))
+          f.delete(dest, true)
+        }
         // candidate parent: a finished artifact whose manifest is the
         // largest strict subset of ours (pure append since its build)
         val parent: Option[(String, Seq[String])] =
@@ -274,16 +309,23 @@ object IndexStore {
         // invalidate (the multi-warehouse coexistence hazard).
         val all = f.listStatus(base).toSeq
           .filter(_.getPath.getName.startsWith("fp="))
-        val liveChain = chainPaths(f, base, fp).map(_.getName).toSet
+        val liveChain = chainFps(f, base, fp).map(h => s"fp=$h").toSet
         val retainedHeads = all
           .filterNot(st => liveChain(st.getPath.getName))
           .sortBy(-_.getModificationTime)
           .take(keepFingerprints - 1)
           .map(_.getPath.getName.stripPrefix("fp="))
         val protectedNames = liveChain ++ retainedHeads.flatMap(h =>
-          chainPaths(f, base, h).map(_.getName))
+          chainFps(f, base, h).map(a => s"fp=$a"))
         all.filterNot(st => protectedNames.contains(st.getPath.getName))
-          .foreach(st => f.delete(st.getPath, true))
+          .foreach { st =>
+            // a compacted head's data lives in its _HEAD target —
+            // reclaim that sibling too, or it leaks unreferenced
+            readSmall(f, new Path(st.getPath, "_HEAD"))
+              .map(_.trim).filter(_.startsWith("seg-"))
+              .foreach(g => f.delete(new Path(base, g), true))
+            f.delete(st.getPath, true)
+          }
         // AUTO-COMPACTION: each pure append deepens the chain by one
         // segment and a read is a chain-length multi-path scan, so
         // read amplification is O(depth) until something folds the
@@ -334,7 +376,7 @@ object IndexStore {
     val fp = fingerprint(s, srcDir, version)
     val base = new Path(s"${root(s)}/$name")
     val f = fs(s, base)
-    readSmall(f, new Path(new Path(base, s"fp=$fp"), "_PARENT"))
+    readSmall(f, new Path(resolved(f, base, fp), "_PARENT"))
       .exists(_.trim.nonEmpty)
   }
 
@@ -358,17 +400,25 @@ object IndexStore {
     readChain(s, base, fp)
   }
 
-  /** Garbage-collect abandoned HIDDEN dirs: `.build-*` staging (a
-    * builder that crashed between staging and publish) and `.old-*`
-    * compaction leftovers (a [[compactChain]] that crashed after
-    * renaming the pre-compaction head out but before deleting it) —
-    * both invisible to reads (never at a `fp=` path) but real bytes
-    * on a real object store. Deleting them is safe once no in-flight
-    * builder/compactor can still own them, which is what the age
-    * floor expresses; published artifacts and their chains are never
-    * touched (reclaiming THOSE is the build-time retention pass's
-    * job, which knows the live chain). Returns one row per reclaimed
-    * dir `(artifact, staging, bytes)` — a vacuum that reports what it
+  /** Garbage-collect leftovers no live reader can reach, after an age
+    * floor says no in-flight reader can still HOLD them either:
+    *
+    *  - `.build-*` staging (a builder that crashed between staging and
+    *    publish) and `.old-*` leftovers (pre-pointer compaction
+    *    debris) — hidden dirs, invisible to reads;
+    *  - `seg-*` segment dirs referenced by NO `fp=` head's `_HEAD`
+    *    pointer (a compactor that crashed before its pointer rename,
+    *    or that lost the publication race);
+    *  - superseded PRE-COMPACTION data files still sitting under an
+    *    `fp=` dir whose `_HEAD` pointer has been published for longer
+    *    than the age floor — [[compactChain]] deliberately leaves them
+    *    so readers that resolved the old layout finish their scan;
+    *    this is the deferred delete that completes the swap.
+    *
+    * Published artifacts and their chains are never touched
+    * (reclaiming THOSE is the build-time retention pass's job, which
+    * knows the live chain). Returns one row per reclaimed dir
+    * `(artifact, staging, bytes)` — a vacuum that reports what it
     * freed, not a silent delete. */
   def vacuumStaging(s: SparkSession,
       olderThanMs: Long = 24L * 3600 * 1000): DataFrame = {
@@ -381,16 +431,51 @@ object IndexStore {
       if (!f.exists(base)) Seq.empty
       else
         f.listStatus(base).toSeq.filter(_.isDirectory).flatMap { art =>
-          f.listStatus(art.getPath).toSeq
+          val entries = f.listStatus(art.getPath).toSeq
+          val heads = entries.filter(st =>
+            st.isDirectory && st.getPath.getName.startsWith("fp="))
+          val referencedSegs = heads.flatMap(h =>
+            readSmall(f, new Path(h.getPath, "_HEAD")).map(_.trim)).toSet
+          val staging = entries
             .filter(st => st.isDirectory &&
               (st.getPath.getName.startsWith(".build-") ||
-                st.getPath.getName.startsWith(".old-")) &&
+                st.getPath.getName.startsWith(".old-") ||
+                (st.getPath.getName.startsWith("seg-") &&
+                  !referencedSegs(st.getPath.getName))) &&
               st.getModificationTime < cutoff)
             .map { st =>
               val bytes = f.getContentSummary(st.getPath).getLength
               f.delete(st.getPath, true)
               (art.getPath.getName, st.getPath.getName, bytes)
             }
+          // deferred delete behind a published pointer: reclaim the
+          // fp= dir's own data files once the pointer is old enough
+          val deferred = heads.flatMap { h =>
+            val headFile = new Path(h.getPath, "_HEAD")
+            // only behind a LIVE pointer: target present and committed
+            val pointed = readSmall(f, headFile).map(_.trim)
+              .filter(g => f.exists(
+                new Path(new Path(art.getPath, g), "_SUCCESS")))
+            val headOld =
+              f.exists(headFile) &&
+                f.getFileStatus(headFile).getModificationTime < cutoff
+            if (pointed.isEmpty || !headOld) None
+            else {
+              val stale = f.listStatus(h.getPath).toSeq.filter(st =>
+                !st.isDirectory && {
+                  val n = st.getPath.getName
+                  n == "_PARENT" || !(n.startsWith("_") || n.startsWith("."))
+                })
+              if (stale.isEmpty) None
+              else {
+                val bytes = stale.map(_.getLen).sum
+                stale.foreach(st => f.delete(st.getPath, false))
+                Some((art.getPath.getName,
+                  s"${h.getPath.getName}/<pre-compaction>", bytes))
+              }
+            }
+          }
+          staging ++ deferred
         }
     rows.toDF("artifact", "staging", "bytes")
       .orderBy(col("artifact"), col("staging"))
@@ -401,25 +486,30 @@ object IndexStore {
     * format needs: each pure append deepens the chain by one segment,
     * and a read is a chain-length multi-path scan, so read
     * amplification grows with append count until something folds the
-    * history. Compaction rewrites `union(chain)` as a parentless
-    * segment for the CURRENT source state (content unchanged — the
-    * fingerprint still matches, so no reader can observe a semantic
-    * difference); ancestor segments are left for the retention pass
+    * history.
+    *
+    * Publication is ATOMIC FOR EVERY PROCESS, not just this JVM: the
+    * folded `union(chain)` is written to a fresh sibling segment dir
+    * (`seg-<fp>-<nanos>` — a name no reader resolves yet), and the
+    * head is switched by writing a one-line `_HEAD` pointer file into
+    * the `fp=` dir via write-temp + single rename. A reader in any
+    * process resolves the pointer exactly-once per read
+    * ([[resolved]]): before the rename it scans the old chain — whose
+    * files are all still in place, nothing is deleted here — and
+    * after it, the folded segment; there is no window where a
+    * resolved file list loses files mid-scan. Content is unchanged
+    * either way (the fingerprint still matches). The superseded
+    * pre-compaction data files stay under the `fp=` dir until
+    * [[vacuumStaging]]'s age floor says no reader can still hold
+    * them — the deferred-delete discipline every object-store table
+    * format uses. Ancestor segments are left for the retention pass
     * (other retained heads may still chain to them, and [[readAsOf]]
-    * keeps serving them as snapshots). The swap is rename-out /
-    * rename-in under the build lock; a crash between the renames
-    * leaves no artifact at `fp=` — the safe direction, since the next
-    * read just rebuilds — never a torn one; a crash just after leaves
-    * a `.old-*` leftover that [[vacuumStaging]] reclaims. CROSS-
-    * PROCESS CAVEAT: the build lock is per-JVM, so the swap is not
-    * atomic for readers in OTHER processes — a reader that resolved
-    * the head's file list in the rename window can lose files
-    * mid-scan (and retries; the content it then reads is identical,
-    * compaction never changes it). Run compaction from the writer
-    * that owns the store — which is what the auto-fold inside
-    * [[readOrBuildIncremental]] does — not from arbitrary readers.
-    * Returns true if a multi-segment chain was folded, false when
-    * there was nothing to do (absent, torn, or already standalone). */
+    * keeps serving them as snapshots). A crash before the pointer
+    * rename leaves an unreferenced `seg-*` dir (vacuumed later) and a
+    * fully intact old chain — never a torn artifact. Returns true if
+    * a multi-segment chain was folded (or a concurrent compactor beat
+    * us to an equivalent fold), false when there was nothing to do
+    * (absent, torn, or already standalone). */
   def compactChain(s: SparkSession, name: String, srcDir: String,
       version: Int = 1): Boolean = {
     val fp = fingerprint(s, srcDir, version)
@@ -435,18 +525,20 @@ object IndexStore {
       else {
         val manifest = readSmall(f, new Path(dest, "_MANIFEST"))
           .getOrElse(sourceManifest(s, srcDir).mkString("\n"))
-        val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+        val seg = new Path(base, s"seg-$fp-${System.nanoTime()}")
+        // the committer writes _SUCCESS last, so a half-written segment
+        // is never resolvable even if a pointer somehow named it
         s.read.parquet(chain.map(_.toString): _*)
-          .write.mode("overwrite").parquet(tmp.toString)
-        writeSmall(f, new Path(tmp, "_MANIFEST"), manifest)
-        val old = new Path(base, s".old-$fp-${System.nanoTime()}")
-        if (f.rename(dest, old) && f.rename(tmp, dest)) {
-          f.delete(old, true)
-          true
-        } else { // lost a cross-process race; keep whatever is live
-          f.delete(tmp, true)
-          if (!f.exists(dest)) f.rename(old, dest) else f.delete(old, true)
-          false
+          .write.mode("overwrite").parquet(seg.toString)
+        writeSmall(f, new Path(seg, "_MANIFEST"), manifest)
+        // atomic pointer swap: temp file + one rename
+        val headTmp = new Path(dest, s"_HEAD.tmp-${System.nanoTime()}")
+        writeSmall(f, headTmp, seg.getName)
+        if (f.rename(headTmp, new Path(dest, "_HEAD"))) true
+        else { // a concurrent compactor published first — equivalent fold
+          f.delete(headTmp, false)
+          f.delete(seg, true)
+          f.exists(new Path(dest, "_HEAD"))
         }
       }
     }

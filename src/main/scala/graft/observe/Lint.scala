@@ -82,7 +82,12 @@ object Lint {
     * on a sampled/bounded frame during development, not on the 100 TB
     * run itself. */
   def executedPlanLint(df: DataFrame): DataFrame = {
-    df.write.format("noop").mode("overwrite").save()
+    // Execute through THIS QueryExecution: a sink-side write would run
+    // under a fresh QueryExecution built by the writer, leaving
+    // df.queryExecution's adaptive plan un-finalized. Consuming toRdd
+    // drives AdaptiveSparkPlanExec.getFinalPhysicalPlan in place, so
+    // runtime BHJ conversions and skew splits are visible below.
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val finalPlan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
@@ -103,19 +108,12 @@ object Lint {
       case p: WindowExec if p.partitionSpec.isEmpty =>
         // severity by input boundedness: a limit bounds rows by a
         // constant; an aggregate bounds them by the group grain; a raw
-        // relation bounds nothing
-        val sev =
-          if (p.child.exists(n =>
-            n.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
-              n.isInstanceOf[org.apache.spark.sql.execution
-                .TakeOrderedAndProjectExec] ||
-              n.isInstanceOf[org.apache.spark.sql.execution
-                .CollectLimitExec])) "info"
-          else if (p.child.exists(
-            _.isInstanceOf[org.apache.spark.sql.execution.aggregate
-              .BaseAggregateExec])) "warn"
-          else "error"
-        findings += (("single-partition-window", sev, head(p)))
+        // relation bounds nothing. Walk ONLY the unary chain feeding
+        // the window — a limit/aggregate on one side of a join below
+        // does NOT bound the join's output, so stop at any node with
+        // more than one child instead of `exists` over the subtree.
+        findings += (("single-partition-window",
+          inputBoundedness(p.child), head(p)))
       case FilterExec(cond, scan: FileSourceScanExec)
           // null-guards alone don't prune row groups: judge by the
           // TRANSLATED source filters (what parquet actually receives,
@@ -153,6 +151,24 @@ object Lint {
     findings.toSeq.distinct
       .toDF("rule", "severity", "node")
       .orderBy(col("severity"), col("rule"), col("node"))
+  }
+
+  /** Classify how bounded the row count reaching an unpartitioned
+    * window is, by walking the straight-line (unary) operator chain
+    * that feeds it: the first limit met bounds by a constant (info),
+    * the first aggregate bounds by the group grain (warn). A node with
+    * 0 or 2+ children ends the walk — a leaf relation is unbounded,
+    * and a limit/aggregate below ONE side of a join says nothing about
+    * the join's output. */
+  @annotation.tailrec
+  private def inputBoundedness(n: SparkPlan): String = n match {
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+        _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+        _: org.apache.spark.sql.execution.CollectLimitExec => "info"
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      "warn"
+    case u if u.children.length == 1 => inputBoundedness(u.children.head)
+    case _ => "error"
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

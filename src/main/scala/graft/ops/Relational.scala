@@ -495,21 +495,27 @@ object Relational {
     * DataFrame formulation: broadcast of the filtered customer side,
     * partial+final hash agg, TakeOrderedAndProject for the top-10. */
   def sqlSurface(s: SparkSession, dir: String): DataFrame = {
-    // Register the discovered warehouse as the session catalog ONCE per
-    // warehouse STATE (the reference discovers once at definition load,
-    // not per query): re-registration re-reads every table's footer for
-    // schema — a measured ~0.9 s of pure metadata churn per call. The
-    // marker is keyed on the dir's CONTENT FINGERPRINT, not the dir
+    // Register the REFERENCED tables as temp views ONCE per table
+    // STATE (the reference discovers once at definition load, not per
+    // query): re-registration re-reads each table's footer for
+    // schema — pure metadata churn per call. The marker is keyed on
+    // the referenced tables' CONTENT FINGERPRINTS, not the dir
     // string: cached temp views pin their file-index snapshot, so a
     // dir-string key would serve views blind to files appended to the
-    // same dir mid-session (the IndexStore staleness class). The
-    // fingerprint costs one `ls -R` per call — metadata-class, ~100×
-    // cheaper than the footer walk it gates — and moves whenever any
-    // table's files change, which re-registers the views.
+    // same table mid-session (the IndexStore staleness class).
+    // Scoped to the tables this SQL reads — a warehouse-wide
+    // recursive listing per call was the round-5 regression, and at
+    // 100 TB it is a driver-side metadata storm over millions of
+    // files; three table-dir listings are O(referenced files) and
+    // still move whenever any referenced table's files change, which
+    // re-registers exactly those views.
+    val refTables = Seq("customer", "orders", "lineitem")
     val marker = "graft.sqlSurface.viewsState"
-    val state = s"$dir@${graft.observe.IndexStore.fingerprint(s, dir, 1)}"
+    val state = refTables.map(nm =>
+      s"$nm@${graft.observe.IndexStore.fingerprint(s, s"$dir/$nm.parquet", 1)}")
+      .mkString(";")
     if (!s.conf.getOption(marker).contains(state)) {
-      Tables.discover(dir).foreach { name =>
+      refTables.foreach { name =>
         Tables.load(s, dir, name).createOrReplaceTempView(name)
       }
       s.conf.set(marker, state)

@@ -220,9 +220,15 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    val newGroups = groupAttrs.map(a => mvAttr(a.name))
+    // same discipline as the aggregate outputs: every grain column and
+    // every attribute inside the pushed-through Filter must exist in
+    // the RESOLVED artifact's schema — an older-generation artifact
+    // missing one means "fall back to the base table", not an
+    // optimizer-time NoSuchElementException that fails the user query
+    val newGroups = groupAttrs.map(a => mv(a.name).getOrElse(return None))
     val source = cond match {
       case Some(c) =>
+        if (!c.references.forall(a => mvAttr.contains(a.name))) return None
         Filter(c.transform {
           case a: AttributeReference => mvAttr(a.name)
         }, mvPlan)
