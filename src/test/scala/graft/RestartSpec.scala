@@ -1,0 +1,327 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.stream.{Sensors, Upsert, Watchdog}
+import graft.stream.Sensors.{PollResult, SensorEmit, UpdateEvent}
+import graft.stream.Watchdog.{StaleAlert, TableEvent}
+
+/** Checkpoint-RESTART recovery — the reference's defining contract:
+  * its sensor cursor survives the daemon process (`dlt_sensor.py:12,45`
+  * persists `{pipeline_id:update_id → state}` across restarts). Here
+  * the cursor is the streaming state store, so the proof obligation is
+  * that every stateful operator, stopped mid-feed and resumed from the
+  * same `checkpointLocation`, emits across the restart exactly what a
+  * single uninterrupted run emits: flatMapGroupsWithState cursors
+  * (rising edge), EventTimeTimeout timers (poll-with-timeout),
+  * transformWithState timers + ValueState (watchdog), session-window
+  * merge state, and foreachBatch epoch tracking (CDC upsert).
+  *
+  * Each test runs half the feed, stops the query (clean stop — offsets
+  * and commits flushed), starts a NEW query on the same source +
+  * checkpoint, feeds the rest, and compares the union of emissions
+  * against an uninterrupted control run of the identical feed. The
+  * sink is a foreachBatch collector (the memory sink does not support
+  * checkpoint recovery — foreachBatch is the recoverable test sink, and
+  * also the production shape [[graft.stream.Upsert.sink]] uses). */
+class RestartSpec extends SparkSuite {
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  private def ckpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_rs_$tag").toString
+
+  /** Recoverable collecting sink: emissions land in `buf` per batch. */
+  private def collectTo[T](ds: Dataset[T], cp: Option[String],
+      buf: scala.collection.mutable.Buffer[T]): StreamingQuery = {
+    val w = ds.writeStream
+      .foreachBatch { (b: Dataset[T], _: Long) =>
+        val rows = b.collect()
+        buf.synchronized { buf ++= rows }; ()
+      }
+    cp.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  test("rising edge survives restart: the emitted-cursor recovers, a " +
+    "terminal redelivered across the restart does not re-emit, and " +
+    "emissions across the restart equal the single-run output") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val cp = ckpt("rise")
+    val b1 = Seq(
+      UpdateEvent(1, 10, "RUNNING", ts(0)),
+      UpdateEvent(1, 10, "COMPLETED", ts(60)), // emits pre-restart
+      UpdateEvent(2, 20, "RUNNING", ts(30)))   // in-flight across restart
+    val b2 = Seq(
+      UpdateEvent(1, 10, "COMPLETED", ts(120)), // redelivery after restart
+      UpdateEvent(2, 20, "FAILED", ts(90)),     // first terminal after
+      UpdateEvent(3, 30, "COMPLETED", ts(95)))  // key born after restart
+    def key(e: SensorEmit) = (e.entityId, e.updateId, e.state)
+
+    val in = MemoryStream[UpdateEvent]
+    val pre = scala.collection.mutable.ArrayBuffer.empty[SensorEmit]
+    val q1 = collectTo(Sensors.risingEdge(in.toDS()), Some(cp), pre)
+    withQuery(q1) { in.addData(b1); q1.processAllAvailable() }
+    assert(pre.map(key).toSeq === Seq((1L, 10L, "COMPLETED")))
+    // resume: same source, same checkpoint, fresh collector
+    val post = scala.collection.mutable.ArrayBuffer.empty[SensorEmit]
+    val q2 = collectTo(Sensors.risingEdge(in.toDS()), Some(cp), post)
+    withQuery(q2) { in.addData(b2); q2.processAllAvailable() }
+    // the recovered cursor must swallow the redelivered (1,10) terminal
+    assert(post.map(key).toSet ===
+      Set((2L, 20L, "FAILED"), (3L, 30L, "COMPLETED")))
+
+    // control: the identical feed, uninterrupted
+    val inC = MemoryStream[UpdateEvent]
+    val control = scala.collection.mutable.ArrayBuffer.empty[SensorEmit]
+    val qc = collectTo(Sensors.risingEdge(inC.toDS()), None, control)
+    withQuery(qc) {
+      inC.addData(b1); qc.processAllAvailable()
+      inC.addData(b2); qc.processAllAvailable()
+    }
+    assert((pre ++ post).map(key).toSet === control.map(key).toSet,
+      "emissions across the restart must equal the single-run output")
+    assert((pre ++ post).size === control.size,
+      "exactly one emission per (entity, update) across the restart")
+  }
+
+  test("poll-with-timeout survives restart: the first-seen anchor and " +
+    "EventTimeTimeout timer recover, so a timeout armed before the " +
+    "stop fires after the resume at the pre-restart deadline") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val cp = ckpt("poll")
+    val b1 = Seq(
+      UpdateEvent(1, 1, "RUNNING", ts(5)),      // armed: deadline 605 s
+      UpdateEvent(2, 2, "COMPLETED", ts(10)))   // done pre-restart
+    val b2 = Seq(UpdateEvent(3, 3, "RUNNING", ts(4000)))
+    val b3 = Seq(UpdateEvent(3, 3, "RUNNING", ts(5000)))
+    def key(r: PollResult) = (r.entityId, r.outcome, r.state)
+
+    val in = MemoryStream[UpdateEvent]
+    val pre = scala.collection.mutable.ArrayBuffer.empty[PollResult]
+    val q1 = collectTo(
+      Sensors.pollWithTimeout(in.toDS(), timeoutMs = 600000L), Some(cp), pre)
+    withQuery(q1) { in.addData(b1); q1.processAllAvailable() }
+    assert(pre.map(key).toSeq === Seq((2L, "done", "COMPLETED")))
+    val post = scala.collection.mutable.ArrayBuffer.empty[PollResult]
+    val q2 = collectTo(
+      Sensors.pollWithTimeout(in.toDS(), timeoutMs = 600000L), Some(cp), post)
+    withQuery(q2) {
+      in.addData(b2); q2.processAllAvailable()
+      in.addData(b3); q2.processAllAvailable()
+    }
+    // entity 1's timer was armed BEFORE the stop; the resumed query's
+    // watermark passing 605 s must fire it — state + timer recovered.
+    // entity 3 (born after restart) times out at 4600 s likewise.
+    assert(post.map(key).toSet ===
+      Set((1L, "timeout", ""), (3L, "timeout", "")))
+
+    val inC = MemoryStream[UpdateEvent]
+    val control = scala.collection.mutable.ArrayBuffer.empty[PollResult]
+    val qc = collectTo(
+      Sensors.pollWithTimeout(inC.toDS(), timeoutMs = 600000L), None, control)
+    withQuery(qc) {
+      Seq(b1, b2, b3).foreach { b => inC.addData(b); qc.processAllAvailable() }
+    }
+    assert((pre ++ post).map(key).toSet === control.map(key).toSet)
+    assert((pre ++ post).size === control.size)
+  }
+
+  test("freshness watchdog survives restart: transformWithState " +
+    "ValueState and the armed event-time timer recover, so a key that " +
+    "went silent before the stop alerts after the resume") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cp = ckpt("dog")
+      val in = MemoryStream[TableEvent]
+      val pre = scala.collection.mutable.ArrayBuffer.empty[StaleAlert]
+      val q1 = collectTo(
+        Watchdog.staleAlerts(in.toDS(), staleAfterMs = 60000L), Some(cp), pre)
+      withQuery(q1) {
+        // both tables report at t=100 s; timers armed at 160 s; B then
+        // goes silent — and the daemon stops before the deadline passes
+        in.addData(TableEvent("A", ts(100)), TableEvent("B", ts(100)))
+        q1.processAllAvailable()
+        assert(pre.isEmpty)
+      }
+      val post = scala.collection.mutable.ArrayBuffer.empty[StaleAlert]
+      val q2 = collectTo(
+        Watchdog.staleAlerts(in.toDS(), staleAfterMs = 60000L), Some(cp), post)
+      withQuery(q2) {
+        // A keeps beating after the restart; the watermark passes 160 s
+        // and B's PRE-RESTART timer must fire with B's PRE-RESTART
+        // lastSeen — both recovered from the checkpoint
+        in.addData(TableEvent("A", ts(200)))
+        q2.processAllAvailable()
+        in.addData(TableEvent("A", ts(210)))
+        q2.processAllAvailable()
+        assert(post.toSeq === Seq(StaleAlert("B", ts(100), 160000L)),
+          "the timer armed before the stop must fire after the resume")
+        // and the revived machine keeps working post-restart: B revives,
+        // re-arms, lapses again
+        in.addData(TableEvent("A", ts(250)), TableEvent("B", ts(300)))
+        q2.processAllAvailable()
+        in.addData(TableEvent("A", ts(350)))
+        q2.processAllAvailable()
+        in.addData(TableEvent("A", ts(400)))
+        q2.processAllAvailable()
+        in.addData(TableEvent("A", ts(450)))
+        q2.processAllAvailable()
+        assert(post.filter(_.tableName == "B").toSeq === Seq(
+          StaleAlert("B", ts(100), 160000L),
+          StaleAlert("B", ts(300), 360000L)))
+        assert(post.forall(_.tableName == "B"))
+      }
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("session windows survive restart: partial gap-sessions in the " +
+    "state store resume, merge with post-restart events, and the " +
+    "finalized sessions equal the batch sessionization") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val cp = ckpt("sess")
+    val evs = Tables.load(s, sf, "events")
+      .orderBy(col("event_id")).limit(600)
+      .select(col("user_id").as("entityId"), col("event_id").as("updateId"),
+        col("event_type").as("state"), col("ts"))
+      .as[UpdateEvent].collect().toSeq
+    val (b1, b2) = evs.splitAt(300)
+    def key(r: Row) = (r.getTimestamp(0), r.getLong(1), r.getLong(2))
+    val in = MemoryStream[UpdateEvent]
+    val pre = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q1 = collectTo(Sensors.sessionCounts(in.toDS()), Some(cp), pre)
+    withQuery(q1) { in.addData(b1); q1.processAllAvailable() }
+    val post = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q2 = collectTo(Sensors.sessionCounts(in.toDS()), Some(cp), post)
+    withQuery(q2) {
+      in.addData(b2); q2.processAllAvailable()
+      val closer = evs.map(_.ts.getTime).max + 100L * 3600 * 1000
+      in.addData(UpdateEvent(-1L, -1L, "closer", new Timestamp(closer)))
+      q2.processAllAvailable()
+    }
+    val streamed = (pre ++ post).map(key).filter(_._2 != -1L).toSet
+    val batch = Sensors.sessionCounts(s.createDataset(evs))
+      .collect().map(key).toSet
+    assert(streamed === batch,
+      "sessions split by a restart must still merge to the batch answer")
+    assert(post.nonEmpty)
+  }
+
+  test("CDC upsert survives restart: changes fed while the daemon is " +
+    "down apply exactly once on resume, and a batch replayed across " +
+    "the crash boundary leaves the snapshot unchanged") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_rs_cdc")
+      .toString
+    val dir = s"$root/snap"
+    val cp = s"$root/ckpt"
+    val base = (0L until 32L).map(k => (k, s"v$k")).toDF("k", "v")
+    Upsert.initSnapshot(s, dir, base, "k", 4)
+    def state() = s.read.parquet(dir)
+      .select(col("k").cast("long"), col("v")).as[(Long, String)]
+      .collect().toMap
+    val in = MemoryStream[(String, Long, String)]
+    val q1 = Upsert.sink(s, dir, "k", 4, in.toDS().toDF("op", "k", "v"), cp)
+    withQuery(q1) {
+      in.addData(("U", 3L, "v3b")); q1.processAllAvailable()
+    }
+    val afterB1 = state()
+    assert(afterB1(3L) === "v3b")
+    // crash boundary: the engine may re-run the last epoch on recovery;
+    // the sink contract is that the replay is a no-op
+    Upsert.applyBatch(s, dir, "k", 4,
+      Seq(("U", 3L, "v3b")).toDF("op", "k", "v"))
+    assert(state() === afterB1,
+      "replaying the committed epoch must leave the snapshot unchanged")
+    // changes arriving while the daemon is down
+    in.addData(("I", 50L, "v50"), ("D", 5L, "x"))
+    val q2 = Upsert.sink(s, dir, "k", 4, in.toDS().toDF("op", "k", "v"), cp)
+    withQuery(q2) { q2.processAllAvailable() }
+    val fin = state()
+    assert(fin(3L) === "v3b" && fin(50L) === "v50" && !fin.contains(5L))
+    assert(fin.size === 32, "all untouched keys must survive the restart")
+  }
+
+  test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +
+    "materializations append to the watched events table between " +
+    "micro-batches and every file-stream read is a consistent snapshot") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_rs_conc")
+        .toString
+      val feed = s"$root/events"
+      // the reference runs its hourly materialization cron NEXT TO the
+      // 60 s sensor daemon: here the K2 sink appends heartbeat events
+      // to the same parquet directory the watchdog's file stream reads.
+      // Parquet appends are new part files committed whole, so each
+      // micro-batch lists a consistent prefix of the append history —
+      // the reader/writer contract under test.
+      def beat(name: String, sec: Long): Unit =
+        graft.observe.Materialize.appendEvents(
+          Seq((name, ts(sec))).toDF("tableName", "ts"), feed)
+      beat("A", 100); beat("B", 100)
+      val events = s.readStream
+        .schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "2") // force multi-batch interleave
+        .parquet(feed)
+        .select(col("tableName"), col("ts")).as[TableEvent]
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[StaleAlert]
+      val q = collectTo(
+        Watchdog.staleAlerts(events, staleAfterMs = 60000L), None, alerts)
+      withQuery(q) {
+        q.processAllAvailable()
+        // batch writer keeps materializing A while the stream runs; B
+        // stays silent past its 160 s deadline
+        beat("A", 200); q.processAllAvailable()
+        beat("A", 210); q.processAllAvailable()
+        beat("A", 250); beat("A", 300) // two appends in ONE trigger
+        q.processAllAvailable()
+        beat("A", 400); q.processAllAvailable()
+        assert(alerts.toSeq === Seq(StaleAlert("B", ts(100), 160000L)),
+          "concurrent appends must neither tear a read nor spoof alerts")
+        // and the batch plane sees every committed append it raced with
+        assert(s.read.parquet(feed).count() === 7L)
+      }
+    } finally {
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+}
