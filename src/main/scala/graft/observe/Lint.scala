@@ -96,11 +96,28 @@ object Lint {
     lintPlan(df.sparkSession, finalPlan)
   }
 
+  /** Traversal that DESCENDS THROUGH AQE wrappers: in an executed
+    * plan, materialized stages sit behind `QueryStageExec` — a LEAF
+    * node whose real operators live in its `plan` member, invisible
+    * to `TreeNode.foreach`. Without this, executed-mode lint would
+    * see only the final stage and miss every hazard below the last
+    * exchange (most scans and joins). */
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)(f)
+      case _ => p.children.foreach(c => walk(c)(f))
+    }
+  }
+
   private def lintPlan(s: SparkSession, plan: SparkPlan): DataFrame = {
     import s.implicits._
     val findings = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String)]
-    plan.foreach {
+    walk(plan) {
       case p: CartesianProductExec =>
         findings += (("cartesian-product", "error", head(p)))
       case p: BroadcastNestedLoopJoinExec =>
@@ -144,7 +161,7 @@ object Lint {
     // second pass, every node: the self-quadratic expansion hides in
     // ANY operator's expressions (project, generate, aggregate), so it
     // can't ride the typed matches above
-    plan.foreach { p =>
+    walk(plan) { p =>
       if (p.expressions.exists(selfQuadraticTransform))
         findings += (("unbounded-in-row-expansion", "warn", head(p)))
     }
@@ -167,6 +184,8 @@ object Lint {
         _: org.apache.spark.sql.execution.CollectLimitExec => "info"
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       "warn"
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      inputBoundedness(q.plan) // AQE leaf wrapper — the chain continues
     case u if u.children.length == 1 => inputBoundedness(u.children.head)
     case _ => "error"
   }

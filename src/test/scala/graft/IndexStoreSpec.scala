@@ -271,6 +271,80 @@ class IndexStoreSpec extends SparkSuite {
       "a pre-fold snapshot must keep serving as-of reads")
   }
 
+  test("concurrent reader during compaction: an unsynchronized reader " +
+    "resolving the head mid-fold always sees a complete segment list — " +
+    "no retry, no torn read; vacuum then reclaims the superseded data " +
+    "and reads still serve through the pointer") {
+    val name = freshName("race")
+    val src = scratch("race")
+    val s = spark
+    import s.implicits._
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      s.read.parquet(src))(
+      (_, added) => s.read.parquet(added: _*))
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    Thread.sleep(5)
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    Thread.sleep(5)
+    Seq(4L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect() // 3-segment chain
+    val fp = IndexStore.fingerprint(s, src, 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    @volatile var stop = false
+    // the reader takes NO lock and re-resolves the head's file list on
+    // every iteration — the cross-process reader the old rename-swap
+    // could yank files from
+    val reader = new Thread(() => {
+      while (!stop) {
+        try reads.add(IndexStore.readAsOf(s, name, fp)
+          .collect().map(_.getLong(0)).toSet)
+        catch { case t: Throwable => errs.add(t) }
+      }
+    })
+    reader.start()
+    try {
+      Thread.sleep(100) // reads in flight
+      assert(IndexStore.compactChain(s, name, src))
+      Thread.sleep(300) // post-fold reads through the pointer
+    } finally { stop = true; reader.join() }
+    assert(errs.isEmpty,
+      s"reader must never see a torn/missing segment list: ${errs.peek()}")
+    assert(!reads.isEmpty)
+    reads.forEach(r => assert(r === Set(1L, 2L, 3L, 4L),
+      "every concurrent read must return the complete content"))
+    // deferred delete: the superseded pre-compaction files are still on
+    // disk (left for in-flight readers) until vacuum's age floor —
+    // with a zero floor it reclaims them now, and the head keeps
+    // serving through the pointer
+    val report = IndexStore.vacuumStaging(s, olderThanMs = 0L)
+      .filter(org.apache.spark.sql.functions.col("artifact") === name)
+      .collect()
+    assert(report.exists(_.getString(1).contains("<pre-compaction>")),
+      s"vacuum must report the deferred reclaim: ${report.mkString(";")}")
+    assert(IndexStore.readAsOf(s, name, fp)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L),
+      "post-vacuum reads serve the folded segment via the pointer")
+    // and an abandoned fold (a compactor that crashed before its
+    // pointer rename) is reclaimed once aged: fabricate one
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val dead = java.nio.file.Paths.get(root, name, "seg-dead-1")
+    java.nio.file.Files.createDirectories(dead)
+    java.nio.file.Files.write(dead.resolve("part-0.parquet"),
+      Array.fill(16)(2.toByte))
+    java.nio.file.Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val r2 = IndexStore.vacuumStaging(s)
+      .filter(org.apache.spark.sql.functions.col("artifact") === name)
+      .collect()
+    assert(r2.exists(_.getString(1) === "seg-dead-1"),
+      "an aged unreferenced fold must be reclaimed")
+    assert(!java.nio.file.Files.exists(dead))
+  }
+
   test("manifestLine folds an exposed etag into the fingerprint " +
     "preimage: same (path, len, mtime) with a different etag is a " +
     "different source state; plain statuses keep the classic triple") {

@@ -285,6 +285,34 @@ class ObserveSpec extends SparkSuite {
       "executedPlanLint must lint the AQE-final plan")
   }
 
+  test("lint: single-partition-window severity walks only the unary " +
+    "input chain — a limit below one side of a join does not bound " +
+    "the join's output") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def sev(df: org.apache.spark.sql.DataFrame): Set[String] =
+      graft.observe.Lint.planLint(df).collect()
+        .filter(_.getString(0) == "single-partition-window")
+        .map(_.getString(1)).toSet
+    val big = spark.range(1000).toDF("x")
+    // limit directly on the input chain: bounded by a constant → info
+    assert(sev(big.limit(5)
+      .withColumn("r", row_number().over(Window.orderBy(col("x")))))
+      === Set("info"))
+    // aggregate on the input chain: bounded by the group grain → warn
+    assert(sev(big.groupBy((col("x") % 10).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(Window.orderBy(col("n")))))
+      === Set("warn"))
+    // a limit below ONE side of a join bounds that side only; the
+    // join output is unbounded — must stay error (the subtree-exists
+    // formulation wrongly downgraded exactly this shape)
+    val dim = spark.range(10).toDF("x").limit(5)
+    assert(sev(big.join(dim, "x")
+      .withColumn("r", row_number().over(Window.orderBy(col("x")))))
+      === Set("error"))
+  }
+
   test("self-lint sweep: every declared query lints free of errors; " +
     "warn findings only on the named allowlist") {
     // the engine holds its own queries to the standard it offers
@@ -330,6 +358,49 @@ class ObserveSpec extends SparkSuite {
     }
     assert(bad.isEmpty,
       s"queries with un-allowlisted lint findings:\n${bad.mkString("\n")}")
+  }
+
+  test("executed-plan lint sweep: every declared query's AQE-FINAL " +
+    "plan — runtime join conversions and skew splits included — is " +
+    "free of errors; warns only on the named allowlist") {
+    // the static sweep sees the pre-AQE plan; this one executes each
+    // query at the fixture SF and lints what actually ran (stage
+    // internals traversed through the QueryStageExec wrappers).
+    // Allowlist deltas vs the static sweep are all
+    // broadcast-nested-loop: AQE converts a join with a runtime-tiny
+    // side into a BNLJ that the pre-AQE plan rendered as a sort-merge
+    // or hash join — model-sized sides at any SF, the documented
+    // broadcast pattern.
+    val warnAllowed: Map[String, Set[String]] = Map(
+      "broadcast-nested-loop" -> Set(
+        "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
+        "q67_tfidf_top_terms", "q83_filtered_topk", "q93_quantized_topk",
+        "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
+        "q109_hybrid_rrf", "q113_random_projection",
+        "q118_skew_replicated_join", "q124_hourly_gapfill",
+        "q134_copurchase_triangles", "q137_association_rules"),
+      "unbounded-in-row-expansion" -> Set(
+        "q33_jaccard_pairs", "q68_containment_pairs",
+        "q88_contamination_matrix", "q137_association_rules"),
+      "single-partition-window" -> Set("q70_rolling_revenue"),
+      "filter-not-pushed" -> Set.empty)
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val findings =
+        graft.observe.Lint.executedPlanLint(fn(spark, sf)).collect()
+      findings.foreach { r =>
+        val (rule, sev) = (r.getString(0), r.getString(1))
+        sev match {
+          case "error" => bad += s"$name: ERROR $rule"
+          case "warn"
+              if !warnAllowed.getOrElse(rule, Set.empty)(name) =>
+            bad += s"$name: warn $rule"
+          case _ => ()
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      s"queries with un-allowlisted AQE-final findings:\n${bad.mkString("\n")}")
   }
 
   test("task-metrics listener surfaces execution metrics as a relation") {

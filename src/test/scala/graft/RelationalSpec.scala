@@ -29,6 +29,42 @@ class RelationalSpec extends SparkSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("q66 staleness scope: an append to a REFERENCED table is " +
+    "visible on the next call; the cached views are keyed per-table, " +
+    "not on a warehouse-wide listing") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q66").toString
+    Seq("customer", "orders", "lineitem").foreach { t =>
+      Tables.load(s, sf, t).write.parquet(s"$dir/$t.parquet")
+    }
+    val r1 = Relational.sqlSurface(s, dir).collect()
+    assert(r1.nonEmpty)
+    val marker = s.conf.get("graft.sqlSurface.viewsState")
+    // an unchanged warehouse re-serves the cached views: same marker
+    Relational.sqlSurface(s, dir).collect()
+    assert(s.conf.get("graft.sqlSurface.viewsState") === marker)
+    // append a jackpot line item for the current top order — if the
+    // cached view pinned its file-index snapshot, the next call would
+    // serve pre-append data (the IndexStore staleness class)
+    val topKey = r1.head.getLong(0)
+    Thread.sleep(5)
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .limit(1)
+      .withColumn("l_orderkey", lit(topKey))
+      .withColumn("l_extendedprice", lit(9.9e8))
+      .withColumn("l_discount", lit(0.0))
+      .write.mode("append").parquet(s"$dir/lineitem.parquet")
+    val r2 = Relational.sqlSurface(s, dir).collect()
+    assert(s.conf.get("graft.sqlSurface.viewsState") !== marker,
+      "a referenced-table append must move the staleness key")
+    val rev1 = r1.find(_.getLong(0) == topKey).get.getDouble(1)
+    val rev2 = r2.find(_.getLong(0) == topKey).get.getDouble(1)
+    assert(rev2 > rev1 + 9.0e8,
+      s"the appended line item must be visible: $rev1 -> $rev2")
+  }
+
   test("flagship golden: only NATION_1 customers, ordered by key") {
     val rows = Relational.flagship(spark, sf).collect()
     assert(rows.nonEmpty)
