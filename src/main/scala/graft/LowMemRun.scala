@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Memory-pressure gate child process (`runMain graft.LowMemRun <dir>`
+  * — but normally spawned by LowMemSpec with `-Xmx512m`): executes the
+  * bounded-state queries — the ones whose 100 TB story is "per-key
+  * state is capped, a hot key cannot OOM its task" — against a fixture
+  * PLANTED with a mega-basket and a bot user, under a deliberately
+  * tiny heap and 2 shuffle partitions. An unbounded formulation (a
+  * per-user collect_list, an uncapped basket pair expansion) dies here
+  * with OOM; the bounded plans finish. Success = every query returns
+  * rows and the process exits 0 printing the `[lowmem] OK` marker. */
+object LowMemRun {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: LowMemRun <sfDir>")
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val queries = Seq(
+      "q134_copurchase_triangles", // capped basket pair projection
+      "q137_association_rules",    // capped baskets, decimal partials
+      "q136_funnel_stages",        // bounded earliest-k heap per user
+      "q138_event_transitions",    // keyed lead window, O(1) day state
+      "q49_admission_backfill")    // banded admission, bounded shingles
+    queries.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      println(s"[lowmem] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
+      require(n > 0, s"$name returned 0 rows under memory pressure")
+    }
+    println("[lowmem] OK")
+    spark.stop()
+  }
+}

@@ -18,8 +18,14 @@ object ScaleProbe {
     val names = args(1).split(",").toSeq
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Shuffle width is a SCALE variable, not a host constant: a fixture
+    // 100× the base with the same cpus-wide shuffle sorts ~GB-sized
+    // partitions and spills — a probe artifact a real cluster never
+    // sees (its width tracks data). Override per grid; AQE coalesces
+    // the excess away on the small fixtures.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -28,9 +28,23 @@ import org.apache.spark.sql.functions._
 object SynthScale {
   private val stride = 1000000000L
 
+  /** The hot key of zipf mode — a real customer key, so the skewed
+    * events still join (q118's heavy path must detect and replicate
+    * it, not drop it). */
+  val hotUser = 1L
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: SynthScale <srcSfDir> <outDir> <copies>")
+    require(args.length >= 3,
+      "usage: SynthScale <srcSfDir> <outDir> <copies> [zipf]")
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    // zipf mode: ~30% of event rows land on ONE user, ~30% of documents
+    // on ONE source/domain with ONE dominant token — the adversarial
+    // fixture for the skew-targeted operators (salted token freq,
+    // domain caps, replicated skew join, bot-user funnel/transitions).
+    // The hot assignment deliberately IGNORES the per-copy offset:
+    // skew must be global, or 10 copies would dilute one 30% key into
+    // ten 3% keys and measure nothing.
+    val zipf = args.length > 3 && args(3) == "zipf"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,14 +78,41 @@ object SynthScale {
       .withColumn("l_orderkey", off(col("l_orderkey"), i))
       .withColumn("l_partkey", off(col("l_partkey"), i))
       .withColumn("l_suppkey", off(col("l_suppkey"), i)))
-    cp("events")((d, i) => d
-      .withColumn("event_id", off(col("event_id"), i))
-      .withColumn("user_id", off(col("user_id"), i)))
+    cp("events")((d, i) => {
+      val rekeyed = d
+        .withColumn("event_id", off(col("event_id"), i))
+        .withColumn("user_id", off(col("user_id"), i))
+      if (!zipf) rekeyed
+      else rekeyed.withColumn("user_id",
+        when(col("event_id") % 10 < 3, lit(hotUser))
+          .otherwise(col("user_id")))
+    })
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     cp("documents")((d, i) => {
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
-      d.withColumn("doc_id", off(col("doc_id"), i))
+      // per-copy SEEDED PERMUTATION, not rotation: a rotation cipher
+      // repeats every 26 copies, so a ≥27-copy fixture would hold
+      // verbatim cross-copy duplicates and the near-dup operators'
+      // pair counts would grow quadratically in copies/26 — a fixture
+      // artifact, not an engine property. Copy 0 stays the identity.
+      val rot =
+        if (i == 0) alpha
+        else new scala.util.Random(i * 2654435761L + 12345)
+          .shuffle(alpha.toList).mkString
+      val ciphered = d.withColumn("doc_id", off(col("doc_id"), i))
         .withColumn("text", translate(col("text"), alpha, rot))
+      if (!zipf) ciphered
+      else ciphered
+        // the hot 30%: one source (→ one domain for the cap/url ops)
+        // and a text that is one token repeated to ~the original
+        // length (→ one token carries ~30% of global token mass)
+        .withColumn("source",
+          when(col("doc_id") % 10 < 3, lit("hotsource"))
+            .otherwise(col("source")))
+        .withColumn("text",
+          when(col("doc_id") % 10 < 3,
+            repeat(lit("zipfhot "),
+              greatest(lit(1), (col("n_chars") / 8).cast("int"))))
+            .otherwise(col("text")))
     })
     cp("embeddings")((d, i) => d
       .withColumn("vec_id", off(col("vec_id"), i))

@@ -962,13 +962,17 @@ object Relational {
         .groupBy(col("src"))
         .agg(sort_array(collect_list(col("dst"))).as("nb"))
     }
-    val tri = triangleRelation(adj)
-      .localCheckpoint() // total + per-vertex credit read it
-    val total = tri.agg(
-      sum(size(col("ws"))).cast("bigint").as("total_triangles"))
-    // per-vertex credit in ONE pass over tri: u and v get the edge's
-    // closed count, each common neighbor gets 1 per triangle it closes
-    tri.select(explode(concat(
+    // per-vertex credit in ONE pass over the triangle relation: u and
+    // v get the edge's closed count, each common neighbor gets 1 per
+    // triangle it closes. The O(edges) array-carrying tri relation is
+    // NEVER materialized (a localCheckpoint of it was the third-decade
+    // probe's wall — tens of GB of block-manager writes at 1000×, pure
+    // overhead): both consumers below hang off the SAME post-credit
+    // aggregation, whose exchange Spark reuses, and the global count
+    // derives from the credit itself — every triangle credits exactly
+    // 3 vertices, so total = Σ n_tri / 3 over the O(parts) relation.
+    val credit = triangleRelation(adj)
+      .select(explode(concat(
         array(
           struct(col("src").as("part"),
             size(col("ws")).cast("bigint").as("n")),
@@ -978,6 +982,11 @@ object Relational {
           w => struct(w.as("part"), lit(1L).as("n"))))).as("cr"))
       .groupBy(col("cr.part").as("part"))
       .agg(sum(col("cr.n")).as("n_tri"))
+    val total = credit.agg(
+      // integer div: Σ is exactly 3·triangles, and bigint div stays
+      // exact past the 2^53 point where double division would round
+      expr("sum(n_tri) div 3").cast("bigint").as("total_triangles"))
+    credit
       .orderBy(col("n_tri").desc, col("part"))
       .limit(20)
       .withColumn("rank",
@@ -1003,15 +1012,31 @@ object Relational {
     * equi-join). Exposed pre-checkpoint so PlanSpec can assert the
     * in-row-intersection shape (a checkpoint hides its upstream
     * plan). */
-  private[graft] def triangleRelation(adj: DataFrame): DataFrame =
+  private[graft] def triangleRelation(adj: DataFrame): DataFrame = {
+    // Join strategy is a SCALE decision made from the adjacency's own
+    // stats: under the broadcast threshold Catalyst broadcasts the
+    // O(V) adjacency and the fat side never shuffles. Past it, the
+    // default SMJ would SORT the probe side — O(Σ deg²) bytes, the
+    // exploded rows each carrying their nu array (~60 GB at the
+    // third-decade probe) — and the sort's spill merges are the one
+    // superlinear term in the whole query (measured 293 s vs 59 s at
+    // 1000×). A shuffled-hash join keeps the hash build on the slim
+    // adjacency and STREAMS the fat side through unsorted: shuffle
+    // I/O stays, the sort disappears. Same rule a 1000-executor
+    // cluster wants — the probe side of a fat-payload equi-join must
+    // never be the sorted side.
+    val nvSide = adj.select(col("src").as("dst"), col("nb").as("nv"))
+    val fitsBroadcast = adj.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      adj.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     adj
       .select(col("src"), col("nb").as("nu"),
         explode(col("nb")).as("dst"))
-      .join(adj.select(col("src").as("dst"), col("nb").as("nv")),
+      .join(if (fitsBroadcast) nvSide else nvSide.hint("SHUFFLE_HASH"),
         Seq("dst"))
       .select(col("src"), col("dst"),
         array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
+  }
 
   /** q137: association rules over the co-purchase baskets (the
     * support/confidence/lift trio of market-basket mining, Agrawal &
