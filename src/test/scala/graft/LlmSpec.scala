@@ -988,4 +988,38 @@ class LlmSpec extends SparkSuite {
         r.getString(3), r.getLong(4)))
     assert(got.toSeq === expect.toSeq)
   }
+
+  test("mix diagnostics invariants: KL ≥ 0 per source (Gibbs), " +
+    "temperature weights sum to ~1e6 and flatten the natural mix, " +
+    "vocab stats are consistent counts") {
+    val kl = Llm.sourceKlMix(spark, sf).collect()
+    assert(kl.nonEmpty)
+    kl.foreach { r =>
+      // Gibbs' inequality: KL(P_s || P_corpus) ≥ 0 — a negative value
+      // means the per-term contributions or totals are wrong. (Per-term
+      // pico rounding can produce at worst a tiny negative; bound it.)
+      assert(r.getAs[Long]("kl_micro") >= -1L,
+        s"negative KL for ${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+    }
+    val mt = Llm.mixTemperature(spark, sf).collect()
+    val wSum = mt.map(_.getAs[Long]("weight_micro")).sum
+    // integer floor-div loses < 1 micro per source
+    assert(wSum <= 1000000L && wSum >= 1000000L - mt.length,
+      s"weights sum $wSum")
+    // α=1/2 flattening: max/min spread of weights must not exceed the
+    // natural (α=1) spread
+    def spread(xs: Seq[Long]): Double =
+      xs.max.toDouble / math.max(xs.min.toDouble, 1.0)
+    assert(spread(mt.map(_.getAs[Long]("weight_micro")).toSeq) <=
+      spread(mt.map(_.getAs[Long]("natural_micro")).toSeq) + 1e-9)
+    val vs = Llm.vocabStats(spark, sf).collect()
+    vs.foreach { r =>
+      val (n, v, h) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+        r.getAs[Long]("hapax"))
+      assert(h <= v && v <= n)
+      assert(r.getAs[Long]("ttr_micro") === v * 1000000L / n)
+      assert(r.getAs[Long]("hapax_micro") === h * 1000000L / v)
+    }
+  }
 }

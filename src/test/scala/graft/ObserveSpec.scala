@@ -336,7 +336,8 @@ class ObserveSpec extends SparkSuite {
         "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
         "q109_hybrid_rrf", "q113_random_projection",
         "q118_skew_replicated_join", "q124_hourly_gapfill",
-        "q134_copurchase_triangles", "q137_association_rules"),
+        "q134_copurchase_triangles", "q137_association_rules",
+        "q139_source_kl_mix", "q140_mix_temperature"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
         "q88_contamination_matrix", "q137_association_rules"),
@@ -378,7 +379,8 @@ class ObserveSpec extends SparkSuite {
         "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
         "q109_hybrid_rrf", "q113_random_projection",
         "q118_skew_replicated_join", "q124_hourly_gapfill",
-        "q134_copurchase_triangles", "q137_association_rules"),
+        "q134_copurchase_triangles", "q137_association_rules",
+        "q139_source_kl_mix", "q140_mix_temperature"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
         "q88_contamination_matrix", "q137_association_rules"),

@@ -29,7 +29,9 @@ class PlanSpec extends SparkSuite {
     "q118_skew_replicated_join" /* broadcast 1-row mean × key counts */,
     "q124_hourly_gapfill" /* calendar spine × broadcast distinct types */,
     "q134_copurchase_triangles" /* 20-row top-k × broadcast 1-row total */,
-    "q137_association_rules" /* pair scores × broadcast 1-row N */)
+    "q137_association_rules" /* pair scores × broadcast 1-row N */,
+    "q139_source_kl_mix" /* vocab counts × broadcast 1-row total */,
+    "q140_mix_temperature" /* per-source rows × broadcast 1-row totals */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
