@@ -1022,4 +1022,31 @@ class LlmSpec extends SparkSuite {
       assert(r.getAs[Long]("hapax_micro") === h * 1000000L / v)
     }
   }
+
+  test("winnowing guarantee: a shared run of ≥ w + k − 1 tokens pairs " +
+    "the documents wherever the run sits; disjoint docs don't pair") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow")
+      .toString
+    // a 20-token run shared by docs 1 and 2 at DIFFERENT offsets
+    // (prefix vs suffix) — fixed-chunk q89-style hashing misses this
+    // when the offsets differ mod chunk size; winnowing must not.
+    val run = (1 to 20).map(i => s"shared$i").mkString(" ")
+    def noise(seed: Int, n: Int) =
+      (1 to n).map(i => s"w${seed}x$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$run ${noise(1, 30)}", "en", "srcA"),
+      (2L, s"${noise(2, 30)} $run", "en", "srcB"),
+      (3L, noise(3, 50), "en", "srcC"))
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Llm.winnowingPairs(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      s"shifted shared run must produce a winnowing pair, got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc must not pair, got $got")
+  }
 }

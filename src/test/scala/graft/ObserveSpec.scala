@@ -340,7 +340,8 @@ class ObserveSpec extends SparkSuite {
         "q139_source_kl_mix", "q140_mix_temperature"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
-        "q88_contamination_matrix", "q137_association_rules"),
+        "q88_contamination_matrix", "q137_association_rules",
+        "q142_winnowing_pairs" /* stop-threshold-capped postings */),
       "single-partition-window" -> Set("q70_rolling_revenue"),
       "filter-not-pushed" -> Set.empty)
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -383,7 +384,8 @@ class ObserveSpec extends SparkSuite {
         "q139_source_kl_mix", "q140_mix_temperature"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
-        "q88_contamination_matrix", "q137_association_rules"),
+        "q88_contamination_matrix", "q137_association_rules",
+        "q142_winnowing_pairs" /* stop-threshold-capped postings */),
       "single-partition-window" -> Set("q70_rolling_revenue"),
       "filter-not-pushed" -> Set.empty)
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
