@@ -33,6 +33,15 @@ object SynthScale {
     * it, not drop it). */
   val hotUser = 1L
 
+  /** Zipf mode's hot PRODUCT — a real part key landing on ~30% of
+    * lineitem rows, so one co-purchase hub vertex reaches almost
+    * every basket: the adversarial graph for q134 (hub degree ≈
+    * catalog size; orientation must keep its out-list small and the
+    * dst-hash join must absorb the hub partition) and for q137 (one
+    * item in nearly every pair). Basket SIZES are untouched, so the
+    * admission cap deliberately does NOT fire. */
+  val hotPart = 1L
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
       "usage: SynthScale <srcSfDir> <outDir> <copies> [zipf]")
@@ -74,10 +83,16 @@ object SynthScale {
     cp("orders")((d, i) => d
       .withColumn("o_orderkey", off(col("o_orderkey"), i))
       .withColumn("o_custkey", off(col("o_custkey"), i)))
-    cp("lineitem")((d, i) => d
-      .withColumn("l_orderkey", off(col("l_orderkey"), i))
-      .withColumn("l_partkey", off(col("l_partkey"), i))
-      .withColumn("l_suppkey", off(col("l_suppkey"), i)))
+    cp("lineitem")((d, i) => {
+      val rekeyed = d
+        .withColumn("l_orderkey", off(col("l_orderkey"), i))
+        .withColumn("l_partkey", off(col("l_partkey"), i))
+        .withColumn("l_suppkey", off(col("l_suppkey"), i))
+      if (!zipf) rekeyed
+      else rekeyed.withColumn("l_partkey",
+        when(pmod(col("l_orderkey") + col("l_linenumber"), lit(10)) < 3,
+          lit(hotPart)).otherwise(col("l_partkey")))
+    })
     cp("events")((d, i) => {
       val rekeyed = d
         .withColumn("event_id", off(col("event_id"), i))

@@ -909,7 +909,16 @@ object Relational {
     * ≥64 in both engines and fixture baskets are ≤7) and at worst
     * shifts one boundary basket — the formula, not the float, is the
     * contract. */
-  private[graft] def admittedBaskets(s: SparkSession, dir: String): DataFrame = {
+  /** Persisted via [[graft.observe.IndexStore]] (content-addressed on
+    * the lineitem table): the distinct+size+admit+collect passes are a
+    * derived INDEX of the source table — one build per lineitem state,
+    * not one per q134/q137 run. No incremental rule: an appended file
+    * can extend EXISTING orders' baskets, so deltas aren't file-local
+    * and a changed source rebuilds. (The q134 adjacency artifact
+    * builds ON TOP of this one — nested readOrBuild, distinct keys.) */
+  private[graft] def admittedBaskets(s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuild(
+      s, "admitted_baskets", s"$dir/lineitem.parquet", version = 1) {
     val items = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       .distinct() // in-basket repeats don't count
