@@ -976,10 +976,16 @@ object Relational {
     // triangle it closes. The O(edges) array-carrying tri relation is
     // NEVER materialized (a localCheckpoint of it was the third-decade
     // probe's wall — tens of GB of block-manager writes at 1000×, pure
-    // overhead): both consumers below hang off the SAME post-credit
-    // aggregation, whose exchange Spark reuses, and the global count
-    // derives from the credit itself — every triangle credits exactly
-    // 3 vertices, so total = Σ n_tri / 3 over the O(parts) relation.
+    // overhead). What IS materialized — localCheckpoint below — is the
+    // POST-credit aggregate: O(vertices) slim rows (the parts catalog;
+    // KBs at fixture scale, GBs at 100 TB — distributed, bounded),
+    // shared by both consumers. Exchange reuse is NOT trusted here:
+    // the total branch's two-level aggregation canonicalizes
+    // differently often enough that the whole join+explode pipeline
+    // executed twice (measured ~2× wall at sf0.1); checkpointing the
+    // SMALL relation makes single execution structural. The global
+    // count derives from the credit itself — every triangle credits
+    // exactly 3 vertices, so total = Σ n_tri / 3 over O(parts) rows.
     val credit = triangleRelation(adj)
       .select(explode(concat(
         array(
@@ -991,6 +997,7 @@ object Relational {
           w => struct(w.as("part"), lit(1L).as("n"))))).as("cr"))
       .groupBy(col("cr.part").as("part"))
       .agg(sum(col("cr.n")).as("n_tri"))
+      .localCheckpoint()
     val total = credit.agg(
       // integer div: Σ is exactly 3·triangles, and bigint div stays
       // exact past the 2^53 point where double division would round
