@@ -44,6 +44,17 @@ import org.apache.spark.sql.functions.col
   *    guard DID push, and there was nothing else to push.
   *  - `full-width-scan` (info): the scan fetches every column of a
   *    wider relation — fine for `SELECT *`, a pruning bug otherwise.
+  *  - `duplicate-source-scan` (warn / info): ONE query's plan scans
+  *    the SAME file source 3+ times (warn) or exactly twice (info).
+  *    Twice is often legitimate (a self-join, two genuinely different
+  *    projections); three or more almost always means a derived
+  *    relation fans out to several consumers and the planner
+  *    re-derives it per consumer — exchange/stage reuse is NOT
+  *    reliable across differently-shaped re-aggregations, so at
+  *    100 TB the corpus is scanned (and re-exploded) once PER
+  *    CONSUMER. Fix: materialize the small shared derivation
+  *    (localCheckpoint / persisted artifact) — the q134-credit /
+  *    q139-vocab lesson, both measured as ~2× wall before the fix.
   *  - `unbounded-in-row-expansion` (warn): a `transform` iterates a
   *    slice/reference of ITS OWN input array — the self-quadratic
   *    pair-emission shape (`transform(a, (x,i) -> transform(slice(a,
@@ -164,6 +175,23 @@ object Lint {
     walk(plan) { p =>
       if (p.expressions.exists(selfQuadraticTransform))
         findings += (("unbounded-in-row-expansion", "warn", head(p)))
+    }
+    // third pass: count scans per source (by root path) — 3+ scans of
+    // one source in one plan is the multi-consumer re-derivation smell
+    val scanCounts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    walk(plan) {
+      case sc: FileSourceScanExec =>
+        val p = sc.relation.location.rootPaths.mkString(",")
+        scanCounts(p) += 1
+      case _ =>
+    }
+    scanCounts.foreach { case (p, n) =>
+      val path = if (p.length <= 100) p else "..." + p.takeRight(97)
+      if (n >= 3)
+        findings += (("duplicate-source-scan", "warn", s"${n}x $path"))
+      else if (n == 2)
+        findings += (("duplicate-source-scan", "info", s"2x $path"))
     }
     findings.toSeq.distinct
       .toDF("rule", "severity", "node")

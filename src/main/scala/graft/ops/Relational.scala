@@ -704,11 +704,18 @@ object Relational {
   def hourlyGapfill(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
       .withColumn("h", date_trunc("hour", col("ts")))
+    // ONE corpus pass: bounds and the type set both derive from the
+    // aggregated counts relation (min/max over its h values ≡ min/max
+    // over truncated event times; its distinct types ≡ the corpus's),
+    // which is O(types·hours) — checkpointed so the three consumers
+    // cannot re-derive the corpus aggregation (duplicate-source-scan
+    // lint; the spine build used to scan events twice more).
     val counts = ev.groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("n"))
-    val hours = ev.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      .localCheckpoint()
+    val hours = counts.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
       .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
-    val types = ev.select(col("event_type")).distinct()
+    val types = counts.select(col("event_type")).distinct()
     hours.crossJoin(broadcast(types))
       .join(counts, Seq("event_type", "h"), "left")
       .na.fill(0L, Seq("n"))

@@ -343,6 +343,32 @@ class ObserveSpec extends SparkSuite {
         "q88_contamination_matrix", "q137_association_rules",
         "q142_winnowing_pairs" /* stop-threshold-capped postings */),
       "single-partition-window" -> Set("q70_rolling_revenue"),
+      // duplicate-source-scan: each entry is a DELIBERATE re-scan —
+      // q22: four narrow one-column scans read the same bytes as one
+      //   four-column scan (columnar), buying O(Σ distinct) shuffles;
+      // q67/q92/q99: tf/df (resp. per-lang models, two bigram models)
+      //   are different GRAINS of a map-only explode — re-running the
+      //   scan+explode is strictly cheaper than materializing a
+      //   corpus-sized token relation at any scale, and the model
+      //   sides are broadcast-sized aggregates;
+      // q108/q109: the re-scanned source is the persisted postings
+      //   ARTIFACT (pre-aggregated, pruned), not the corpus — df
+      //   stats, postings probe and totals are three small reads;
+      // q116: base ⋈ changes merge + the snapshot compare read the
+      //   base table per the CDC contract;
+      // q118: the heavy-key detection pass plus the disjoint
+      //   light/heavy legs partition one scan three ways — the
+      //   replicated-join design (materializing the corpus costs
+      //   more than the extra pruned scan);
+      // q122/q128: blocking self-pair legs (resp. two-side
+      //   reconciliation anti legs) are scans of both roles by
+      //   construction.
+      "duplicate-source-scan" -> Set(
+        "q22_profile_lineitem", "q67_tfidf_top_terms",
+        "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
+        "q109_hybrid_rrf", "q116_cdc_merge",
+        "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
+        "q128_set_reconciliation"),
       "filter-not-pushed" -> Set.empty)
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -387,6 +413,32 @@ class ObserveSpec extends SparkSuite {
         "q88_contamination_matrix", "q137_association_rules",
         "q142_winnowing_pairs" /* stop-threshold-capped postings */),
       "single-partition-window" -> Set("q70_rolling_revenue"),
+      // duplicate-source-scan: each entry is a DELIBERATE re-scan —
+      // q22: four narrow one-column scans read the same bytes as one
+      //   four-column scan (columnar), buying O(Σ distinct) shuffles;
+      // q67/q92/q99: tf/df (resp. per-lang models, two bigram models)
+      //   are different GRAINS of a map-only explode — re-running the
+      //   scan+explode is strictly cheaper than materializing a
+      //   corpus-sized token relation at any scale, and the model
+      //   sides are broadcast-sized aggregates;
+      // q108/q109: the re-scanned source is the persisted postings
+      //   ARTIFACT (pre-aggregated, pruned), not the corpus — df
+      //   stats, postings probe and totals are three small reads;
+      // q116: base ⋈ changes merge + the snapshot compare read the
+      //   base table per the CDC contract;
+      // q118: the heavy-key detection pass plus the disjoint
+      //   light/heavy legs partition one scan three ways — the
+      //   replicated-join design (materializing the corpus costs
+      //   more than the extra pruned scan);
+      // q122/q128: blocking self-pair legs (resp. two-side
+      //   reconciliation anti legs) are scans of both roles by
+      //   construction.
+      "duplicate-source-scan" -> Set(
+        "q22_profile_lineitem", "q67_tfidf_top_terms",
+        "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
+        "q109_hybrid_rrf", "q116_cdc_merge",
+        "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
+        "q128_set_reconciliation"),
       "filter-not-pushed" -> Set.empty)
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
