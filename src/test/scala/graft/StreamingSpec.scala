@@ -907,4 +907,42 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("mix monitor: streamed per-source mix stats == the batch " +
+    "aggregation over the full feed (HLL merge is batching-invariant); " +
+    "state stays one row per source") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val docs = in.toDF().toDF("doc_id", "source", "text")
+    val q = graft.stream.MixMonitor.mixStats(docs)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode("complete").start()
+    withQuery(q) {
+      val feed = (1L to 60L).map { i =>
+        val src = s"src${i % 3}"
+        val text = (1 to (i % 7 + 3).toInt)
+          .map(j => s"tok${(i * 7 + j) % 40}").mkString(" ")
+        (i, src, text)
+      }
+      // two micro-batches SPLIT MID-SOURCE: the sketch must merge
+      // across batches, not restart
+      in.addData(feed.take(25): _*)
+      q.processAllAvailable()
+      in.addData(feed.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = s.table("mix_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batch = graft.stream.MixMonitor.mixStats(
+        feed.toDF("doc_id", "source", "text"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+      // bounded state: one state row per source, NOT per token/doc
+      assert(q.lastProgress.stateOperators.head.numRowsTotal === 3)
+    }
+  }
 }
