@@ -337,7 +337,8 @@ class ObserveSpec extends SparkSuite {
         "q109_hybrid_rrf", "q113_random_projection",
         "q118_skew_replicated_join", "q124_hourly_gapfill",
         "q134_copurchase_triangles", "q137_association_rules",
-        "q139_source_kl_mix", "q140_mix_temperature"),
+        "q139_source_kl_mix", "q140_mix_temperature",
+        "q143_mix_report"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
         "q88_contamination_matrix", "q137_association_rules",
@@ -407,7 +408,8 @@ class ObserveSpec extends SparkSuite {
         "q109_hybrid_rrf", "q113_random_projection",
         "q118_skew_replicated_join", "q124_hourly_gapfill",
         "q134_copurchase_triangles", "q137_association_rules",
-        "q139_source_kl_mix", "q140_mix_temperature"),
+        "q139_source_kl_mix", "q140_mix_temperature",
+        "q143_mix_report"),
       "unbounded-in-row-expansion" -> Set(
         "q33_jaccard_pairs", "q68_containment_pairs",
         "q88_contamination_matrix", "q137_association_rules",
