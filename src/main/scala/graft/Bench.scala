@@ -143,8 +143,22 @@ object Bench {
     // the line's FRONT (observed in r2 AND r3) can then only ever lose
     // per-query detail, never the headline numbers. JSON key order is
     // irrelevant to any parser.
+    // Per-query noise floor: min/median/spread of the 3 count-pass
+    // runs. The pass-level medianSpread already gates whole-pass
+    // contention, but round-over-round PER-QUERY comparisons were
+    // unfalsifiable without each query's own spread (r6's apparent
+    // q90/q108 "regressions" sat inside a 1.56× median spread) — a
+    // delta is only a real regression when it clears BOTH rounds'
+    // spreads for that query.
+    val qsStats = timed.map { case (name, times) =>
+      val sorted = times.sorted
+      val med = sorted(sorted.size / 2)
+      val spread = if (sorted.head > 0) sorted.last / sorted.head else 1.0
+      "\"" + name +
+        s"""":{"min":${sorted.head},"median":$med,"spread":$spread}"""
+    }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"detail":"materialized","queries_materialized":$qsMat,"total_materialized":$totalMat,"median_spread":$medianSpread}"""
+      s"""{"detail":"materialized","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread}"""
     val headline =
       s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
     // Durability: the driver's stdout capture truncates to the last

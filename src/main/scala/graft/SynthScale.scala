@@ -125,9 +125,16 @@ object SynthScale {
             .otherwise(col("source")))
         .withColumn("text",
           when(col("doc_id") % 10 < 3,
-            repeat(lit("zipfhot "),
-              greatest(lit(1), (col("n_chars") / 8).cast("int"))))
+            rtrim(repeat(lit("zipfhot "),
+              greatest(lit(1), (col("n_chars") / 8).cast("int")))))
             .otherwise(col("text")))
+        // the rewrite changed text length (n/8 tokens of 8 chars, the
+        // last one trimmed) — keep the stats column honest so fixture
+        // checks relying on n_chars ≈ length(text) don't skew, and no
+        // trailing space means no empty token in the hot docs
+        .withColumn("n_chars",
+          when(col("doc_id") % 10 < 3, length(col("text")).cast("long"))
+            .otherwise(col("n_chars")))
     })
     cp("embeddings")((d, i) => d
       .withColumn("vec_id", off(col("vec_id"), i))

@@ -156,15 +156,33 @@ object IndexStore {
     * process resolves either the whole pre-compaction layout (the old
     * data files are left in place for it — vacuum reclaims them after
     * an age floor) or the whole post-compaction one — never a torn
-    * mix. A pointer whose target lost its `_SUCCESS` is ignored (the
-    * un-compacted layout is still on disk and still correct). */
+    * mix. A pointer whose target lost its `_SUCCESS` is ignored ONLY
+    * while the un-compacted layout is still on disk (then it is still
+    * correct); once vacuum's deferred delete has emptied the `fp=`
+    * dir's own data files, that fallback would pass the servable
+    * checks (the dir keeps its `_SUCCESS`) and fail at SCAN time
+    * instead — so a bad pointer over a data-less dir resolves to the
+    * torn target, whose missing `_SUCCESS` makes [[chainIntact]] say
+    * non-servable and the next read REBUILDS. */
   private def resolved(f: FileSystem, base: Path, fp: String): Path = {
     val seg = new Path(base, s"fp=$fp")
-    readSmall(f, new Path(seg, "_HEAD")).map(_.trim).filter(_.nonEmpty)
-      .map(g => new Path(base, g))
-      .filter(g => f.exists(new Path(g, "_SUCCESS")))
-      .getOrElse(seg)
+    readSmall(f, new Path(seg, "_HEAD")).map(_.trim).filter(_.nonEmpty) match {
+      case Some(g) =>
+        val target = new Path(base, g)
+        if (f.exists(new Path(target, "_SUCCESS"))) target
+        else if (hasDataFiles(f, seg)) seg
+        else target // torn: fails chainIntact → rebuild, not scan-fail
+      case None => seg
+    }
   }
+
+  /** Any non-hidden data file directly under `p` — the "could a scan
+    * actually read this dir" check [[resolved]]'s fallback needs. */
+  private def hasDataFiles(f: FileSystem, p: Path): Boolean =
+    f.exists(p) && f.listStatus(p).exists(st => !st.isDirectory && {
+      val n = st.getPath.getName
+      !(n.startsWith("_") || n.startsWith("."))
+    })
 
   /** Segment DATA paths of the chain rooted at `fp`, child first —
     * each fingerprint resolved through its `_HEAD` pointer. */
@@ -406,6 +424,9 @@ object IndexStore {
     *  - `.build-*` staging (a builder that crashed between staging and
     *    publish) and `.old-*` leftovers (pre-pointer compaction
     *    debris) — hidden dirs, invisible to reads;
+    *  - `_HEAD.tmp-*` pointer files (a compactor that crashed between
+    *    writing the temp pointer and its rename) — never resolved by
+    *    readers, never renamed by anyone else;
     *  - `seg-*` segment dirs referenced by NO `fp=` head's `_HEAD`
     *    pointer (a compactor that crashed before its pointer rename,
     *    or that lost the publication race);
@@ -448,6 +469,22 @@ object IndexStore {
               f.delete(st.getPath, true)
               (art.getPath.getName, st.getPath.getName, bytes)
             }
+          // a compactor that crashed between writing `_HEAD.tmp-*` and
+          // the pointer rename leaves the tmp file behind forever (no
+          // reader resolves it; the stale-file pass above only handles
+          // directories) — reclaim it behind the same age floor
+          val tmpHeads = heads.flatMap { h =>
+            f.listStatus(h.getPath).toSeq.filter(st =>
+              !st.isDirectory &&
+                st.getPath.getName.startsWith("_HEAD.tmp-") &&
+                st.getModificationTime < cutoff)
+              .map { st =>
+                val bytes = st.getLen
+                f.delete(st.getPath, false)
+                (art.getPath.getName,
+                  s"${h.getPath.getName}/${st.getPath.getName}", bytes)
+              }
+          }
           // deferred delete behind a published pointer: reclaim the
           // fp= dir's own data files once the pointer is old enough
           val deferred = heads.flatMap { h =>
@@ -475,7 +512,7 @@ object IndexStore {
               }
             }
           }
-          staging ++ deferred
+          staging ++ tmpHeads ++ deferred
         }
     rows.toDF("artifact", "staging", "bytes")
       .orderBy(col("artifact"), col("staging"))

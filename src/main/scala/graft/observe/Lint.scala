@@ -55,6 +55,29 @@ import org.apache.spark.sql.functions.col
   *    CONSUMER. Fix: materialize the small shared derivation
   *    (localCheckpoint / persisted artifact) — the q134-credit /
   *    q139-vocab lesson, both measured as ~2× wall before the fix.
+  *  - `unbounded-agg-buffer` (warn / info): an aggregation whose
+  *    buffer holds EVERY distinct input value of the group in one
+  *    in-memory structure — exact `percentile`/`median` (a map of
+  *    every distinct value), `collect_list`/`collect_set` (every
+  *    row/value), `mode` (every distinct value). Invisible to the
+  *    plan-shape rules: the plan is an innocent two-phase hash
+  *    aggregate; the bomb is inside the agg FUNCTION, so a group
+  *    whose value domain grows with the corpus (prices, user ids,
+  *    free text) builds a multi-GB buffer in one task and OOMs at
+  *    100 TB — the q120 lesson (its exact-percentile boundary pass
+  *    was replaced by a two-pass bounded scheme this rule would have
+  *    flagged). Legitimate only when the collected domain is bounded
+  *    by CONSTRUCTION (an admission cap upstream, a domain that
+  *    cannot grow with the corpus — doc lengths, source names, a
+  *    stop-pruned posting df): grade those sites in an allowlist
+  *    with the bound spelled out. Severity by the aggregation
+  *    input's boundedness: `info` when the unary input chain passes
+  *    a limit or another aggregate (the buffer is bounded by a
+  *    constant / the upstream group grain — confirm the grain),
+  *    `warn` over a raw relation. `collect_top_k` and the approx
+  *    sketches (percentile_approx, HLL) never fire — their buffers
+  *    are fixed-size by design, which is exactly the migration
+  *    target this rule points at.
   *  - `unbounded-in-row-expansion` (warn): a `transform` iterates a
   *    slice/reference of ITS OWN input array — the self-quadratic
   *    pair-emission shape (`transform(a, (x,i) -> transform(slice(a,
@@ -167,6 +190,22 @@ object Lint {
           if scan.relation.dataSchema.size > 1 &&
             scan.output.size >= scan.relation.dataSchema.size =>
         findings += (("full-width-scan", "info", head(scan)))
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          // fire once per logical aggregation: the Partial (or
+          // single-phase Complete) node is where the per-task buffer
+          // actually fills; the Final/Merge twin would double-report
+          if agg.aggregateExpressions.exists(ae =>
+            (ae.mode == org.apache.spark.sql.catalyst.expressions
+              .aggregate.Partial ||
+              ae.mode == org.apache.spark.sql.catalyst.expressions
+                .aggregate.Complete) &&
+              unboundedBuffer(ae.aggregateFunction)) =>
+        findings += (("unbounded-agg-buffer",
+          // buffer growth tracks the input's DISTINCT domain, one
+          // notch softer than the window rule's row-count ladder:
+          // bounded input → info, raw input → warn
+          if (inputBoundedness(agg.children.head) == "error") "warn"
+          else "info", head(agg)))
       case _ =>
     }
     // second pass, every node: the self-quadratic expansion hides in
@@ -216,6 +255,22 @@ object Lint {
       inputBoundedness(q.plan) // AQE leaf wrapper — the chain continues
     case u if u.children.length == 1 => inputBoundedness(u.children.head)
     case _ => "error"
+  }
+
+  /** Aggregate functions whose buffer accretes every (distinct) input
+    * value of the group: exact percentile/median (value→count map),
+    * collect_list/collect_set (everything), mode (distinct-value
+    * counts). `CollectTopK` is EXCLUDED — its heap is bounded by k —
+    * as are all sketch aggregates (fixed-size buffers). */
+  private def unboundedBuffer(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateFunction): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    f match {
+      case _: CollectTopK => false
+      case _: PercentileBase | _: Collect[_] | _: Mode | _: Median => true
+      case _ => false
+    }
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {

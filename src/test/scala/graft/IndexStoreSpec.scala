@@ -473,6 +473,125 @@ class IndexStoreSpec extends SparkSuite {
     assert(fullBuilds === 2, "broken chain must trigger a full rebuild")
   }
 
+  test("two builders racing readOrBuild on one artifact: the loser " +
+    "discards its staging and reads the winner's artifact — no torn " +
+    "chain, no orphaned staging, no double-publish") {
+    val name = freshName("race")
+    val src = scratch("race")
+    writeSource(src, 1L to 10L)
+    var innerBuilds = 0
+    var outerBuilds = 0
+    // Simulate a second PROCESS winning the publication race
+    // deterministically: the per-name JVM lock is REENTRANT, so a
+    // nested readOrBuild issued from inside the outer builder's build
+    // thunk exercises exactly the filesystem protocol a concurrent
+    // process would — it sees no published artifact, stages, and
+    // renames into the final path BEFORE the outer builder reaches its
+    // own publish step. The outer builder must then hit the
+    // lost-the-race branch: _SUCCESS exists → discard own staging,
+    // serve the winner's (by construction equivalent) artifact.
+    val res = IndexStore.readOrBuild(spark, name, src) {
+      IndexStore.readOrBuild(spark, name, src) {
+        innerBuilds += 1
+        spark.read.parquet(src).agg(sum(col("x")).as("s"))
+      }.collect()
+      outerBuilds += 1
+      spark.read.parquet(src).agg(sum(col("x")).as("s"))
+    }
+    assert(innerBuilds === 1 && outerBuilds === 1,
+      "both builders must have actually built")
+    assert(res.head().getLong(0) === 55L)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val base = new java.io.File(s"$root/$name")
+    val entries = Option(base.listFiles()).getOrElse(Array.empty)
+    assert(!entries.exists(_.getName.startsWith(".build-")),
+      s"loser must discard its staging immediately (not wait for " +
+        s"vacuum): ${entries.map(_.getName).mkString(",")}")
+    val heads = entries.filter(_.getName.startsWith("fp="))
+    assert(heads.length === 1, "exactly one published head")
+    assert(new java.io.File(heads.head, "_SUCCESS").exists())
+    // the published artifact serves a third reader without any rebuild
+    assert(IndexStore.readOrBuild(spark, name, src) {
+      fail("race aftermath must serve, not rebuild")
+    }.head().getLong(0) === 55L)
+  }
+
+  test("vacuumStaging reclaims an aged _HEAD.tmp-* pointer file (a " +
+    "compactor crash between temp write and rename); the artifact " +
+    "keeps serving") {
+    val name = freshName("tmphead")
+    val src = scratch("tmphead")
+    writeSource(src, 1L to 3L)
+    IndexStore.readOrBuild(spark, name, src) {
+      spark.read.parquet(src)
+    }.collect()
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = IndexStore.fingerprint(spark, src, 1)
+    val head = Paths.get(s"$root/$name/fp=$fp")
+    val aged = head.resolve("_HEAD.tmp-123")
+    Files.write(aged, "seg-never-published".getBytes)
+    Files.setLastModifiedTime(aged,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    val fresh = head.resolve("_HEAD.tmp-456")
+    Files.write(fresh, "seg-in-flight".getBytes)
+    val report = IndexStore.vacuumStaging(spark)
+      .filter(col("artifact") === name).collect()
+    assert(report.length === 1 &&
+      report(0).getString(1).endsWith("_HEAD.tmp-123"))
+    assert(!Files.exists(aged), "aged tmp pointer must be reclaimed")
+    assert(Files.exists(fresh), "an in-flight tmp pointer must survive")
+    assert(IndexStore.readOrBuild(spark, name, src) {
+      fail("artifact must still serve without a rebuild")
+    }.count() === 3L)
+  }
+
+  test("a compacted head that lost BOTH its pointer target's _SUCCESS " +
+    "and (to vacuum's deferred delete) its own data files is " +
+    "non-servable: the next read rebuilds instead of failing at scan") {
+    val name = freshName("torn")
+    val src = scratch("torn")
+    val s = spark
+    import s.implicits._
+    var builds = 0
+    var deltas = 0
+    def get() = IndexStore.readOrBuildIncremental(s, name, src)(
+      { builds += 1; s.read.parquet(src) })(
+      (_, added) => { deltas += 1; s.read.parquet(added: _*) })
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect()
+    Thread.sleep(5)
+    Seq(4L, 5L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().collect() // chain depth 2
+    assert(IndexStore.compactChain(s, name, src), "fold must happen")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = IndexStore.fingerprint(s, src, 1)
+    val head = Paths.get(s"$root/$name/fp=$fp")
+    // age the pointer past the floor so vacuum's deferred delete
+    // reclaims the pre-compaction data files under the fp= dir
+    Files.setLastModifiedTime(head.resolve("_HEAD"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    IndexStore.vacuumStaging(spark).collect()
+    assert(!head.toFile.listFiles().exists(f =>
+      !f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")),
+      "deferred delete must have emptied the fp= dir's data files")
+    // now tear the pointer target: the compacted segment loses _SUCCESS
+    val segName = new String(Files.readAllBytes(head.resolve("_HEAD"))).trim
+    assert(Files.deleteIfExists(
+      Paths.get(s"$root/$name/$segName/_SUCCESS")))
+    // pre-fix, this read passed the servable checks (the fp= dir keeps
+    // its own _SUCCESS) and exploded at SCAN time with no data files;
+    // it must instead detect the torn state and re-publish — a full
+    // rebuild, or a re-parent onto the still-intact pre-append head
+    builds = 0; deltas = 0
+    assert(get().collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+    assert(builds + deltas === 1,
+      "torn compacted head must trigger a rebuild or re-parent")
+  }
+
   test("fingerprint: stable for unchanged sources, sensitive to content " +
     "and version, defined for missing dirs") {
     val src = scratch("fp")

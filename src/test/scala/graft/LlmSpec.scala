@@ -162,6 +162,85 @@ class LlmSpec extends SparkSuite {
     info(f"pq recall=$recall%.3f")
   }
 
+  test("pq rerank (q144): the exact refine touches ONLY the ADC top-k' " +
+    "candidates, re-ranks them exactly, and lifts recall@10 to >= 0.9") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // bit-exact local replica of the engine's fold order: sequential
+    // dot, l2 written a - 2b + c left to right, HALF_UP micro rounding
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2sqd(x: Array[Double], c: Array[Double]): Double =
+      dotd(x, x) - 2d * dotd(x, c) + dotd(c, c)
+    def micro(d: Double): Long = java.math.BigDecimal.valueOf(d * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val cb = Llm.pqCodebooks(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+    val codes = Llm.pqCodes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getByte(1).toInt) -> r.getByte(2).toLong)
+      .toMap
+    val qids = vecs.keys.filter(_ < 10).toSeq.sorted
+    // the ADC candidate set the engine's stage 1 must emit, re-derived
+    // from the persisted code artifact alone
+    val candidates: Map[Long, Seq[Long]] = qids.map { qid =>
+      val lut: Map[(Int, Long), Long] = (0 until Llm.pqNsub).flatMap { j =>
+        val x = vecs(qid).slice(j * Llm.pqDsub, (j + 1) * Llm.pqDsub)
+        (0 until Llm.pqKsub).flatMap(cid => cb.get((j, cid.toLong))
+          .map(c => (j, cid.toLong) -> micro(l2sqd(x, c))))
+      }.toMap
+      qid -> vecs.keys.filter(_ != qid).toSeq
+        .map(v => (v, (0 until Llm.pqNsub)
+          .map(j => lut((j, codes((v, j))))).sum))
+        .sortBy { case (v, d) => (d, v) }
+        .take(Llm.pqRerankCand).map(_._1)
+    }.toMap
+    val rr = Llm.pqRerankTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rr.length === qids.size * Llm.pqRerankK)
+    // 1. candidate-bounded: every refined row comes from stage 1's k'
+    rr.foreach { case (qid, _, v, _) =>
+      assert(candidates(qid).contains(v),
+        s"refine must only touch ADC candidates: q$qid -> $v")
+    }
+    // 2. exact within the candidate set: the output IS the true-L2
+    // top-k of the candidates, with d2 matching a local recomputation
+    qids.foreach { qid =>
+      val want = candidates(qid)
+        .map(v => (v, l2sqd(vecs(v), vecs(qid))))
+        .sortBy { case (v, d) => (d, v) }.take(Llm.pqRerankK)
+      val got = rr.filter(_._1 == qid).sortBy(_._2)
+      assert(got.map(_._3).toSeq === want.map(_._1),
+        s"refine order must be exact L2 for q$qid")
+      got.zip(want).foreach { case ((_, _, _, d2), (_, d)) =>
+        assert(math.abs(d2 - d) < 1e-6, s"d2 drift for q$qid")
+      }
+    }
+    // 3. recall@10 vs the full-corpus exact top-10 — the production
+    // claim the refine step exists for
+    val exact = qids.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2sqd(vecs(q), vecs(id)), id))
+        .take(Llm.pqRerankK).map(q -> _)
+    }.toSet
+    val rrSet = rr.map(t => (t._1, t._3)).toSet
+    val recall = exact.intersect(rrSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"rerank recall@10 $recall")
+    // 4. ... and it must dominate the raw ADC ranking at the same k
+    val adcSet = qids.flatMap(q =>
+      candidates(q).take(Llm.pqRerankK).map(q -> _)).toSet
+    val adcRecall = exact.intersect(adcSet).size.toDouble / exact.size
+    assert(recall >= adcRecall,
+      s"rerank $recall must not lose to raw ADC $adcRecall")
+    info(f"rerank recall@10=$recall%.3f vs ADC@10=$adcRecall%.3f " +
+      f"(k'=${Llm.pqRerankCand})")
+  }
+
   test("incremental PQ maintenance: a small append freezes the " +
     "codebooks and encodes only new vectors (chain ≡ full re-encode); " +
     "a drift-sized append retrains") {
@@ -1003,16 +1082,30 @@ class LlmSpec extends SparkSuite {
       assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
     }
     val mt = Llm.mixTemperature(spark, sf).collect()
-    val wSum = mt.map(_.getAs[Long]("weight_micro")).sum
-    // integer floor-div loses < 1 micro per source
-    assert(wSum <= 1000000L && wSum >= 1000000L - mt.length,
-      s"weights sum $wSum")
-    // α=1/2 flattening: max/min spread of weights must not exceed the
-    // natural (α=1) spread
+    // both mass flavors: weights sum to ~1e6 (integer floor-div loses
+    // < 1 micro per source) and the α=1/2 flattening law holds —
+    // max/min spread of weights must not exceed the natural (α=1)
+    // spread of the SAME mass
     def spread(xs: Seq[Long]): Double =
       xs.max.toDouble / math.max(xs.min.toDouble, 1.0)
-    assert(spread(mt.map(_.getAs[Long]("weight_micro")).toSeq) <=
-      spread(mt.map(_.getAs[Long]("natural_micro")).toSeq) + 1e-9)
+    Seq(("weight_micro", "natural_micro"),
+      ("tok_weight_micro", "tok_natural_micro")).foreach {
+      case (wCol, natCol) =>
+        val wSum = mt.map(_.getAs[Long](wCol)).sum
+        assert(wSum <= 1000000L && wSum >= 1000000L - mt.length,
+          s"$wCol sum $wSum")
+        assert(spread(mt.map(_.getAs[Long](wCol)).toSeq) <=
+          spread(mt.map(_.getAs[Long](natCol)).toSeq) + 1e-9,
+          s"$wCol must flatten $natCol")
+    }
+    // token mass is the q139/q141 token total, doc mass the doc count —
+    // the two masses must rank sources consistently with their totals
+    val vsTok = Llm.vocabStats(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    mt.foreach(r => assert(
+      r.getAs[Long]("n_tokens") === vsTok(r.getAs[String]("source")),
+      "q140 token mass must equal q141's per-source token total"))
     val vs = Llm.vocabStats(spark, sf).collect()
     vs.foreach { r =>
       val (n, v, h) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
@@ -1048,5 +1141,69 @@ class LlmSpec extends SparkSuite {
       s"shifted shared run must produce a winnowing pair, got $got")
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
       s"disjoint doc must not pair, got $got")
+  }
+
+  test("incremental mix analytics: the (source, token) count chain " +
+    "after a corpus append equals a full rebuild, via a chained " +
+    "partial-agg delta (q139/q141 served from the chain)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def kl() = Llm.sourceKlMix(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("kl_micro"))).toSet
+    def vocab() = Llm.vocabStats(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    kl() // builds the base artifact
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incrKl = kl()
+    val incrVocab = vocab()
+    // the delta path must actually have been taken: the live count
+    // artifact is a chained partial-agg segment, not a full rebuild.
+    // The chain may repeat (source, token) keys across segments —
+    // hapax/vocab correctness over a SPLIT token is exactly what the
+    // rebuild comparison below pins.
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(
+      s"$root/source_token_counts/fp=$fp/_PARENT").exists(),
+      "append must extend the partial-agg chain, not rebuild")
+    graft.observe.IndexStore.invalidate(spark, "source_token_counts")
+    assert(incrKl === kl(), "chained KL must equal a full rebuild")
+    assert(incrVocab === vocab(),
+      "chained vocab stats must equal a full rebuild")
+  }
+
+  test("incremental winnowing: the fingerprint artifact after a " +
+    "corpus append equals a full rebuild (monotone map-only delta)") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_winc").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def pairs() = Llm.winnowingPairs(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val basePairs = pairs()
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val incrPairs = pairs()
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/winnow_fps/fp=$fp/_PARENT").exists(),
+      "append must extend the fingerprint chain, not rebuild")
+    graft.observe.IndexStore.invalidate(spark, "winnow_fps")
+    assert(incrPairs === pairs(),
+      "chained fingerprints must equal a full rebuild")
+    assert(basePairs.forall { case (d1, d2, shared) =>
+      incrPairs.exists(p => p._1 == d1 && p._2 == d2 && p._3 >= shared)
+    }, "an append can only add shared fingerprints to old-old pairs")
   }
 }

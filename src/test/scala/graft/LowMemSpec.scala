@@ -89,6 +89,8 @@ class LowMemSpec extends SparkSuite {
       line = reader.readLine()
     }
     val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+    // a hung child must not leak its half-GB JVM into later suites
+    if (!done) proc.destroyForcibly()
     assert(done, "low-mem child must finish (hung = spilled into swap?)")
     assert(proc.exitValue() === 0,
       s"low-mem child failed (exit ${proc.exitValue()}):\n$out")

@@ -313,64 +313,129 @@ class ObserveSpec extends SparkSuite {
       === Set("error"))
   }
 
+  test("lint: unbounded-agg-buffer fires on the exact-percentile and " +
+    "collect shapes over raw input; bounded inputs downgrade to info; " +
+    "sketch aggregates stay clean") {
+    import org.apache.spark.sql.functions._
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      graft.observe.Lint.planLint(df).collect()
+        .filter(_.getString(0) == "unbounded-agg-buffer")
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    // the q120-shaped plant: exact percentile over a raw corpus column —
+    // the buffer holds every distinct price per group
+    assert(hits(li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.2, 0.4, 0.6, 0.8))")
+        .as("bs"))) === Set(("unbounded-agg-buffer", "warn")))
+    // collect_list over raw input: same class
+    assert(hits(li.groupBy(col("l_returnflag"))
+      .agg(collect_list(col("l_extendedprice")).as("vs")))
+      === Set(("unbounded-agg-buffer", "warn")))
+    // input bounded by an upstream aggregate (the group grain) → info
+    assert(hits(li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(n, 0.5)").as("med")))
+      === Set(("unbounded-agg-buffer", "info")))
+    // input bounded by a limit → info
+    assert(hits(li.limit(10).groupBy(col("l_returnflag"))
+      .agg(collect_set(col("l_extendedprice")).as("vs")))
+      === Set(("unbounded-agg-buffer", "info")))
+    // the mergeable sketch — the migration target — never fires
+    assert(hits(li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p")))
+      === Set.empty)
+    // plain bounded aggregates never fire
+    assert(hits(li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n")))
+      === Set.empty)
+  }
+
+  // ONE warn allowlist for BOTH lint sweeps (static and AQE-final):
+  // the two modes see the same deliberate patterns, and a divergence
+  // would mean an AQE re-plan changed a hazard class — which should
+  // fail loudly, not be papered over by a second list.
+  //  - broadcast-nested-loop: model-sized broadcast sides (query
+  //    vectors, centroids, 1-row totals/stats) streamed against
+  //    once — PlanSpec pins the same set;
+  //  - unbounded-in-row-expansion: in-row pair/containment emission
+  //    over arrays whose element count is capped UPSTREAM — shingle
+  //    vocabularies bounded by construction (q33/q68/q88), the
+  //    admission-capped baskets (q137, see admittedBaskets), and
+  //    q142's absolute winnowDfCap;
+  //  - single-partition-window: q70's rolling window runs over the
+  //    day-grain pre-aggregated relation — one task over O(days)
+  //    rows, which is the documented contract.
+  //  - unbounded-agg-buffer, each site's buffer bound spelled out:
+  //    q51: collect-to-set of market segments — a 5-value catalog
+  //      domain that cannot grow with the corpus;
+  //    q63: the members collect_list IS the query's deliverable
+  //      (cluster → member list); lists are dup-cluster-sized, and
+  //      clusters derive from the Jaccard-verified pair graph whose
+  //      emission is already stop-threshold-capped;
+  //    q78: exact percentile over n_chars — document lengths live in
+  //      a fixed human-scale range (≤ ~10⁶ distinct values), so the
+  //      value→count buffer cannot grow with the corpus (see the
+  //      lengthOutliers scaladoc);
+  //    q88: collect_set of SOURCE names per shingle — bounded by the
+  //      source catalog, not the corpus;
+  //    q142: collect_set(doc_id) per fingerprint, collected ONLY
+  //      after the broadcast stop-list anti-join — buffer ≤ the
+  //      absolute winnowDfCap (256) by construction.
+  private val warnAllowlist: Map[String, Set[String]] = Map(
+    "broadcast-nested-loop" -> Set(
+      "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
+      "q67_tfidf_top_terms", "q83_filtered_topk", "q93_quantized_topk",
+      "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
+      "q109_hybrid_rrf", "q113_random_projection",
+      "q118_skew_replicated_join", "q124_hourly_gapfill",
+      "q134_copurchase_triangles", "q137_association_rules",
+      "q139_source_kl_mix", "q140_mix_temperature",
+      "q143_mix_report"),
+    "unbounded-in-row-expansion" -> Set(
+      "q33_jaccard_pairs", "q68_containment_pairs",
+      "q88_contamination_matrix", "q137_association_rules",
+      "q142_winnowing_pairs"),
+    "single-partition-window" -> Set("q70_rolling_revenue"),
+    "unbounded-agg-buffer" -> Set(
+      "q51_segments_per_nation", "q63_dup_clusters",
+      "q78_length_outliers", "q88_contamination_matrix",
+      "q142_winnowing_pairs"),
+    // duplicate-source-scan: each entry is a DELIBERATE re-scan —
+    // q22: four narrow one-column scans read the same bytes as one
+    //   four-column scan (columnar), buying O(Σ distinct) shuffles;
+    // q67/q92/q99: tf/df (resp. per-lang models, two bigram models)
+    //   are different GRAINS of a map-only explode — re-running the
+    //   scan+explode is strictly cheaper than materializing a
+    //   corpus-sized token relation at any scale, and the model
+    //   sides are broadcast-sized aggregates;
+    // q108/q109: the re-scanned source is the persisted postings
+    //   ARTIFACT (pre-aggregated, pruned), not the corpus — df
+    //   stats, postings probe and totals are three small reads;
+    // q116: base ⋈ changes merge + the snapshot compare read the
+    //   base table per the CDC contract;
+    // q118: the heavy-key detection pass plus the disjoint
+    //   light/heavy legs partition one scan three ways — the
+    //   replicated-join design (materializing the corpus costs
+    //   more than the extra pruned scan);
+    // q122/q128: blocking self-pair legs (resp. two-side
+    //   reconciliation anti legs) are scans of both roles by
+    //   construction.
+    "duplicate-source-scan" -> Set(
+      "q22_profile_lineitem", "q67_tfidf_top_terms",
+      "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
+      "q109_hybrid_rrf", "q116_cdc_merge",
+      "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
+      "q128_set_reconciliation"),
+    "filter-not-pushed" -> Set.empty)
+
   test("self-lint sweep: every declared query lints free of errors; " +
     "warn findings only on the named allowlist") {
     // the engine holds its own queries to the standard it offers
     // users: planLint over all of SparkEntry.queries. `info` rows
-    // (full-width-scan) are informational by contract. Allowlisted
-    // warns, each deliberate:
-    //  - broadcast-nested-loop: model-sized broadcast sides (query
-    //    vectors, centroids, 1-row totals/stats) streamed against
-    //    once — PlanSpec pins the same set;
-    //  - unbounded-in-row-expansion: in-row pair/containment emission
-    //    over arrays whose element count is capped UPSTREAM — shingle
-    //    vocabularies bounded by construction (q33/q68/q88) and the
-    //    admission-capped baskets (q137, see admittedBaskets);
-    //  - single-partition-window: q70's rolling window runs over the
-    //    day-grain pre-aggregated relation — one task over O(days)
-    //    rows, which is the documented contract.
-    val warnAllowed: Map[String, Set[String]] = Map(
-      "broadcast-nested-loop" -> Set(
-        "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
-        "q67_tfidf_top_terms", "q83_filtered_topk", "q93_quantized_topk",
-        "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
-        "q109_hybrid_rrf", "q113_random_projection",
-        "q118_skew_replicated_join", "q124_hourly_gapfill",
-        "q134_copurchase_triangles", "q137_association_rules",
-        "q139_source_kl_mix", "q140_mix_temperature",
-        "q143_mix_report"),
-      "unbounded-in-row-expansion" -> Set(
-        "q33_jaccard_pairs", "q68_containment_pairs",
-        "q88_contamination_matrix", "q137_association_rules",
-        "q142_winnowing_pairs" /* stop-threshold-capped postings */),
-      "single-partition-window" -> Set("q70_rolling_revenue"),
-      // duplicate-source-scan: each entry is a DELIBERATE re-scan —
-      // q22: four narrow one-column scans read the same bytes as one
-      //   four-column scan (columnar), buying O(Σ distinct) shuffles;
-      // q67/q92/q99: tf/df (resp. per-lang models, two bigram models)
-      //   are different GRAINS of a map-only explode — re-running the
-      //   scan+explode is strictly cheaper than materializing a
-      //   corpus-sized token relation at any scale, and the model
-      //   sides are broadcast-sized aggregates;
-      // q108/q109: the re-scanned source is the persisted postings
-      //   ARTIFACT (pre-aggregated, pruned), not the corpus — df
-      //   stats, postings probe and totals are three small reads;
-      // q116: base ⋈ changes merge + the snapshot compare read the
-      //   base table per the CDC contract;
-      // q118: the heavy-key detection pass plus the disjoint
-      //   light/heavy legs partition one scan three ways — the
-      //   replicated-join design (materializing the corpus costs
-      //   more than the extra pruned scan);
-      // q122/q128: blocking self-pair legs (resp. two-side
-      //   reconciliation anti legs) are scans of both roles by
-      //   construction.
-      "duplicate-source-scan" -> Set(
-        "q22_profile_lineitem", "q67_tfidf_top_terms",
-        "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
-        "q109_hybrid_rrf", "q116_cdc_merge",
-        "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
-        "q128_set_reconciliation"),
-      "filter-not-pushed" -> Set.empty)
+    // (full-width-scan, 2× source scans) are informational by
+    // contract; warns gate on the shared [[warnAllowlist]].
+    val warnAllowed = warnAllowlist
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val findings = graft.observe.Lint.planLint(fn(spark, sf)).collect()
@@ -394,54 +459,12 @@ class ObserveSpec extends SparkSuite {
     "free of errors; warns only on the named allowlist") {
     // the static sweep sees the pre-AQE plan; this one executes each
     // query at the fixture SF and lints what actually ran (stage
-    // internals traversed through the QueryStageExec wrappers).
-    // Allowlist deltas vs the static sweep are all
-    // broadcast-nested-loop: AQE converts a join with a runtime-tiny
-    // side into a BNLJ that the pre-AQE plan rendered as a sort-merge
-    // or hash join — model-sized sides at any SF, the documented
-    // broadcast pattern.
-    val warnAllowed: Map[String, Set[String]] = Map(
-      "broadcast-nested-loop" -> Set(
-        "q31_topk_cosine", "q38_ivf_topk", "q39_embed_neardup",
-        "q67_tfidf_top_terms", "q83_filtered_topk", "q93_quantized_topk",
-        "q98_semantic_dedup", "q99_dsir_selection", "q108_bm25_topk",
-        "q109_hybrid_rrf", "q113_random_projection",
-        "q118_skew_replicated_join", "q124_hourly_gapfill",
-        "q134_copurchase_triangles", "q137_association_rules",
-        "q139_source_kl_mix", "q140_mix_temperature",
-        "q143_mix_report"),
-      "unbounded-in-row-expansion" -> Set(
-        "q33_jaccard_pairs", "q68_containment_pairs",
-        "q88_contamination_matrix", "q137_association_rules",
-        "q142_winnowing_pairs" /* stop-threshold-capped postings */),
-      "single-partition-window" -> Set("q70_rolling_revenue"),
-      // duplicate-source-scan: each entry is a DELIBERATE re-scan —
-      // q22: four narrow one-column scans read the same bytes as one
-      //   four-column scan (columnar), buying O(Σ distinct) shuffles;
-      // q67/q92/q99: tf/df (resp. per-lang models, two bigram models)
-      //   are different GRAINS of a map-only explode — re-running the
-      //   scan+explode is strictly cheaper than materializing a
-      //   corpus-sized token relation at any scale, and the model
-      //   sides are broadcast-sized aggregates;
-      // q108/q109: the re-scanned source is the persisted postings
-      //   ARTIFACT (pre-aggregated, pruned), not the corpus — df
-      //   stats, postings probe and totals are three small reads;
-      // q116: base ⋈ changes merge + the snapshot compare read the
-      //   base table per the CDC contract;
-      // q118: the heavy-key detection pass plus the disjoint
-      //   light/heavy legs partition one scan three ways — the
-      //   replicated-join design (materializing the corpus costs
-      //   more than the extra pruned scan);
-      // q122/q128: blocking self-pair legs (resp. two-side
-      //   reconciliation anti legs) are scans of both roles by
-      //   construction.
-      "duplicate-source-scan" -> Set(
-        "q22_profile_lineitem", "q67_tfidf_top_terms",
-        "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
-        "q109_hybrid_rrf", "q116_cdc_merge",
-        "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
-        "q128_set_reconciliation"),
-      "filter-not-pushed" -> Set.empty)
+    // internals traversed through the QueryStageExec wrappers). Same
+    // shared [[warnAllowlist]]: AQE may convert a join with a
+    // runtime-tiny side into a BNLJ the pre-AQE plan rendered as a
+    // sort-merge or hash join, but those sides are model-sized at any
+    // SF — already the documented broadcast pattern.
+    val warnAllowed = warnAllowlist
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val findings =

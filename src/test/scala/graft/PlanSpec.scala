@@ -202,6 +202,28 @@ class PlanSpec extends SparkSuite {
       s"q96 must not sort-merge the code table:\n$p")
   }
 
+  test("pq rerank: the exact leg probes the float table through " +
+    "BROADCAST candidate/query builds — the corpus never shuffles or " +
+    "nested-loops for the refine, and the candidate cut rides the plan") {
+    val p = plan("q144_pq_rerank_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"q144 must be pure equi-joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q144 must not sort-merge anywhere:\n$p")
+    // three broadcast hash joins: ADC LUT onto the code table, then the
+    // (queries × k')-row candidate set and the 10-row query vectors
+    // onto the float scan — so the exact window's input is capped at
+    // queries × k' rows by construction
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBhj >= 3,
+      s"q144 needs LUT + candidate + query broadcasts, got $nBhj:\n$p")
+    // the k' cut is IN the executed plan (the rank filter on the ADC
+    // window), not applied driver-side after a full materialization
+    assert(p.contains(s"<= ${graft.ops.Llm.pqRerankCand}"),
+      s"q144 candidate cut must ride the plan:\n$p")
+  }
+
   test("pii scrub: regex work rides the scan — no join, no window, " +
     "one partial aggregation") {
     val p = plan("q95_pii_scrub")

@@ -407,6 +407,55 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("winnowing admission: a streamed crawler feed gated against " +
+    "the persisted fingerprint chain equals the batch plan; novel " +
+    "docs pass") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // incoming feed: exact copies of 3 corpus docs under new ids (a
+    // copy shares its source's whole winnowed fingerprint set), plus
+    // one genuinely novel doc that must NOT be flagged
+    val srcDocs = Tables.load(s, sf, "documents")
+      .filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incoming = srcDocs.zipWithIndex.map { case ((_, text), i) =>
+      (200001L + i, text)
+    } :+ ((200999L, (1 to 30).map(i => s"novelw$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Llm.winnowAdmission(
+      s, sf, in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow_admission_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      // the corpus side must be a LOOKUP of the persisted fingerprint
+      // artifact: the micro-batch plan scans the index store, never
+      // the documents table (no corpus re-winnow per batch)
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(microPlan.contains("graft-index"),
+        "admission must read the persisted fingerprint artifact")
+      assert(!microPlan.contains("documents.parquet"),
+        "admission must not rescan the documents table per micro-batch")
+      s.table("winnow_admission_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    srcDocs.zipWithIndex.foreach { case ((srcId, _), i) =>
+      assert(streamed.exists(t => t._1 == 200001L + i && t._2 == srcId),
+        s"copy of doc $srcId must be flagged against its source")
+    }
+    assert(!streamed.exists(_._1 == 200999L), "novel doc must not be flagged")
+    // batch/stream parity: the SAME operator over a batch frame emits
+    // the same flags — one plan for backfill and crawler gate
+    val batch = graft.ops.Llm.winnowAdmission(
+      s, sf, incoming.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("near-dup admission state stays bounded on a long feed: the " +
     "watermarked pair dedup evicts state as event time advances") {
     val s = spark
