@@ -241,6 +241,91 @@ class LlmSpec extends SparkSuite {
       f"(k'=${Llm.pqRerankCand})")
   }
 
+  test("ivf-adc (q145): the composed serve path emits only vectors " +
+    "from the query's probed cells, k results per query in exact-L2 " +
+    "order, at useful recall") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      dotd(a, a) - 2d * dotd(a, b) + dotd(b, b)
+    // probe set per query, re-derived from the persisted model chain
+    val cents = Llm.ivfCentroids(spark, sf).select("cid", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val assign = Llm.ivfClusters(spark, sf).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nprobe = Llm.ivfNprobe(cents.length.toLong).toInt
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    val qids = vecs.keys.filter(_ < 10).toSeq.sorted
+    val probed: Map[Long, Set[Long]] = qids.map { qid =>
+      qid -> cents.sortBy { case (cid, cv) => (-cos(vecs(qid), cv), cid) }
+        .take(nprobe).map(_._1).toSet
+    }.toMap
+    val rr = Llm.ivfAdcTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rr.length === qids.size * Llm.pqRerankK)
+    rr.foreach { case (qid, _, v, _) =>
+      assert(probed(qid).contains(assign(v)),
+        s"q$qid emitted $v from an unprobed cell ${assign(v)}")
+    }
+    qids.foreach { qid =>
+      val got = rr.filter(_._1 == qid).sortBy(_._2)
+      // refine order is true L2 (ascending, ulp-tight to recompute)
+      got.zip(got.tail).foreach { case ((_, _, _, a), (_, _, _, b)) =>
+        assert(a <= b + 1e-9, s"q$qid rerank not in exact-L2 order")
+      }
+      got.foreach { case (_, _, v, d2) =>
+        assert(math.abs(d2 - l2(vecs(v), vecs(qid))) < 1e-6) }
+    }
+    // recall@10 vs the full-corpus exact top-10: bounded by cluster
+    // recall (nprobe of nlist), lifted by the generous in-cell rerank.
+    // The measured floor documents the probe/recall trade — the
+    // full-recall path is q144's whole-corpus ADC + rerank.
+    val exact = qids.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(vecs(q), vecs(id)), id))
+        .take(Llm.pqRerankK).map(q -> _)
+    }.toSet
+    val recall = exact.intersect(rr.map(t => (t._1, t._3)).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.3, s"ivf-adc recall@10 $recall")
+    info(f"ivf-adc recall@10=$recall%.3f (nprobe=$nprobe of " +
+      f"${cents.length} lists, rerank ${Llm.ivfAdcCand})")
+  }
+
+  test("prefix-filtered exact Jaccard (q146): output EQUALS the " +
+    "brute-force all-pairs join — the pigeonhole prefix guarantee " +
+    "loses nothing, unlike LSH or stop-pruning") {
+    // local gold standard: raw 3-gram shingle sets, all pairs, exact
+    // integer threshold test (3c >= n1+n2 ⟺ J >= 0.5)
+    val sets = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ", -1)
+        val n = math.max(ws.length - 2, 1)
+        r.getLong(0) -> (1 to n)
+          .map(i => ws.slice(i - 1, i + 2).mkString(" ")).toSet
+      }.sortBy(_._1)
+    val brute = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (d1, s1) = sets(i); (d2, s2) = sets(j)
+      c = (s1 & s2).size if 3L * c >= s1.size + s2.size
+    } yield (d1, d2, c.toLong)).toSet
+    val got = Llm.prefixJaccardPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute,
+      s"prefix join must equal brute force (missing=${brute -- got}, " +
+        s"extra=${got -- brute})")
+    assert(brute.nonEmpty, "fixture must exercise the join")
+    info(s"${got.size} exact pairs (brute-force-verified)")
+  }
+
   test("incremental PQ maintenance: a small append freezes the " +
     "codebooks and encodes only new vectors (chain ≡ full re-encode); " +
     "a drift-sized append retrains") {

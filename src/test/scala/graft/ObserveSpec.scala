@@ -391,7 +391,10 @@ class ObserveSpec extends SparkSuite {
       "q118_skew_replicated_join", "q124_hourly_gapfill",
       "q134_copurchase_triangles", "q137_association_rules",
       "q139_source_kl_mix", "q140_mix_temperature",
-      "q143_mix_report"),
+      "q143_mix_report",
+      // q145: the 10 query vectors stream the O(nlist) centroid model
+      // once for probe routing — the q38 shape
+      "q145_ivf_adc_topk"),
     "unbounded-in-row-expansion" -> Set(
       "q33_jaccard_pairs", "q68_containment_pairs",
       "q88_contamination_matrix", "q137_association_rules",
@@ -426,7 +429,14 @@ class ObserveSpec extends SparkSuite {
       "q92_lm_rare_filter", "q99_dsir_selection", "q108_bm25_topk",
       "q109_hybrid_rrf", "q116_cdc_merge",
       "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
-      "q128_set_reconciliation"),
+      "q128_set_reconciliation",
+      // q146: four reads of the PERSISTED shingle-set artifact (never
+      // the corpus): the df grain, the per-doc sizes, and the two
+      // verification roles of the candidate self-pair join (the q122
+      // blocking-legs shape) — each column-pruned; materializing the
+      // corpus-sized exploded index to save re-reads would cost more
+      // than the extra pruned parquet scans at any scale
+      "q146_prefix_jaccard_pairs"),
     "filter-not-pushed" -> Set.empty)
 
   test("self-lint sweep: every declared query lints free of errors; " +
