@@ -430,12 +430,12 @@ class ObserveSpec extends SparkSuite {
       "q109_hybrid_rrf", "q116_cdc_merge",
       "q118_skew_replicated_join", "q122_fuzzy_name_pairs",
       "q128_set_reconciliation",
-      // q146: four reads of the PERSISTED shingle-set artifact (never
-      // the corpus): the df grain, the per-doc sizes, and the two
-      // verification roles of the candidate self-pair join (the q122
-      // blocking-legs shape) — each column-pruned; materializing the
-      // corpus-sized exploded index to save re-reads would cost more
-      // than the extra pruned parquet scans at any scale
+      // q146: paired reads of two PERSISTED artifacts (never the
+      // corpus): the prefix index twice (the two roles of the
+      // candidate self-pair join — the q122 blocking-legs shape) and
+      // the shingle-set artifact twice (the two verification roles);
+      // 2× per source is info-grade, but the allowlist entry stays in
+      // case AQE fuses the roles differently at another scale
       "q146_prefix_jaccard_pairs"),
     "filter-not-pushed" -> Set.empty)
 

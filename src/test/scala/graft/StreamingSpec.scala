@@ -456,6 +456,50 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("exact-Jaccard admission: a streamed feed gated against the " +
+    "persisted prefix index equals the batch plan; exact copies flag " +
+    "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val srcDocs = Tables.load(s, sf, "documents")
+      .filter(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val incoming = srcDocs.zipWithIndex.map { case ((_, text), i) =>
+      (300001L + i, text)
+    } :+ ((300999L, (1 to 30).map(i => s"novelpj$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.ops.Llm.prefixJaccardAdmission(
+      s, sf, in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("prefix_admission_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(incoming: _*)
+      q.processAllAvailable()
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(microPlan.contains("graft-index"),
+        "admission must read the persisted prefix/shingle artifacts")
+      assert(!microPlan.contains("documents.parquet"),
+        "admission must not rescan the documents table per micro-batch")
+      s.table("prefix_admission_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    srcDocs.zipWithIndex.foreach { case ((srcId, _), i) =>
+      val hit = streamed.find(t => t._1 == 300001L + i && t._2 == srcId)
+      assert(hit.isDefined, s"copy of doc $srcId must be flagged")
+      assert(hit.get._4 === 1.0, "an exact copy must verify at J = 1")
+    }
+    assert(!streamed.exists(_._1 == 300999L), "novel doc must not flag")
+    val batch = graft.ops.Llm.prefixJaccardAdmission(
+      s, sf, incoming.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+
   test("near-dup admission state stays bounded on a long feed: the " +
     "watermarked pair dedup evicts state as event time advances") {
     val s = spark
