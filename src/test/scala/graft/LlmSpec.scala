@@ -326,6 +326,52 @@ class LlmSpec extends SparkSuite {
     info(s"${got.size} exact pairs (brute-force-verified)")
   }
 
+  test("prefix index lifecycle: a corpus append REBUILDS the per-state " +
+    "index (global df order is append-unstable, so no delta chain) and " +
+    "the join stays brute-force-exact over the grown corpus") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    val all = graft.Tables.loadSpread(spark, sf, "documents")
+    val tbl = s"$dir/documents.parquet"
+    def brute(): Set[(Long, Long, Long)] = {
+      val sets = s.read.parquet(tbl).select("doc_id", "text").collect()
+        .map { r =>
+          val ws = r.getString(1).split(" ", -1)
+          val n = math.max(ws.length - 2, 1)
+          r.getLong(0) -> (1 to n)
+            .map(i => ws.slice(i - 1, i + 2).mkString(" ")).toSet
+        }.sortBy(_._1)
+      (for {
+        i <- sets.indices; j <- (i + 1) until sets.length
+        (d1, s1) = sets(i); (d2, s2) = sets(j)
+        c = (s1 & s2).size if 3L * c >= s1.size + s2.size
+      } yield (d1, d2, c.toLong)).toSet
+    }
+    def got(): Set[(Long, Long, Long)] =
+      Llm.prefixJaccardPairs(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    all.filter(col("doc_id") % 5 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    assert(got() === brute())
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 5 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    // the new fingerprint's index must be a standalone rebuild cut by
+    // the NEW global df order — a chained delta would freeze old docs'
+    // prefixes against the stale order and break the pigeonhole
+    // guarantee; the brute-force equality below is the proof the
+    // rebuild delivers
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 2)
+    assert(got() === brute(),
+      "post-append join must be exact over the grown corpus")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    assert(new java.io.File(s"$root/prefix_index/fp=$fp").exists(),
+      "append must have produced a fresh per-state index")
+    assert(!new java.io.File(
+      s"$root/prefix_index/fp=$fp/_PARENT").exists(),
+      "the prefix index must never chain (df order is append-unstable)")
+  }
+
   test("incremental PQ maintenance: a small append freezes the " +
     "codebooks and encodes only new vectors (chain ≡ full re-encode); " +
     "a drift-sized append retrains") {
