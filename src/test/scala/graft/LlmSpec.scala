@@ -299,6 +299,114 @@ class LlmSpec extends SparkSuite {
       f"${cents.length} lists, rerank ${Llm.ivfAdcCand})")
   }
 
+  test("residual ivf-adc (q147): probed-cell-bounded, exact-L2 refine " +
+    "order, and the residual codes must not lose to the plain codes " +
+    "at the SAME probe and rerank budget") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      dotd(a, a) - 2d * dotd(a, b) + dotd(b, b)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    val cents = Llm.ivfCentroids(spark, sf).select("cid", "cv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val assign = Llm.ivfClusters(spark, sf).select("vec_id", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nprobe = Llm.ivfNprobe(cents.length.toLong).toInt
+    val qids = vecs.keys.filter(_ < 10).toSeq.sorted
+    val probed: Map[Long, Set[Long]] = qids.map { qid =>
+      qid -> cents.sortBy { case (cid, cv) => (-cos(vecs(qid), cv), cid) }
+        .take(nprobe).map(_._1).toSet
+    }.toMap
+    val rr = Llm.residualIvfAdcTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rr.length === qids.size * Llm.pqRerankK)
+    rr.foreach { case (qid, _, v, _) =>
+      assert(probed(qid).contains(assign(v)),
+        s"q$qid emitted $v from an unprobed cell ${assign(v)}")
+    }
+    qids.foreach { qid =>
+      rr.filter(_._1 == qid).sortBy(_._2).foreach { case (_, _, v, d2) =>
+        assert(math.abs(d2 - l2(vecs(v), vecs(qid))) < 1e-6) }
+    }
+    val exact = qids.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(id => (l2(vecs(q), vecs(id)), id))
+        .take(Llm.pqRerankK).map(q -> _)
+    }.toSet
+    def recallOf(out: Set[(Long, Long)]): Double =
+      exact.intersect(out).size.toDouble / exact.size
+    val recR = recallOf(rr.map(t => (t._1, t._3)).toSet)
+    val recP = recallOf(Llm.ivfAdcTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // the refine is exact over both candidate sets, so any gap is the
+    // code quality: residual codes see only within-cluster variance
+    // and must rank cell members at least as well as plain codes
+    // (small slack: both feed the same generous 64-wide rerank, so
+    // sub-percent LUT tie noise can flip single rows)
+    assert(recR >= recP - 0.05,
+      s"residual codes recall $recR must not lose to plain $recP")
+    assert(recR >= 0.3, s"residual ivf-adc recall@10 $recR")
+    info(f"residual recall@10=$recR%.3f vs plain=$recP%.3f " +
+      f"(nprobe=$nprobe, rerank ${Llm.ivfAdcCand})")
+  }
+
+  test("incremental residual-PQ maintenance: a small append freezes " +
+    "the residual codebooks and encodes only the new residuals " +
+    "(chain ≡ full re-encode); a drift-sized append retrains the " +
+    "whole cascade") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString
+    val all = graft.Tables.load(spark, sf, "embeddings")
+    val tbl = s"$dir/embeddings.parquet"
+    all.filter(col("vec_id") % 13 =!= 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    def cbs() = Llm.rpqCodebooks(s, dir).select("j", "cid", "c").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+    def codes() = Llm.rpqCodes(s, dir).collect()
+      .map(r => ((r.getLong(0), r.getByte(1)), r.getByte(2))).toMap
+    val cbBase = cbs()
+    val codesBase = codes()
+    // small append (~7.7% — under the 20% drift threshold): quantizer,
+    // residual codebooks all freeze; only the new vectors encode
+    Thread.sleep(5)
+    all.filter(col("vec_id") % 13 === 0)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val cbAfter = cbs()
+    val codesAfter = codes()
+    assert(cbAfter === cbBase,
+      "a small append must freeze the residual codebooks")
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val fp = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    assert(new java.io.File(s"$root/rpq_codes/fp=$fp/_PARENT").exists(),
+      "append must extend the code chain, not re-encode the corpus")
+    codesBase.foreach { case (k, v) =>
+      assert(codesAfter(k) === v, s"old code $k must not change") }
+    // chain ≡ full re-encode under the SAME frozen artifacts: rebuild
+    // only the code table (quantizer + codebooks still chained)
+    graft.observe.IndexStore.invalidate(spark, "rpq_codes")
+    assert(codes() === codesAfter,
+      "chained codes must equal a full re-encode")
+    // drift-sized append: everything retrains from scratch
+    Thread.sleep(5)
+    all.withColumn("vec_id", col("vec_id") + 200000L)
+      .coalesce(1).write.mode("append").parquet(tbl)
+    val fp2 = graft.observe.IndexStore.fingerprint(spark, tbl, 1)
+    codes() // force the rebuild cascade at the new fingerprint
+    assert(!new java.io.File(
+      s"$root/rpq_codebooks/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must retrain the residual codebooks")
+    assert(!new java.io.File(s"$root/rpq_codes/fp=$fp2/_PARENT").exists(),
+      "a drift-sized append must re-encode from scratch")
+  }
+
   test("prefix-filtered exact Jaccard (q146): output EQUALS the " +
     "brute-force all-pairs join — the pigeonhole prefix guarantee " +
     "loses nothing, unlike LSH or stop-pruning") {
