@@ -600,6 +600,41 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.size === 50 * 8)
   }
 
+  test("residual-PQ encoding runs under readStream: streamed codes " +
+    "equal the batch plan AND the persisted rpq_codes artifact — a " +
+    "crawler feed encodes online into the exact residual index format") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.load(s, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq.take(50)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.ops.Llm.rpqRouting(
+      s, sf, in.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("rpq_routing_out")
+      .outputMode("append").start()
+    val streamed = withQuery(q) {
+      in.addData(vecs: _*)
+      q.processAllAvailable()
+      s.table("rpq_routing_out").collect()
+        .map(r => (r.getLong(0), r.getByte(1), r.getByte(2))).toSet
+    }
+    val batch = graft.ops.Llm.rpqRouting(
+      s, sf, vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getByte(1), r.getByte(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 50 * 8)
+    // streamed codes ≡ the persisted artifact's rows for those ids:
+    // the online path lands in the exact on-disk code format
+    val ids = vecs.map(_._1).toSet
+    val artifact = graft.ops.Llm.rpqCodes(s, sf).collect()
+      .map(r => (r.getLong(0), r.getByte(1), r.getByte(2)))
+      .filter(t => ids(t._1)).toSet
+    assert(streamed === artifact)
+  }
+
   test("sq8 encoding runs under readStream: streamed codes equal the " +
     "batch plan and the persisted artifact") {
     val s = spark
