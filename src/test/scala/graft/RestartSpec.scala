@@ -271,6 +271,62 @@ class RestartSpec extends SparkSuite {
     assert(fin.size === 32, "all untouched keys must survive the restart")
   }
 
+  test("exact-Jaccard admission survives restart: the watermarked " +
+    "candidate-dedup state recovers — a candidate redelivered across " +
+    "the restart does not re-flag, and emissions across the restart " +
+    "equal the single-run output") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val sf0 = sf
+    val srcDocs = Tables.load(s, sf0, "documents")
+      .filter(col("doc_id").isin(1L, 2L, 3L, 4L))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // copies of corpus docs under new ids, with controlled event time
+    def copy(i: Int, sec: Long) =
+      (400001L + i, srcDocs(i)._2, ts(sec))
+    val b1 = Seq(copy(0, 10), copy(1, 20))
+    // the restart boundary REDELIVERS copy 0 (same in_id, same text) —
+    // the recovered dedup state must suppress it, not re-flag
+    val b2 = Seq(copy(0, 30), copy(2, 40), copy(3, 50))
+    def admitted(in: MemoryStream[(Long, String, Timestamp)]) =
+      graft.ops.Llm.prefixJaccardAdmission(
+        s, sf0, in.toDF().toDF("doc_id", "text", "arr_ts"))
+        .select(col("in_id"), col("corpus_id"), col("common"),
+          col("jaccard")).as[(Long, Long, Long, Double)]
+    // control: one uninterrupted run over the identical feed
+    val inC = MemoryStream[(Long, String, Timestamp)]
+    val bufC = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Double)]
+    val qc = collectTo(admitted(inC), Some(ckpt("pjadm_c")), bufC)
+    withQuery(qc) {
+      inC.addData(b1: _*); qc.processAllAvailable()
+      inC.addData(b2: _*); qc.processAllAvailable()
+    }
+    // restarted: half the feed, clean stop, resume on the same
+    // checkpoint, rest of the feed
+    val cp = ckpt("pjadm")
+    val inR = MemoryStream[(Long, String, Timestamp)]
+    val bufR = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Double)]
+    val q1 = collectTo(admitted(inR), Some(cp), bufR)
+    withQuery(q1) { inR.addData(b1: _*); q1.processAllAvailable() }
+    inR.addData(b2: _*)
+    val q2 = collectTo(admitted(inR), Some(cp), bufR)
+    withQuery(q2) { q2.processAllAvailable() }
+    assert(bufR.toSet === bufC.toSet,
+      "emissions across the restart must equal the single run")
+    // each exact copy flags its source exactly ONCE despite the
+    // redelivery — the dedup state survived the restart
+    (0 to 3).foreach { i =>
+      val hits = bufR.count(t =>
+        t._1 == 400001L + i && t._2 == srcDocs(i)._1)
+      assert(hits === 1, s"copy $i must flag its source exactly once")
+      assert(bufR.exists(t => t._1 == 400001L + i &&
+        t._2 == srcDocs(i)._1 && t._4 == 1.0))
+    }
+  }
+
   test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +
     "materializations append to the watched events table between " +
     "micro-batches and every file-stream read is a consistent snapshot") {
