@@ -407,6 +407,34 @@ class LlmSpec extends SparkSuite {
       "a drift-sized append must re-encode from scratch")
   }
 
+  test("mix allocation (q148): waterfill invariants — caps bind " +
+    "exactly, uncapped allocations are weight-monotone, the budget is " +
+    "met to floor loss, and the fixture exercises the cascade") {
+    val rows = Llm.mixAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    val budget = total * 19L / 20L
+    rows.foreach { case (src, n, _, alloc, capped) =>
+      assert(alloc <= n, s"$src allocated beyond its availability")
+      if (capped == 1L) assert(alloc === n, s"capped $src must take all")
+    }
+    val allocSum = rows.map(_._4).sum
+    assert(allocSum <= budget && allocSum >= budget - rows.length,
+      s"allocation $allocSum must meet budget $budget up to floor loss")
+    // among uncapped sources the water level is shared: allocation
+    // must be weight-monotone
+    val un = rows.filter(_._5 == 0L).sortBy(r => (r._3, r._4))
+    un.zip(un.tail).foreach { case (a, b) =>
+      assert(a._4 <= b._4,
+        s"uncapped allocation must be weight-monotone: $a vs $b")
+    }
+    assert(rows.exists(_._5 == 1L) && rows.exists(_._5 == 0L),
+      "fixture must exercise both capped and uncapped sources")
+    info(s"${rows.count(_._5 == 1L)} capped of ${rows.length} sources, " +
+      s"${budget - allocSum} tokens floor loss")
+  }
+
   test("prefix-filtered exact Jaccard (q146): output EQUALS the " +
     "brute-force all-pairs join — the pigeonhole prefix guarantee " +
     "loses nothing, unlike LSH or stop-pruning") {
