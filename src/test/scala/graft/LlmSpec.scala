@@ -435,6 +435,27 @@ class LlmSpec extends SparkSuite {
       s"${budget - allocSum} tokens floor loss")
   }
 
+  test("mix extraction (q149): executes the waterfill plan — " +
+    "cumulative cutoffs never exceed the allocation, capped sources " +
+    "fill exactly, and allocations match q148's plan") {
+    val plan = Llm.mixAllocation(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val ex = Llm.mixExtraction(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(ex.length === plan.size, "every source must extract")
+    ex.foreach { case (src, nDocs, taken, alloc, capped, fill) =>
+      assert(nDocs > 0, s"$src took no documents")
+      assert((alloc, capped) === plan(src),
+        s"$src extraction plan must equal q148")
+      assert(taken <= alloc, s"$src took beyond its allocation")
+      assert(fill === taken * 1000000L / alloc)
+      if (capped == 1L) assert(fill === 1000000L,
+        s"a capped source takes everything it has: $src at $fill")
+    }
+    info(s"mean fill ${ex.map(_._6).sum / ex.length} micro")
+  }
+
   test("prefix-filtered exact Jaccard (q146): output EQUALS the " +
     "brute-force all-pairs join — the pigeonhole prefix guarantee " +
     "loses nothing, unlike LSH or stop-pruning") {
