@@ -78,6 +78,27 @@ import org.apache.spark.sql.functions.col
   *    sketches (percentile_approx, HLL) never fire — their buffers
   *    are fixed-size by design, which is exactly the migration
   *    target this rule points at.
+  *  - `unbounded-window-partition` (warn / info): a PARTITIONED window
+  *    computing a full-history frame — a running aggregate anchored at
+  *    `unboundedPreceding` (running sums, row_number/rank) or a frame
+  *    reaching `unboundedFollowing` (rank-to-end, partition totals) —
+  *    funnels each key's ENTIRE history through one task's sort. The
+  *    q149 lesson: `partitionBy(source)` over a training corpus puts a
+  *    dominant crawl source (tens of TB) through a single task, and
+  *    the [[unbounded-agg-buffer]] rule cannot see it (the hazard is
+  *    partition SIZE, not an agg buffer). Whether it bites is the
+  *    partition KEY's cardinality — unknowable statically — so
+  *    severity grades the window's input like the agg rule: `info`
+  *    when the unary input chain passes a limit, an aggregate, or a
+  *    rank-filter `WindowGroupLimit` (Spark's own top-k-per-partition
+  *    bound — each partition is pre-truncated to k rows); `warn` over
+  *    a raw relation, where the reviewer must argue the key grows
+  *    with the corpus (user/doc ids — fine) or shard it (the
+  *    q81/q120/E126 two-pass disciplines). Bounded sliding frames
+  *    (`rowsBetween(-3, 0)`) do not fire: their output depends only
+  *    on a constant neighborhood, so a shard split is always
+  *    semantics-preserving — the full-history frame is what makes
+  *    naive sharding WRONG and the two-pass offset scheme necessary.
   *  - `unbounded-in-row-expansion` (warn): a `transform` iterates a
   *    slice/reference of ITS OWN input array — the self-quadratic
   *    pair-emission shape (`transform(a, (x,i) -> transform(slice(a,
@@ -165,6 +186,17 @@ object Lint {
         // more than one child instead of `exists` over the subtree.
         findings += (("single-partition-window",
           inputBoundedness(p.child), head(p)))
+      case p: WindowExec
+          if p.partitionSpec.nonEmpty &&
+            p.windowExpression.exists(fullHistoryFrame) =>
+        // partitioned + full-history frame: one task per key holds the
+        // key's whole history. Bounded input (limit / aggregate /
+        // rank-filter group-limit on the unary chain) caps partition
+        // size → info; a raw relation leaves it to the key's
+        // cardinality → warn, reviewer's call (see scaladoc).
+        findings += (("unbounded-window-partition",
+          if (inputBoundedness(p.child) == "error") "warn" else "info",
+          head(p)))
       case FilterExec(cond, scan: FileSourceScanExec)
           // null-guards alone don't prune row groups: judge by the
           // TRANSLATED source filters (what parquet actually receives,
@@ -248,7 +280,12 @@ object Lint {
   private def inputBoundedness(n: SparkPlan): String = n match {
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
-        _: org.apache.spark.sql.execution.CollectLimitExec => "info"
+        _: org.apache.spark.sql.execution.CollectLimitExec |
+        // a rank-filter pushed down as WindowGroupLimit pre-truncates
+        // every window partition to its top k rows — the partition
+        // reaching the window is bounded by a CONSTANT per key
+        _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      "info"
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       "warn"
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
@@ -269,6 +306,26 @@ object Lint {
     f match {
       case _: CollectTopK => false
       case _: PercentileBase | _: Collect[_] | _: Mode | _: Median => true
+      case _ => false
+    }
+  }
+
+  /** Does this (named) window expression carry a FULL-HISTORY frame —
+    * one whose output at a row depends on unboundedly-distant rows of
+    * the partition (`unboundedPreceding` running aggregates and ranks,
+    * `unboundedFollowing` rank-to-end)? Bounded sliding frames stay
+    * clean: a constant neighborhood splits across shards safely, so
+    * they carry none of the q149 hazard's irreducibility. */
+  private def fullHistoryFrame(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e.exists {
+      case we: WindowExpression =>
+        we.windowSpec.frameSpecification match {
+          case f: SpecifiedWindowFrame =>
+            f.lower == UnboundedPreceding ||
+              f.upper == UnboundedFollowing
+          case _ => false
+        }
       case _ => false
     }
   }

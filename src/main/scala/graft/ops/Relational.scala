@@ -686,9 +686,15 @@ object Relational {
       .sortWithinPartitions(col("l_returnflag"), col("l_extendedprice"))
       .withColumn("pid", spark_partition_id())
       // two passes must observe the SAME range partitioning (the range
-      // sampler is not replay-stable) — persist pins it; unpersisted
-      // below once the boundary model is collected
-      .persist()
+      // sampler is not replay-stable). localCheckpoint, not persist():
+      // a persisted block lost to executor failure is RECOMPUTED
+      // through the sampler over nondeterministic shuffle reads — the
+      // pid layout can shift and the pid-keyed residuals then emit
+      // wrong boundaries SILENTLY. The checkpoint truncates lineage,
+      // so a lost block fails the job loudly instead — at the design
+      // point (1000 executors, routine block loss) loud is the only
+      // correct failure mode.
+      .localCheckpoint()
     // pass 1: per-(partition, group) counts → driver. pid order IS the
     // (flag, value) range order, so a prefix sum over pids locates the
     // partition holding each global rank.
@@ -746,7 +752,6 @@ object Relational {
         }
         buf.iterator
       }.collect()
-    hist.unpersist(blocking = false)
     val thr = bRows.groupBy(_._1).toSeq
       .map { case (flag, vs) => (flag, vs.map(_._2).sorted.toSeq) }
       .toDF("l_returnflag", "bs")

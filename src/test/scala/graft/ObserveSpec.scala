@@ -313,6 +313,48 @@ class ObserveSpec extends SparkSuite {
       === Set("error"))
   }
 
+  test("lint: unbounded-window-partition fires on the per-source " +
+    "running-sum shape; rank-filtered and aggregate-fed windows " +
+    "downgrade to info; bounded sliding frames stay clean") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def hits(df: org.apache.spark.sql.DataFrame): Set[String] =
+      graft.observe.Lint.planLint(df).collect()
+        .filter(_.getString(0) == "unbounded-window-partition")
+        .map(_.getString(1)).toSet
+    val d = graft.Tables.load(spark, sf, "documents")
+    // the planted q149/q85 shape the round-7 verdict graded weak: a
+    // full-history running sum partitioned by source over the raw
+    // corpus — one task per source holds the source's whole history
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assert(hits(d
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("cum", sum(col("n_tok")).over(w))) === Set("warn"))
+    // a rank + filter plans a WindowGroupLimit below the window —
+    // every partition pre-truncated to k rows → info
+    val wr = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    assert(hits(d.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") <= 1)) === Set("info"))
+    // window over an upstream aggregate: partition rows bounded by
+    // the group grain → info
+    assert(hits(d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      === Set("info"))
+    // a bounded sliding frame depends on a constant neighborhood —
+    // shardable without the two-pass machinery, never fires
+    assert(hits(d.withColumn("m", avg(col("n_chars")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(-3, 0)))) === Set.empty)
+    // the fixed q85/q149 two-pass windows partition by (source, SHARD)
+    // — bounded by construction but statically indistinguishable from
+    // a low-cardinality key, so they carry allowlist entries below and
+    // PlanSpec pins the >= 2-column partition spec directly
+  }
+
   test("lint: unbounded-agg-buffer fires on the exact-percentile and " +
     "collect shapes over raw input; bounded inputs downgrade to info; " +
     "sketch aggregates stay clean") {
@@ -400,6 +442,21 @@ class ObserveSpec extends SparkSuite {
       "q88_contamination_matrix", "q137_association_rules",
       "q142_winnowing_pairs"),
     "single-partition-window" -> Set("q70_rolling_revenue"),
+    //  - unbounded-window-partition: every allowlisted site's partition
+    //    key INCLUDES a shard that bounds the partition by construction
+    //    (statically indistinguishable from a low-cardinality key, so
+    //    the rule must warn; PlanSpec pins the >= 2-column spec):
+    //    q81: running pack offsets per (lang, SHARD) — the shard is a
+    //      Knuth hash mod packingShards, so no partition exceeds
+    //      ~corpus/(shards·langs) rows;
+    //    q85/q149: the two-pass cumulative cutoff windows per (source,
+    //      RANGE-SHARD) — each partition is one skew-adaptively-sampled
+    //      range shard of one source (~corpus/shards), and the global
+    //      sum is recovered from broadcast shard offsets (the E126
+    //      discipline; the q149 shape this rule was built to catch is
+    //      planted in its own test above).
+    "unbounded-window-partition" -> Set(
+      "q81_sequence_packing", "q85_data_mixture", "q149_mix_extraction"),
     "unbounded-agg-buffer" -> Set(
       "q51_segments_per_nation", "q63_dup_clusters",
       "q78_length_outliers", "q88_contamination_matrix",

@@ -753,6 +753,33 @@ class PlanSpec extends SparkSuite {
       s"distinct-id joins should hash, not global-sort:\n$p")
   }
 
+  test("q85/q149 cumulative cutoff: no full-history window partitioned " +
+    "by source alone over corpus-sized input — the two-pass (source, " +
+    "shard) discipline is structural") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // bounded = the window's unary input chain passes an aggregate
+    // (the offsets prefix-sum runs over the O(sources × shards) shard
+    // totals — that one MAY partition by source alone)
+    @annotation.tailrec
+    def boundedInput(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case u if u.children.length == 1 => boundedInput(u.children.head)
+      case _ => false
+    }
+    for (name <- Seq("q85_data_mixture", "q149_mix_extraction")) {
+      val wins = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$name lost its windows — stale test")
+      wins.foreach { w =>
+        assert(w.partitionSpec.size >= 2 || boundedInput(w.child),
+          s"$name: corpus-sized window partitioned by a single key " +
+            s"(the round-7 scale-killer): ${w.simpleStringWithNodeId()}")
+      }
+    }
+  }
+
   test("q129 variant: map-only extraction — no join, no window, " +
     "narrow scan") {
     val p = plan("q129_variant_path_stats")
