@@ -158,7 +158,7 @@ object Bench {
         s"""":{"min":${sorted.head},"median":$med,"spread":$spread}"""
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"detail":"materialized","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread}"""
+      s"""{"detail":"materialized","fixture_fp":"$fixtureFp","sf":"$sfDir","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread,"pre_load":$preLoad,"steal_pct":$stealPct}"""
     val headline =
       s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
     // Durability: the driver's stdout capture truncates to the last
@@ -169,6 +169,14 @@ object Bench {
       val out = java.nio.file.Paths.get("target/bench-detail.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, detailLine + "\n" + headline + "\n")
+      // ALSO under a fixture-fingerprint-keyed name: the plain path is
+      // clobbered by every local smoke at another SF (the round-7
+      // sf0.1 stats were lost to an sf0.001 probe exactly this way),
+      // while the keyed copy makes cross-round spread-gated
+      // comparisons (tools/bench_compare.py) survive local iteration.
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"target/bench-detail-$fixtureFp.json"),
+        detailLine + "\n" + headline + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
     }

@@ -456,6 +456,135 @@ class LlmSpec extends SparkSuite {
     info(s"mean fill ${ex.map(_._6).sum / ex.length} micro")
   }
 
+  test("curation-mix chain (q151): the embedded waterfill equals the " +
+    "standalone algorithm applied to the chain's own curated-train " +
+    "masses; extraction invariants hold; both classes exercised") {
+    val out = Llm.curationMixPipeline(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    }
+    assert(out.nonEmpty)
+    // (source, train_docs, docs_taken, tokens_taken, avail, alloc,
+    //  capped, fill)
+    val nCapped = out.count(_._7 == 1L)
+    assert(nCapped > 0 && nCapped < out.length,
+      "fixture must exercise both capped and uncapped sources")
+    out.foreach { case (src, nd, dt, tt, avail, alloc, capped, fill) =>
+      assert(dt <= nd && tt <= alloc && alloc <= avail, src)
+      assert(capped === (if (alloc == avail) 1L else 0L), src)
+      assert(fill ===
+        (if (alloc > 0) tt * 1000000L / alloc else 0L), src)
+      if (capped == 1L) {
+        assert(dt === nd && tt === avail && fill === 1000000L,
+          s"a capped source takes its whole curated-train slice: $src")
+      }
+    }
+    // stage equivalence, plan leg: re-run the q148 waterfill
+    // INDEPENDENTLY (reimplemented here) over the chain's reported
+    // curated-train availabilities — the embedded plan must match
+    // exactly (same BigInt water levels, same clamp)
+    def isqrt(n: Long): Long = {
+      val f = math.sqrt(n.toDouble).toLong
+      if ((f + 1) * (f + 1) <= n) f + 1 else if (f * f > n) f - 1 else f
+    }
+    val avail = out.map(r => r._1 -> r._5).toMap
+    val budget = avail.values.sum * 19L / 20L
+    val rt = avail.map { case (k, v) => k -> isqrt(v) }
+    var capSet = Map.empty[String, Long]
+    for (_ <- 0 until 8) {
+      val u = avail.keys.toSeq.sorted.filterNot(capSet.contains)
+      val den = u.map(rt).sum
+      if (u.nonEmpty && den > 0) {
+        val rem = budget - capSet.values.sum
+        capSet ++= u
+          .filter(k => BigInt(rt(k)) * rem / den >= avail(k))
+          .map(k => k -> avail(k))
+      }
+    }
+    val uF = avail.keys.toSeq.sorted.filterNot(capSet.contains)
+    val remF = budget - capSet.values.sum
+    val denF = uF.map(rt).sum
+    val allocRef = capSet ++ uF.map(k => k ->
+      (if (denF > 0) (BigInt(rt(k)) * remF / denF).toLong.min(avail(k))
+       else 0L))
+    out.foreach { case (src, _, _, _, _, alloc, _, _) =>
+      assert(alloc === allocRef(src),
+        s"$src: embedded waterfill diverged from the standalone plan")
+    }
+    // stage equivalence, availability leg: the chain's avail must be
+    // STRICTLY below the raw-corpus masses (the gates/dedup/split did
+    // real work) yet nonzero for every source on this fixture
+    val raw = Llm.mixAllocation(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, _, _, _, av, _, _, _) =>
+      assert(av > 0 && av < raw(src),
+        s"$src: curated-train mass must be a strict subset of raw")
+    }
+    info(s"$nCapped capped of ${out.length} sources; " +
+      s"curated-train holds ${out.map(_._5).sum} of " +
+      s"${raw.values.sum} raw tokens")
+  }
+
+  test("mix shards (q152): the persisted sink equals q149's reported " +
+    "fills; a plan change moves the artifact fingerprint and " +
+    "re-extracts; the original plan round-trips") {
+    val shards = Llm.mixShards(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(shards.nonEmpty)
+    val bySrc = shards.groupBy(_._1)
+    // extraction ≡ q149's reported fills, per source
+    val fills = Llm.mixExtraction(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    fills.foreach { case (src, (docsTaken, tokensTaken)) =>
+      val g = bySrc.getOrElse(src, Array.empty)
+      assert(g.length.toLong === docsTaken,
+        s"$src: shard doc count must equal the reported fill")
+      assert((if (g.isEmpty) 0L else g.map(_._4).max) === tokensTaken,
+        s"$src: shard token mass must equal the reported fill")
+    }
+    // the persisted cum column is the exact running sum in doc_id
+    // order — a trainer can stream the shard without re-sorting
+    bySrc.foreach { case (src, g) =>
+      var c = 0L
+      g.sortBy(_._2).foreach { r =>
+        c += r._3
+        assert(r._4 === c, s"$src: persisted cum must be the run sum")
+      }
+    }
+    // lifecycle: a changed PLAN (halve the first source's allocation)
+    // must move the content address and re-extract
+    val plan = Llm.mixAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val victim = plan.head._1
+    val halved = plan.map { case p @ (src, n, w, a, c) =>
+      if (src == victim) (src, n, w, a / 2, c) else p
+    }
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    def fps(): Set[String] =
+      Option(new java.io.File(s"$root/mix_shards").listFiles())
+        .map(_.map(_.getName).filter(_.startsWith("fp=")).toSet)
+        .getOrElse(Set.empty)
+    val before = fps()
+    assert(before.nonEmpty, "the sink must have published an artifact")
+    val reBySrc = Llm.mixShardsWith(spark, sf, halved).collect()
+      .map(r => (r.getString(0), r.getLong(3))).groupBy(_._1)
+    assert(fps() !== before,
+      "a plan change must move the artifact fingerprint")
+    val halvedAlloc = halved.find(_._1 == victim).get._4
+    assert(reBySrc(victim).map(_._2).max <= halvedAlloc,
+      "the re-extraction must honor the changed allocation")
+    assert(reBySrc(victim).length < bySrc(victim).length,
+      "a halved allocation must admit strictly fewer documents")
+    // round-trip: the original plan re-extracts the original content
+    val again = Llm.mixShards(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(again.toSeq === shards.toSeq,
+      "same corpus + same plan must reproduce the identical shards")
+  }
+
   test("prefix-filtered exact Jaccard (q146): output EQUALS the " +
     "brute-force all-pairs join — the pigeonhole prefix guarantee " +
     "loses nothing, unlike LSH or stop-pruning") {
