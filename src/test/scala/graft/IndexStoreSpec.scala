@@ -516,6 +516,76 @@ class IndexStoreSpec extends SparkSuite {
     }.head().getLong(0) === 55L)
   }
 
+  test("TWO-PROCESS builder race: two JVMs provably inside the build " +
+    "window together; one publishes, the loser discards its staging " +
+    "and serves the winner's artifact") {
+    val name = freshName("race2p")
+    val src = scratch("race2p")
+    writeSource(src, 1L to 10L)
+    val barrier = Files.createTempDirectory("graft_race_barrier").toString
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(id: String): (Process, StringBuilder) = {
+      val cmd = Seq(javaBin, "-Xmx1g", "-Dspark.ui.enabled=false"
+      ) ++ addOpens ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.RaceRun", src, name, id, barrier)
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start()
+      val out = new StringBuilder
+      val t = new Thread(() => {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = r.readLine()
+        while (line != null) {
+          if (line.contains("[race]") || line.contains("Exception"))
+            out.synchronized { out.append(line).append('\n') }
+          line = r.readLine()
+        }
+      })
+      t.setDaemon(true); t.start()
+      (proc, out)
+    }
+    val (pa, oa) = spawn("A")
+    val (pb, ob) = spawn("B")
+    val doneA = pa.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    val doneB = pb.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!doneA) pa.destroyForcibly()
+    if (!doneB) pb.destroyForcibly()
+    assert(doneA && doneB, "both racing children must finish")
+    assert(pa.exitValue() === 0, s"child A failed:\n$oa")
+    assert(pb.exitValue() === 0, s"child B failed:\n$ob")
+    // BOTH entered the build window (the barrier guarantees genuine
+    // overlap — neither merely read the other's finished artifact)...
+    assert(oa.toString.contains("built sum=55"), s"A never built:\n$oa")
+    assert(ob.toString.contains("built sum=55"), s"B never built:\n$ob")
+    // ...and both serve the same published value
+    assert(oa.toString.contains("served sum=55"), oa.toString)
+    assert(ob.toString.contains("served sum=55"), ob.toString)
+    // store state: exactly one published head, zero staging debris
+    val root = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index"
+    val entries = Option(new java.io.File(s"$root/$name").listFiles())
+      .getOrElse(Array.empty)
+    assert(!entries.exists(_.getName.startsWith(".build-")),
+      s"loser must discard staging: ${entries.map(_.getName).mkString(",")}")
+    val heads = entries.filter(_.getName.startsWith("fp="))
+    assert(heads.length === 1, "exactly one published head")
+    assert(new java.io.File(heads.head, "_SUCCESS").exists())
+    // the parent session (a third process, in effect) serves the
+    // winner's artifact without any rebuild
+    assert(IndexStore.readOrBuild(spark, name, src) {
+      fail("race aftermath must serve, not rebuild")
+    }.head().getLong(0) === 55L)
+  }
+
   test("vacuumStaging reclaims an aged _HEAD.tmp-* pointer file (a " +
     "compactor crash between temp write and rename); the artifact " +
     "keeps serving") {

@@ -434,9 +434,10 @@ class ObserveSpec extends SparkSuite {
       "q134_copurchase_triangles", "q137_association_rules",
       "q139_source_kl_mix", "q140_mix_temperature",
       "q143_mix_report",
-      // q145/q147: the 10 query vectors stream the O(nlist) centroid
-      // model once for probe routing — the q38 shape
-      "q145_ivf_adc_topk", "q147_residual_ivf_adc_topk"),
+      // q145/q147/q150: the 10 query vectors stream the O(nlist)
+      // centroid model once for probe routing — the q38 shape
+      "q145_ivf_adc_topk", "q147_residual_ivf_adc_topk",
+      "q150_ivf_multiprobe_topk"),
     "unbounded-in-row-expansion" -> Set(
       "q33_jaccard_pairs", "q68_containment_pairs",
       "q88_contamination_matrix", "q137_association_rules",
