@@ -680,6 +680,10 @@ class LlmSpec extends SparkSuite {
   test("mix shards (q152): the persisted sink equals q149's reported " +
     "fills; a plan change moves the artifact fingerprint and " +
     "re-extracts; the original plan round-trips") {
+    // start from an empty store: artifacts persist across JVM runs,
+    // and a prior run's halved-plan head would make the
+    // fingerprint-movement assertion vacuous
+    graft.observe.IndexStore.invalidate(spark, "mix_shards")
     val shards = Llm.mixShards(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))

@@ -450,14 +450,17 @@ class ObserveSpec extends SparkSuite {
     //    q81: running pack offsets per (lang, SHARD) — the shard is a
     //      Knuth hash mod packingShards, so no partition exceeds
     //      ~corpus/(shards·langs) rows;
-    //    q85/q149: the two-pass cumulative cutoff windows per (source,
-    //      RANGE-SHARD) — each partition is one skew-adaptively-sampled
-    //      range shard of one source (~corpus/shards), and the global
-    //      sum is recovered from broadcast shard offsets (the E126
-    //      discipline; the q149 shape this rule was built to catch is
-    //      planted in its own test above).
+    //    q85/q149/q151: the two-pass cumulative cutoff windows per
+    //      (source, RANGE-SHARD) — each partition is one
+    //      skew-adaptively-sampled range shard of one source
+    //      (~corpus/shards), and the global sum is recovered from
+    //      broadcast shard offsets (the E126 discipline; the q149
+    //      shape this rule was built to catch is planted in its own
+    //      test above). q151 runs the same cutoff over its
+    //      curated-train subset.
     "unbounded-window-partition" -> Set(
-      "q81_sequence_packing", "q85_data_mixture", "q149_mix_extraction"),
+      "q81_sequence_packing", "q85_data_mixture", "q149_mix_extraction",
+      "q151_curation_mix_pipeline"),
     "unbounded-agg-buffer" -> Set(
       "q51_segments_per_nation", "q63_dup_clusters",
       "q78_length_outliers", "q88_contamination_matrix",
