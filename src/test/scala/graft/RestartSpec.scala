@@ -327,6 +327,42 @@ class RestartSpec extends SparkSuite {
     }
   }
 
+  test("mix admission survives restart: per-source running totals " +
+    "recover from state, and the ledger across the restart equals " +
+    "the persisted q152 shards") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val feed = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) // the crawler contract: monotone doc_id delivery
+    val (h1, h2) = feed.splitAt(feed.length / 2)
+    val cp = ckpt("mixadm")
+    val inR = MemoryStream[(Long, String, String)]
+    val buf = scala.collection.mutable.Buffer
+      .empty[graft.ops.Llm.ShardRow]
+    def gate() = graft.ops.Llm.mixAdmission(s, sf,
+      inR.toDF().toDF("doc_id", "source", "text"))
+    // half the feed, clean stop — sources are part-filled in state
+    val q1 = collectTo(gate(), Some(cp), buf)
+    withQuery(q1) { inR.addData(h1: _*); q1.processAllAvailable() }
+    // resume on the same checkpoint: the per-source totals must
+    // continue, not reset (a reset would over-admit every source)
+    inR.addData(h2: _*)
+    val q2 = collectTo(gate(), Some(cp), buf)
+    withQuery(q2) { q2.processAllAvailable() }
+    val got = buf.map(r => (r.source, r.doc_id, r.n_tok, r.cum)).toSet
+    val shards = graft.ops.Llm.mixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === shards,
+      s"restarted ledger must equal the persisted shards " +
+        s"(missing=${(shards -- got).take(3)}, " +
+        s"extra=${(got -- shards).take(3)})")
+  }
+
   test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +
     "materializations append to the watched events table between " +
     "micro-batches and every file-stream read is a consistent snapshot") {

@@ -456,6 +456,50 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("mix admission: a doc_id-ordered crawler feed gated per source " +
+    "against the waterfill allocation — state accumulates across " +
+    "micro-batches, and the streamed ledger EQUALS the persisted " +
+    "q152 shards and the batch face") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1) // the crawler contract: monotone doc_id delivery
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ops.Llm.mixAdmission(s, sf,
+      in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("mix_admission_out")
+      .outputMode("append").start()
+    // three micro-batches: per-source budgets must carry over in state,
+    // not reset — a source part-filled by batch 1 continues in batch 2
+    val third = feed.length / 3
+    val streamed = withQuery(q) {
+      feed.grouped(math.max(third, 1)).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      s.table("mix_admission_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    val shards = graft.ops.Llm.mixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed === shards,
+      s"streamed admission must equal the persisted shards " +
+        s"(missing=${(shards -- streamed).take(3)}, " +
+        s"extra=${(streamed -- shards).take(3)})")
+    // batch face: the SAME operator over a batch frame — one group
+    // pass, empty state — emits the identical ledger
+    val batch = graft.ops.Llm.mixAdmission(s, sf,
+      feed.toSeq.toDF("doc_id", "source", "text"))
+      .collect().map(t => (t.source, t.doc_id, t.n_tok, t.cum)).toSet
+    assert(batch === shards)
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
