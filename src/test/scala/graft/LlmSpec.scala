@@ -456,6 +456,42 @@ class LlmSpec extends SparkSuite {
     info(s"mean fill ${ex.map(_._6).sum / ex.length} micro")
   }
 
+  test("two-pass sharded cumulative sum == the naive per-source " +
+    "running sum on adversarial distributions (property): hot-source " +
+    "skew, singleton sources, zero-token docs, sparse ids") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(88L)
+    for (trial <- 1 to 3) {
+      val n = 400 + rnd.nextInt(400)
+      val rows = (0 until n).map { i =>
+        // ~60% of rows on ONE source (the q149 hazard), the rest over
+        // 8 sources incl. likely singletons; ids sparse and unique;
+        // token counts include zeros
+        val src =
+          if (rnd.nextDouble() < 0.6) "hot"
+          else s"s${rnd.nextInt(8)}_t$trial"
+        (src, i.toLong * 10 + rnd.nextInt(10),
+          rnd.nextInt(50).toLong)
+      }
+      val got = Llm.cumBySourceOf(
+        rows.toDF("source", "doc_id", "n_tok"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (src, g) =>
+        var c = 0L
+        g.sortBy(_._2).map { case (_, id, t) =>
+          c += t; (src, id, t, c)
+        }
+      }.toSet
+      assert(got === want,
+        s"trial $trial: two-pass must equal the naive running sum " +
+          s"(missing=${(want -- got).take(3)}, " +
+          s"extra=${(got -- want).take(3)})")
+    }
+  }
+
   test("curation-mix chain (q151): the embedded waterfill equals the " +
     "standalone algorithm applied to the chain's own curated-train " +
     "masses; extraction invariants hold; both classes exercised") {
@@ -675,6 +711,50 @@ class LlmSpec extends SparkSuite {
         assert(a <= b + 1e-9, s"q$qid refine not in exact-L2 order")
       }
     }
+  }
+
+  test("curated shard sink (q154): the persisted artifact equals the " +
+    "q151 chain's reported fills per source; in-shard running sums " +
+    "are exact") {
+    val shards = Llm.curatedMixShards(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(shards.nonEmpty)
+    val bySrc = shards.groupBy(_._1)
+    val fills = Llm.curationMixPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(bySrc.keySet.subsetOf(fills.keySet),
+      "the sink must not admit documents of unplanned sources")
+    fills.foreach { case (src, (docsTaken, tokensTaken)) =>
+      val g = bySrc.getOrElse(src, Array.empty)
+      assert(g.length.toLong === docsTaken,
+        s"$src: curated shard doc count must equal the q151 fill")
+      assert((if (g.isEmpty) 0L else g.map(_._4).max) === tokensTaken,
+        s"$src: curated shard token mass must equal the q151 fill")
+    }
+    bySrc.foreach { case (src, g) =>
+      var c = 0L
+      g.sortBy(_._2).foreach { r =>
+        c += r._3
+        assert(r._4 === c, s"$src: persisted cum must be the run sum")
+      }
+    }
+  }
+
+  test("ann recall report (q153): one row per serve path, recall in " +
+    "[0, 1e6], hits consistent, and the boosted budget never loses " +
+    "to the base") {
+    val rows = Llm.annRecallReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) === Seq("base", "multiprobe"))
+    rows.foreach { case (p, hits, micro) =>
+      assert(hits >= 0 && micro >= 0 && micro <= 1000000L, p)
+      assert(micro === hits * 1000000L / (Llm.pqRerankK * 10L), p)
+    }
+    val byPath = rows.map(r => r._1 -> r._3).toMap
+    assert(byPath("multiprobe") >= byPath("base"),
+      s"the 3x budget must not lose recall: $byPath")
+    info(s"recall@10 micro: $byPath")
   }
 
   test("mix shards (q152): the persisted sink equals q149's reported " +

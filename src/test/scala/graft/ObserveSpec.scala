@@ -437,7 +437,11 @@ class ObserveSpec extends SparkSuite {
       // q145/q147/q150: the 10 query vectors stream the O(nlist)
       // centroid model once for probe routing — the q38 shape
       "q145_ivf_adc_topk", "q147_residual_ivf_adc_topk",
-      "q150_ivf_multiprobe_topk"),
+      "q150_ivf_multiprobe_topk",
+      // q153: the recall AUDIT's exact leg streams the corpus once
+      // against the broadcast query handful (the q31 shape) — the
+      // audit's documented cost
+      "q153_ann_recall_report"),
     "unbounded-in-row-expansion" -> Set(
       "q33_jaccard_pairs", "q68_containment_pairs",
       "q88_contamination_matrix", "q137_association_rules",
@@ -497,7 +501,13 @@ class ObserveSpec extends SparkSuite {
       // the shingle-set artifact twice (the two verification roles);
       // 2× per source is info-grade, but the allowlist entry stays in
       // case AQE fuses the roles differently at another scale
-      "q146_prefix_jaccard_pairs"),
+      "q146_prefix_jaccard_pairs",
+      // q153: the recall AUDIT deliberately reads the vector table
+      // once per leg it compares — the exact brute-force leg (the
+      // audit's documented cost) plus each serve path's
+      // candidate-bounded float refine; every leg is either the
+      // audit itself or O(queries × k) rows
+      "q153_ann_recall_report"),
     "filter-not-pushed" -> Set.empty)
 
   test("self-lint sweep: every declared query lints free of errors; " +

@@ -35,7 +35,8 @@ class PlanSpec extends SparkSuite {
     "q143_mix_report" /* the q139/q140 1-row totals, composed */,
     "q145_ivf_adc_topk" /* 10 queries × broadcast centroid model (q38 shape) */,
     "q150_ivf_multiprobe_topk" /* q145's probe shape, boosted budget */,
-    "q147_residual_ivf_adc_topk" /* same probe shape over residual codes */)
+    "q147_residual_ivf_adc_topk" /* same probe shape over residual codes */,
+    "q153_ann_recall_report" /* the audit's exact leg: corpus × broadcast queries */)
   // q96_pq_topk is NOT allowed: its final plan is pure equi-joins
   // (LUT broadcast-hash onto the code table) — the guard must catch
   // any regression into a nested-loop shape there.
