@@ -32,11 +32,17 @@ object RaceRun {
       val dir = java.nio.file.Paths.get(barrier)
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve(s"b-$id"), "in-build")
+      // close each directory stream (Files.list holds an fd until
+      // closed — a 50 ms poll for up to 60 s would otherwise leak
+      // ~1200 descriptors into a JVM that also runs Spark)
+      def markers(): Long = {
+        val st = java.nio.file.Files.list(dir)
+        try st.count() finally st.close()
+      }
       val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (java.nio.file.Files.list(dir).count() < 2 &&
-          System.nanoTime() < deadline) Thread.sleep(50)
-      require(java.nio.file.Files.list(dir).count() >= 2,
-        "sibling never reached the build window")
+      while (markers() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      require(markers() >= 2, "sibling never reached the build window")
       val out = spark.read.parquet(src).agg(sum(col("x")).as("s"))
       println(s"[race] built sum=${out.head().getLong(0)}")
       out

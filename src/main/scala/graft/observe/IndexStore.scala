@@ -109,9 +109,16 @@ object IndexStore {
     * whenever the FileStatus subclass exposes one, closing the forged
     * (path, len, mtime) hole exactly where such rewrites are
     * plausible. */
-  def fingerprint(s: SparkSession, srcDir: String, version: Int): String = {
+  def fingerprint(s: SparkSession, srcDir: String, version: Int,
+      extra: String = ""): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"v$version".getBytes(StandardCharsets.UTF_8))
+    // extra PARAMETERIZATION (e.g. a sink's extraction plan) folds
+    // into the md5 preimage — full-strength content addressing, not a
+    // 32-bit hashCode squeezed into the version int. Empty extra
+    // keeps every pre-existing fingerprint byte-identical.
+    if (extra.nonEmpty)
+      md.update(s"x$extra".getBytes(StandardCharsets.UTF_8))
     sourceManifest(s, srcDir).foreach(l =>
       md.update(l.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString
@@ -226,8 +233,8 @@ object IndexStore {
     * `build` runs at most once per (source state, version) per store —
     * across sessions and JVMs, since the artifact lives on disk. */
   def readOrBuild(s: SparkSession, name: String, srcDir: String,
-      version: Int = 1)(build: => DataFrame): DataFrame =
-    readOrBuildIncremental(s, name, srcDir, version)(build)(null)
+      version: Int = 1, extra: String = "")(build: => DataFrame): DataFrame =
+    readOrBuildIncremental(s, name, srcDir, version, extra)(build)(null)
 
   /** [[readOrBuild]] with an append-aware incremental path: when a
     * previous artifact's saved manifest is a strict subset of the
@@ -245,10 +252,10 @@ object IndexStore {
     * drift threshold: small appends extend the chain against the
     * frozen model, a too-large append retrains from scratch. */
   def readOrBuildIncremental(s: SparkSession, name: String, srcDir: String,
-      version: Int = 1)(full: => DataFrame)(
+      version: Int = 1, extra: String = "")(full: => DataFrame)(
       incr: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
     val manifest = sourceManifest(s, srcDir)
-    val fp = fingerprint(s, srcDir, version)
+    val fp = fingerprint(s, srcDir, version, extra)
     val base = new Path(s"${root(s)}/$name")
     val dest = new Path(base, s"fp=$fp")
     val lock = locks.getOrElseUpdate(name, new Object)

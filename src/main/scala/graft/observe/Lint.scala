@@ -195,8 +195,8 @@ object Lint {
         // size → info; a raw relation leaves it to the key's
         // cardinality → warn, reviewer's call (see scaladoc).
         findings += (("unbounded-window-partition",
-          if (inputBoundedness(p.child) == "error") "warn" else "info",
-          head(p)))
+          if (windowInputBoundedness(p.child) == "error") "warn"
+          else "info", head(p)))
       case FilterExec(cond, scan: FileSourceScanExec)
           // null-guards alone don't prune row groups: judge by the
           // TRANSLATED source filters (what parquet actually receives,
@@ -280,17 +280,40 @@ object Lint {
   private def inputBoundedness(n: SparkPlan): String = n match {
     case _: org.apache.spark.sql.execution.GlobalLimitExec |
         _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
-        _: org.apache.spark.sql.execution.CollectLimitExec |
-        // a rank-filter pushed down as WindowGroupLimit pre-truncates
-        // every window partition to its top k rows — the partition
-        // reaching the window is bounded by a CONSTANT per key
-        _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
-      "info"
+        _: org.apache.spark.sql.execution.CollectLimitExec => "info"
     case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
       "warn"
     case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
       inputBoundedness(q.plan) // AQE leaf wrapper — the chain continues
     case u if u.children.length == 1 => inputBoundedness(u.children.head)
+    case _ => "error"
+  }
+
+  /** [[inputBoundedness]] for the PARTITIONED-window rule only, with
+    * one extra bounded case: a rank-filter `WindowGroupLimit` below
+    * pre-truncates every partition to its top k rows — bounded PER
+    * PARTITION, which is exactly what that rule grades (Spark inserts
+    * the group-limit with the flagged window's own partition spec, so
+    * the keys match by construction in the rank-filter shape; a
+    * group-limit keyed by a DIFFERENT chained window below is graded
+    * optimistically). The single-partition-window and
+    * unbounded-agg-buffer rules must NOT see this case: k rows per key
+    * is k × #keys rows in TOTAL — still corpus-scaling for a global
+    * window sort or an agg buffer, so sharing the case would silently
+    * downgrade both rules (the q133 trap reopened). */
+  @annotation.tailrec
+  private def windowInputBoundedness(n: SparkPlan): String = n match {
+    case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+      "info"
+    case _: org.apache.spark.sql.execution.GlobalLimitExec |
+        _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec |
+        _: org.apache.spark.sql.execution.CollectLimitExec => "info"
+    case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+      "warn"
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      windowInputBoundedness(q.plan)
+    case u if u.children.length == 1 =>
+      windowInputBoundedness(u.children.head)
     case _ => "error"
   }
 

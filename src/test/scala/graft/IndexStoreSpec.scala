@@ -533,7 +533,7 @@ class IndexStoreSpec extends SparkSuite {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    def spawn(id: String): (Process, StringBuilder) = {
+    def spawn(id: String): (Process, StringBuilder, Thread) = {
       val cmd = Seq(javaBin, "-Xmx1g", "-Dspark.ui.enabled=false"
       ) ++ addOpens ++ Seq(
         "-cp", System.getProperty("java.class.path"),
@@ -552,15 +552,20 @@ class IndexStoreSpec extends SparkSuite {
         }
       })
       t.setDaemon(true); t.start()
-      (proc, out)
+      (proc, out, t)
     }
-    val (pa, oa) = spawn("A")
-    val (pb, ob) = spawn("B")
+    val (pa, oa, ta) = spawn("A")
+    val (pb, ob, tb) = spawn("B")
     val doneA = pa.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
     val doneB = pb.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
     if (!doneA) pa.destroyForcibly()
     if (!doneB) pb.destroyForcibly()
     assert(doneA && doneB, "both racing children must finish")
+    // child exit does NOT mean the pipe is drained: join the readers
+    // before asserting on their buffers, or the final '[race] served'
+    // line can still be in flight (and StringBuilder is not safe for a
+    // concurrent read while the reader appends)
+    ta.join(30000); tb.join(30000)
     assert(pa.exitValue() === 0, s"child A failed:\n$oa")
     assert(pb.exitValue() === 0, s"child B failed:\n$ob")
     // BOTH entered the build window (the barrier guarantees genuine

@@ -311,6 +311,16 @@ class ObserveSpec extends SparkSuite {
     assert(sev(big.join(dim, "x")
       .withColumn("r", row_number().over(Window.orderBy(col("x")))))
       === Set("error"))
+    // a rank-filter WindowGroupLimit bounds rows PER KEY — k × #keys
+    // in total, still corpus-scaling — so it must NOT downgrade the
+    // GLOBAL-window rule (it is a bounded case only for the
+    // partitioned-window rule, whose unit of concern is one partition)
+    assert(sev(big
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("x") % 100).orderBy(col("x"))))
+      .filter(col("rn") <= 1)
+      .withColumn("r", row_number().over(Window.orderBy(col("x")))))
+      === Set("error"))
   }
 
   test("lint: unbounded-window-partition fires on the per-source " +

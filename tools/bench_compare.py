@@ -26,18 +26,42 @@ def load(path):
     detail = next((l for l in lines if l.get("detail")), {})
     headline = next((l for l in lines if "value" in l), {})
     fp = detail.get("fixture_fp") or headline.get("fixture_fp")
-    return detail.get("queries_stats", {}), fp, headline
+    return detail.get("queries_stats", {}), fp, headline, detail
+
+
+def contention(headline, detail):
+    """(flag, description) from whichever line carries the signals."""
+    src = {**detail, **headline}
+    flagged = (src.get("contended") is True
+               or src.get("median_spread", 1.0) > 2.0
+               or src.get("pre_load", 0.0) > 4.0
+               or src.get("steal_pct", 0.0) > 10.0)
+    desc = (f"contended={src.get('contended')} "
+            f"median_spread={src.get('median_spread')} "
+            f"pre_load={src.get('pre_load')} "
+            f"steal_pct={src.get('steal_pct')}")
+    return flagged, desc
 
 
 def main(prev_path, cur_path):
-    prev, fp_prev, _ = load(prev_path)
-    cur, fp_cur, _ = load(cur_path)
+    prev, fp_prev, head_prev, det_prev = load(prev_path)
+    cur, fp_cur, head_cur, det_cur = load(cur_path)
     if not prev or not cur:
         sys.exit("missing queries_stats in one of the inputs "
                  "(pre-round-7 detail files have none)")
     if fp_prev and fp_cur and fp_prev != fp_cur:
         sys.exit(f"fixture fingerprints differ ({fp_prev} vs {fp_cur}) — "
                  "per-query deltas would be fixture artifacts, refusing")
+    # contention is the other phantom-delta source the detail line now
+    # records — a contended side makes every delta suspect even when it
+    # clears the spread gate (steady steal inflates all runs uniformly,
+    # leaving the spread at 1)
+    for tag, (h, d) in (("prev", (head_prev, det_prev)),
+                        ("cur", (head_cur, det_cur))):
+        flagged, desc = contention(h, d)
+        if flagged:
+            print(f"WARNING: {tag} run is contention-flagged ({desc}) — "
+                  "deltas below are suspect in BOTH directions")
     shared = sorted(set(prev) & set(cur))
     reg, imp, noise = [], [], 0
     for q in shared:
