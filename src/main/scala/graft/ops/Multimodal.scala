@@ -191,6 +191,51 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q155: RESIZE / thumbnail stage — the fit-into-64×64
+    * target-geometry math (pure integer, aspect-preserving) over the
+    * typed decode output, plus a DETERMINISTIC STAND-IN for the
+    * resampled pixels: this container ships no image codec, so the
+    * pixel resample is a clearly-marked fake (md5 over content-hash ⊕
+    * target geometry) while everything Spark-side — the typed
+    * mapPartitions decode, the columnar projection, the per-row
+    * integer geometry, the hash lineage — is real and oracle-checked.
+    * Geometry law: the long edge lands exactly on 64 (floor division
+    * for the short edge, floored at 1); no upscaling (a thumbnail
+    * never fabricates pixels, so sub-64 media keep their size); audio
+    * rows pass through with zero geometry and their content hash
+    * unchanged (nothing to resize). At 100 TB this is the map-only
+    * projection stage of a thumbnail pipeline — zero shuffles, the
+    * real resample kernel drops into the same mapPartitions boundary
+    * the decoder already owns. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decoded(s, dir)
+      .join(
+        mediaTable(s, dir).select(col("doc_id"),
+          md5(hex(col("payload"))).as("content_hash")),
+        "doc_id")
+      .withColumn("thumb_w",
+        when(col("width") === 0 || col("height") === 0, lit(0L))
+          .when(col("width") <= 64 && col("height") <= 64, col("width"))
+          .when(col("width") >= col("height"), lit(64L))
+          .otherwise(greatest(lit(1L), expr("width * 64 div height"))))
+      .withColumn("thumb_h",
+        when(col("width") === 0 || col("height") === 0, lit(0L))
+          .when(col("width") <= 64 && col("height") <= 64, col("height"))
+          .when(col("width") >= col("height"),
+            greatest(lit(1L), expr("height * 64 div width")))
+          .otherwise(lit(64L)))
+      .withColumn("thumb_hash",
+        when(col("thumb_w") === 0, col("content_hash"))
+          .otherwise(md5(concat(col("content_hash"), lit(":"),
+            col("thumb_w").cast("string"), lit("x"),
+            col("thumb_h").cast("string")))))
+      .select(col("doc_id"), col("modality"), col("width"),
+        col("height"), col("thumb_w"), col("thumb_h"),
+        col("thumb_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame-sample explode: one row per sampled frame with its hash —
     * the downstream shape of per-frame feature extraction (the oracle
     * recomputes every frame slice from the payload bytes, verifying
@@ -208,6 +253,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
     "q58_frame_hashes" -> frameHashes,
+    "q155_media_resize" -> mediaResize,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -248,6 +294,35 @@ object Multimodal {
        |  FROM m0)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q155: geometry re-derived from the independently-reconstructed
+    // payload headers; the thumb hash's full lineage (content md5 ⊕
+    // rendered target geometry) recomputed from scratch.
+    "q155_media_resize" ->
+      s"""WITH $duckMedia,
+         |g AS (SELECT doc_id, modality,
+         |    CAST(CASE modality WHEN 'image' THEN pw WHEN 'video' THEN jw
+         |      ELSE 0 END AS BIGINT) AS w,
+         |    CAST(CASE modality WHEN 'image' THEN ph WHEN 'video' THEN jh
+         |      ELSE 0 END AS BIGINT) AS h,
+         |    md5(hex(payload)) AS content_hash
+         |  FROM m),
+         |r AS (SELECT doc_id, modality, w, h,
+         |    CAST(CASE WHEN w = 0 OR h = 0 THEN 0
+         |         WHEN w <= 64 AND h <= 64 THEN w
+         |         WHEN w >= h THEN 64
+         |         ELSE greatest(1, w * 64 // h) END AS BIGINT) AS tw,
+         |    CAST(CASE WHEN w = 0 OR h = 0 THEN 0
+         |         WHEN w <= 64 AND h <= 64 THEN h
+         |         WHEN w >= h THEN greatest(1, h * 64 // w)
+         |         ELSE 64 END AS BIGINT) AS th,
+         |    content_hash
+         |  FROM g)
+         |SELECT doc_id, modality, w AS width, h AS height,
+         |  tw AS thumb_w, th AS thumb_h,
+         |  CASE WHEN tw = 0 THEN content_hash
+         |       ELSE md5(content_hash || ':' || tw || 'x' || th)
+         |       END AS thumb_hash
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q58_frame_hashes" ->
       s"""WITH $duckMedia,
          |f AS (
