@@ -1,6 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The contention verdict, factored pure so the r8 incident is a
+    * unit test: the r8 driver pass ran the round-1 query set 1.8× the
+    * fingerprint-matched uncontended snapshot, yet 9.18% hypervisor
+    * steal slid under a hard `steal > 10%` OR-clause and the pass
+    * reported `contended: false`. The primary signal is now the DATA:
+    * contended iff the round-1 set exceeds the stored uncontended
+    * snapshot's total by that pass's own recorded spread (floored at
+    * 1.25 — a spread of 1.0 would flag measurement noise). The hard
+    * steal threshold survives only as the fallback when no
+    * fingerprint-matched clean snapshot exists, tightened to 5%.
+    * `snapshot` = (total_r1, median_spread, contended) parsed from the
+    * fingerprint-keyed detail file of a PREVIOUS pass. */
+  private[graft] def contendedVerdict(medianSpread: Double, preLoad: Double,
+      stealPct: Double, totalR1: Double,
+      snapshot: Option[(Double, Double, Boolean)]): Boolean = {
+    val vsSnapshot: Option[Boolean] = snapshot.collect {
+      case (r1s, sp, false) if r1s > 0 =>
+        totalR1 > r1s * math.max(sp, 1.25)
+    }
+    medianSpread > 2.0 || preLoad > 4.0 ||
+      vsSnapshot.getOrElse(stealPct > 5.0)
+  }
+
+  /** Parse (total_r1_query_set, median_spread, contended) out of a
+    * previously written bench-detail file (detail line + headline
+    * line) — regex over our own known output shape, no JSON dep. */
+  private[graft] def parseSnapshot(
+      text: String): Option[(Double, Double, Boolean)] = {
+    def num(key: String): Option[Double] =
+      ("\"" + key + "\":([-0-9.eE]+)").r
+        .findFirstMatchIn(text).map(_.group(1).toDouble)
+    def bool(key: String): Option[Boolean] =
+      ("\"" + key + "\":(true|false)").r
+        .findFirstMatchIn(text).map(_.group(1).toBoolean)
+    for {
+      r1 <- num("total_r1_query_set")
+      sp <- num("median_spread")
+      c <- bool("contended")
+    } yield (r1, sp, c)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -110,16 +152,11 @@ object Bench {
       "q24_schema_catalog", "q25_segment_defaults",
       "q26_non_open_order_counts", "q27_event_gaps")
     val totalR1 = results.collect { case (k, v) if r1Set(k) => v }.sum
-    // Flag bursty steal (spread), a host already loaded at entry
-    // (steady co-tenant — uniform inflation the spread misses), or
-    // measured hypervisor steal above 10% of busy time across BOTH
-    // timing passes.
     val stealPct = (stat0, cpuStat()) match {
       case (Some((s0, b0)), Some((s1, b1))) if b1 > b0 =>
         100.0 * (s1 - s0) / (b1 - b0)
       case _ => 0.0
     }
-    val contended = medianSpread > 2.0 || preLoad > 4.0 || stealPct > 10.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMat = matResults.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -136,6 +173,27 @@ object Bench {
     val fixtureFp = scala.util.Try(
       graft.observe.IndexStore.fingerprint(spark, sfDir, 1))
       .getOrElse("unknown")
+    // Contention verdict (see contendedVerdict): primary signal is the
+    // round-1 set vs the fingerprint-matched UNCONTENDED snapshot from
+    // a previous pass (read BEFORE this pass overwrites it), gated by
+    // that pass's recorded spread; hard steal>5% only as the fallback.
+    val keyedPath =
+      java.nio.file.Paths.get(s"target/bench-detail-$fixtureFp.json")
+    val snapshot: Option[(Double, Double, Boolean)] =
+      scala.util.Try(java.nio.file.Files.readString(keyedPath))
+        .toOption.flatMap(parseSnapshot)
+    val contended =
+      contendedVerdict(medianSpread, preLoad, stealPct, totalR1, snapshot)
+    // Compact per-query map (qNNN key prefix, integer milliseconds of
+    // the count-pass min) sized to SURVIVE the driver's ~2000-char
+    // stdout-tail capture: the full-name map up front loses ~110 of
+    // 155 entries to truncation every round; this one sits immediately
+    // before the headline's closing scalars, so the tail keeps it.
+    val qsMs = results.toSeq
+      .map { case (k, v) => (k.takeWhile(_ != '_'), v) }
+      .sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
     // Two lines, detail FIRST and the compact headline LAST. The
     // headline keeps the one-JSON-line contract, but every scalar that
     // must survive a truncated capture ("value", the totals, the flags)
@@ -160,7 +218,7 @@ object Bench {
     val detailLine =
       s"""{"detail":"materialized","fixture_fp":"$fixtureFp","sf":"$sfDir","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread,"pre_load":$preLoad,"steal_pct":$stealPct}"""
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","queries_ms":$qsMs,"total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
     // Durability: the driver's stdout capture truncates to the last
     // ~2,000 chars, which historically ate most per-query entries; the
     // FULL detail also lands in a file, so cross-round attribution
@@ -174,9 +232,22 @@ object Bench {
       // sf0.1 stats were lost to an sf0.001 probe exactly this way),
       // while the keyed copy makes cross-round spread-gated
       // comparisons (tools/bench_compare.py) survive local iteration.
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"target/bench-detail-$fixtureFp.json"),
-        detailLine + "\n" + headline + "\n")
+      // A CONTENDED pass must not overwrite the clean snapshot it was
+      // judged against — the keyed file's whole value is being the
+      // uncontended reference.
+      if (!contended)
+        java.nio.file.Files.writeString(keyedPath,
+          detailLine + "\n" + headline + "\n")
+      // Retention: keyed files accumulate one per fixture regeneration;
+      // keep the newest 8 and prune the rest (they live under target/,
+      // but sbt clean is not a policy).
+      import scala.jdk.CollectionConverters._
+      val old = java.nio.file.Files.list(out.getParent).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("bench-detail-"))
+        .toSeq
+        .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .drop(8)
+      old.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
     }

@@ -116,9 +116,19 @@ object IndexStore {
     // extra PARAMETERIZATION (e.g. a sink's extraction plan) folds
     // into the md5 preimage — full-strength content addressing, not a
     // 32-bit hashCode squeezed into the version int. Empty extra
-    // keeps every pre-existing fingerprint byte-identical.
+    // keeps every pre-existing fingerprint byte-identical (bench
+    // fixture fingerprints stay comparable across rounds). The block
+    // is SELF-DELIMITING — length-prefixed and NUL-terminated — so an
+    // extra ending in digits or a manifest line starting with 'x'
+    // cannot shift the component boundary and alias two different
+    // (extra, manifest) states to one fingerprint. The remaining
+    // version/manifest boundary rests on `version` being a small
+    // compile-time constant per artifact (never derived from data),
+    // so "v2"+line vs "v21"+… requires a caller literally renumbering
+    // the artifact — a deliberate identity change either way.
     if (extra.nonEmpty)
-      md.update(s"x$extra".getBytes(StandardCharsets.UTF_8))
+      md.update(s"x${extra.length}:$extra\u0000"
+        .getBytes(StandardCharsets.UTF_8))
     sourceManifest(s, srcDir).foreach(l =>
       md.update(l.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString

@@ -99,6 +99,23 @@ import org.apache.spark.sql.functions.col
   *    on a constant neighborhood, so a shard split is always
   *    semantics-preserving — the full-history frame is what makes
   *    naive sharding WRONG and the two-pass offset scheme necessary.
+  *  - `opaque-group-state` (info): a typed-API grouped operator —
+  *    `mapGroups`/`flatMapGroups`/`flatMapGroupsWithState`/
+  *    `transformWithState` — whose per-group behavior lives in an
+  *    opaque JVM closure. Every hazard the other rules catch can hide
+  *    here INVISIBLY: the plan is an innocent exchange + sort + one
+  *    node, while the closure may buffer each group's slice
+  *    (`rows.toSeq.sortBy` — the q149 single-task-per-source class,
+  *    which survived in exactly this spot through round 8), group by a
+  *    low-cardinality key (source, lang — unknowable statically: the
+  *    `groupByKey` lambda erases the key's lineage, so the grouping
+  *    attribute is a generated `value` column), or hold unbounded
+  *    state. Info-grade by construction — the rule cannot see INTO the
+  *    closure, so it marks the audit obligation rather than a proven
+  *    hazard: verify the closure streams its iterator with bounded
+  *    state (the [[graft.ops.Llm.mixGate]] discipline: O(1) numeric
+  *    state + a bounded reorder heap, lazy end to end) and that the
+  *    key's cardinality grows with the data.
   *  - `unbounded-in-row-expansion` (warn): a `transform` iterates a
   *    slice/reference of ITS OWN input array — the self-quadratic
   *    pair-emission shape (`transform(a, (x,i) -> transform(slice(a,
@@ -222,6 +239,12 @@ object Lint {
           if scan.relation.dataSchema.size > 1 &&
             scan.output.size >= scan.relation.dataSchema.size =>
         findings += (("full-width-scan", "info", head(scan)))
+      case p if p.isInstanceOf[org.apache.spark.sql.execution.MapGroupsExec] ||
+          p.getClass.getSimpleName.startsWith("FlatMapGroupsWithState") ||
+          p.getClass.getSimpleName.startsWith("TransformWithState") =>
+        // typed-API state op: the per-group behavior lives in an
+        // opaque closure — see scaladoc (`opaque-group-state`)
+        findings += (("opaque-group-state", "info", head(p)))
       case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
           // fire once per logical aggregation: the Partial (or
           // single-phase Complete) node is where the per-task buffer

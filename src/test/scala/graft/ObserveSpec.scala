@@ -365,6 +365,40 @@ class ObserveSpec extends SparkSuite {
     // PlanSpec pins the >= 2-column partition spec directly
   }
 
+  test("lint: opaque-group-state marks every typed-API grouped " +
+    "operator — the E148 shape whose group-slice buffer hid from " +
+    "every plan-shape rule through round 8") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+      graft.observe.Lint.planLint(df).collect()
+        .filter(_.getString(0) == "opaque-group-state")
+        .map(r => (r.getString(1), r.getString(2))).toSet
+    // the planted E148 batch twin: group by source (a low-cardinality
+    // key the lambda erases — the grouping attribute is a generated
+    // `value` column), fold the slice in a closure. The plan shows
+    // exchange + sort + MapGroups and NOTHING of what the closure does
+    // with its iterator — exactly where the r8 `rows.toSeq.sortBy`
+    // buffer lived.
+    val planted = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups((src, rows) => (src, rows.map(_._3).sum))
+      .toDF("source", "total")
+    val got = hits(planted)
+    assert(got.size === 1 && got.head._1 === "info",
+      s"the typed grouped op must surface exactly once, info-grade: $got")
+    assert(got.head._2.contains("MapGroups"),
+      "the finding must point at the grouped-state node itself")
+    // the relational twin carries no closure — the agg-buffer/window
+    // rules see everything there, so this rule stays silent
+    assert(hits(graft.Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))) === Set.empty)
+  }
+
   test("lint: unbounded-agg-buffer fires on the exact-percentile and " +
     "collect shapes over raw input; bounded inputs downgrade to info; " +
     "sketch aggregates stay clean") {

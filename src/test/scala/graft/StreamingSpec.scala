@@ -500,6 +500,120 @@ class StreamingSpec extends SparkSuite {
     assert(batch === shards)
   }
 
+  test("mix gate quarantine: a replayed backlog (redelivered " +
+    "micro-batch) routes every redelivered row to quarantine with the " +
+    "running totals untouched — the admitted ledger still EQUALS the " +
+    "q152 shards") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ops.Llm.mixGate(s, sf,
+      in.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("mix_gate_replay")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val rows = withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // the replay: the first chunk delivered AGAIN (a crawler backlog
+      // re-run) — every row violates the monotone contract
+      in.addData(feed.take(third): _*)
+      q.processAllAvailable()
+      s.table("mix_gate_replay").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+    }
+    val admitted = rows.filter(_._5 == "admit")
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    val quarantined = rows.filter(_._5 == "quarantine")
+    val shards = graft.ops.Llm.mixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(admitted === shards,
+      "a replayed backlog must not disturb the admitted ledger")
+    assert(quarantined.size === third,
+      "every redelivered row must surface in quarantine, loudly")
+    assert(quarantined.forall(_._4 == -1L),
+      "quarantined rows carry the sentinel cum, never a running total")
+    assert(quarantined.map(_._2).toSet ===
+      feed.take(third).map(_._1).toSet)
+  }
+
+  test("mix gate reorder window: transport reordering WITHIN the " +
+    "window is absorbed exactly; a document arriving beyond it " +
+    "quarantines instead of silently mis-cumulating") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    // a real source name, so the broadcast plan has an allocation
+    val src = graft.ops.Llm.mixAllocation(s, sf)
+      .filter(col("alloc_tokens") > lit(100L))
+      .select(col("source")).as[String].head()
+    // synthetic one-token docs far past the corpus ids: cum stays tiny
+    def doc(id: Long) = (id, src, "tok")
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ops.Llm.mixGate(s, sf,
+      in.toDF().toDF("doc_id", "source", "text"), reorderWindow = 2)
+      .writeStream.format("memory").queryName("mix_gate_window")
+      .outputMode("append").start()
+    val rows = withQuery(q) {
+      // one micro-batch, arrival order 10,12,11,13,5: the 12/11 swap is
+      // displaced ONE slot — inside the window, absorbed; id 5 arrives
+      // after the heap was forced past 11 — a beyond-window violation
+      in.addData(doc(1000010L), doc(1000012L), doc(1000011L),
+        doc(1000013L), doc(1000005L))
+      q.processAllAvailable()
+      s.table("mix_gate_window").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getString(4))).toSeq
+    }
+    assert(rows.filter(_._3 == "admit").map(t => (t._1, t._2)).toSet ===
+      Set((1000010L, 1L), (1000011L, 2L), (1000012L, 3L),
+        (1000013L, 4L)),
+      "an in-window swap must admit in exact id order with exact cums")
+    assert(rows.filter(_._3 == "quarantine").map(_._1) ===
+      Seq(1000005L),
+      "a beyond-window id must quarantine, not silently mis-cumulate")
+  }
+
+  test("mix gate AvailableNow: a whole-corpus backlog drained in ONE " +
+    "trigger matches the q152 shards with the reorder heap held at 8 " +
+    "entries — group memory is the window, never the trigger size") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gate_an").toString
+    val feedDir = s"$tmp/feed"
+    Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id"))
+      .coalesce(1) // one file, one split: delivery order IS id order
+      .write.parquet(feedDir)
+    val stream = s.readStream.schema(s.read.parquet(feedDir).schema)
+      .parquet(feedDir)
+    val q = graft.ops.Llm.mixGate(s, sf, stream, reorderWindow = 8)
+      .writeStream.format("memory").queryName("mix_gate_an")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = s.table("mix_gate_an").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val shards = graft.ops.Llm.mixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows.forall(_._5 == "admit"),
+      "an in-order backlog quarantines nothing")
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet === shards)
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
