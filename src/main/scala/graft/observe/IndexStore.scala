@@ -110,7 +110,15 @@ object IndexStore {
     * (path, len, mtime) hole exactly where such rewrites are
     * plausible. */
   def fingerprint(s: SparkSession, srcDir: String, version: Int,
-      extra: String = ""): String = {
+      extra: String = ""): String =
+    fingerprintOf(version, extra, sourceManifest(s, srcDir))
+
+  /** [[fingerprint]] over EXPLICIT manifest lines — the excision path
+    * ([[readOrBuildSegmented]]) computes the SYNTHETIC fingerprint of
+    * each historical source state minus its deleted files, which is a
+    * state that never existed on disk to be listed. */
+  private def fingerprintOf(version: Int, extra: String,
+      manifest: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"v$version".getBytes(StandardCharsets.UTF_8))
     // extra PARAMETERIZATION (e.g. a sink's extraction plan) folds
@@ -129,7 +137,7 @@ object IndexStore {
     if (extra.nonEmpty)
       md.update(s"x${extra.length}:$extra\u0000"
         .getBytes(StandardCharsets.UTF_8))
-    sourceManifest(s, srcDir).foreach(l =>
+    manifest.foreach(l =>
       md.update(l.getBytes(StandardCharsets.UTF_8)))
     md.digest().map("%02x".format(_)).mkString
   }
@@ -201,14 +209,30 @@ object IndexStore {
       !(n.startsWith("_") || n.startsWith("."))
     })
 
+  /** Parent fingerprint of the segment at `fp`, honoring the two
+    * pointer flavors: a REUSE segment (excision path — `_REUSE` marker
+    * next to a `_HEAD` that borrows another segment's DATA) keeps its
+    * own `_PARENT`, which must be read from the head dir (the borrowed
+    * data dir's `_PARENT`, if any, belongs to the OLD chain and
+    * following it would silently resurrect deleted files); a COMPACTED
+    * head (`_HEAD` → `seg-*` full fold, no `_REUSE`) terminates the
+    * chain via the seg dir's absent `_PARENT`, exactly as before. */
+  private def segParent(
+      f: FileSystem, base: Path, fp: String): Option[String] = {
+    val head = new Path(base, s"fp=$fp")
+    val src =
+      if (f.exists(new Path(head, "_REUSE"))) head
+      else resolved(f, base, fp)
+    readSmall(f, new Path(src, "_PARENT")).map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Segment DATA paths of the chain rooted at `fp`, child first —
     * each fingerprint resolved through its `_HEAD` pointer. */
   private def chainPaths(f: FileSystem, base: Path, fp: String): Seq[Path] = {
     val dir = resolved(f, base, fp)
-    readSmall(f, new Path(dir, "_PARENT")) match {
-      case Some(parent) if parent.trim.nonEmpty =>
-        dir +: chainPaths(f, base, parent.trim)
-      case _ => Seq(dir)
+    segParent(f, base, fp) match {
+      case Some(parent) => dir +: chainPaths(f, base, parent)
+      case None => Seq(dir)
     }
   }
 
@@ -216,11 +240,9 @@ object IndexStore {
     * retention pass protects by fingerprint name, which [[chainPaths]]
     * no longer exposes once a segment resolves to a `seg-*` dir. */
   private def chainFps(f: FileSystem, base: Path, fp: String): Seq[String] = {
-    val dir = resolved(f, base, fp)
-    readSmall(f, new Path(dir, "_PARENT")) match {
-      case Some(parent) if parent.trim.nonEmpty =>
-        fp +: chainFps(f, base, parent.trim)
-      case _ => Seq(fp)
+    segParent(f, base, fp) match {
+      case Some(parent) => fp +: chainFps(f, base, parent)
+      case None => Seq(fp)
     }
   }
 
@@ -350,8 +372,21 @@ object IndexStore {
           .sortBy(-_.getModificationTime)
           .take(keepFingerprints - 1)
           .map(_.getPath.getName.stripPrefix("fp="))
-        val protectedNames = liveChain ++ retainedHeads.flatMap(h =>
+        val chainProtected = liveChain ++ retainedHeads.flatMap(h =>
           chainFps(f, base, h).map(a => s"fp=$a"))
+        // REUSE segments borrow another fingerprint's DATA dir via
+        // _HEAD — that donor must live as long as any protected chain
+        // references it, even after its own head expired from the
+        // retention window (seg-* donors are already safe: they are
+        // reclaimed only through their referencing head or by the
+        // vacuum's no-referencing-_HEAD rule).
+        val protectedNames = chainProtected ++ chainProtected.flatMap { n =>
+          val d = new Path(base, n)
+          if (f.exists(new Path(d, "_REUSE")))
+            readSmall(f, new Path(d, "_HEAD")).map(_.trim)
+              .filter(_.startsWith("fp="))
+          else None
+        }
         all.filterNot(st => protectedNames.contains(st.getPath.getName))
           .foreach { st =>
             // a compacted head's data lives in its _HEAD target —
@@ -380,6 +415,152 @@ object IndexStore {
     * incremental build (read amplification is O(depth); 8 keeps the
     * fold cost amortized well under one full rebuild per append). */
   private val maxChainDepth = 8
+
+  /** [[readOrBuildIncremental]] for FILE-DECOMPOSABLE artifacts — ones
+    * whose content is a union of independent per-source-file
+    * contributions (`union over a partition of the files of
+    * perFiles(part) ≡ full build`; true for partial-aggregate count
+    * chains read through a SUM fold, and for per-document rows like
+    * shingle sets and band indexes, since documents never span source
+    * files). ONE build function covers every lifecycle event:
+    *
+    *  - first sight: full build = `perFiles(every file)`;
+    *  - pure APPEND: delta segment = `perFiles(added)`, chained —
+    *    exactly the existing incremental path;
+    *  - DELETION (with or without concurrent appends): the chain is
+    *    EXCISED instead of rebuilt. Each historical segment whose file
+    *    window lost members is rebuilt as `perFiles(window \ deleted)`
+    *    — the deleted files' segment contributions are the ONLY
+    *    recompute; every untouched segment above the first touched one
+    *    re-links at its synthetic fingerprint as a zero-copy `_REUSE`
+    *    pointer to the donor segment's data, and the untouched root
+    *    prefix is shared outright (its synthetic fingerprints equal
+    *    the donor's, so the dirs already exist). A GDPR takedown or
+    *    bad-crawl retraction at 100 TB therefore re-pays one segment's
+    *    build, not the corpus-sized artifact — previously ANY deletion
+    *    moved the fingerprint with no subset parent and triggered the
+    *    full rebuild.
+    *
+    * Artifacts whose rows SPAN segments (the verified pair graph — a
+    * pair's endpoints live in different appends) are NOT
+    * file-decomposable; they keep [[readOrBuildIncremental]], where a
+    * deletion still falls back to the full rebuild by design — the
+    * documented "unsplittable" case. */
+  def readOrBuildSegmented(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1, extra: String = "")(
+      perFiles: Seq[String] => DataFrame): DataFrame = {
+    exciseOnDelete(s, name, srcDir, version, extra)(perFiles)
+    readOrBuildIncremental(s, name, srcDir, version, extra)(
+      perFiles(sourceManifest(s, srcDir).map(_.split('|').head)))(
+      (_, added) => perFiles(added))
+  }
+
+  /** The deletion path of [[readOrBuildSegmented]]: if the current
+    * source state is not servable and some finished artifact's
+    * manifest shares files with ours while having LOST at least one,
+    * build the current fingerprint's chain by per-segment excision of
+    * that donor. No-op otherwise — the caller falls through to the
+    * append/full machinery. Idempotent and crash-safe per segment
+    * (stage + atomic rename, the build discipline); a crash mid-chain
+    * leaves the head unpublished, so the next attempt resumes segment
+    * by segment (finished synthetic dirs are found by their
+    * `_SUCCESS`). */
+  private def exciseOnDelete(s: SparkSession, name: String, srcDir: String,
+      version: Int, extra: String)(
+      perFiles: Seq[String] => DataFrame): Unit = {
+    val manifest = sourceManifest(s, srcDir)
+    val fp = fingerprintOf(version, extra, manifest)
+    val base = new Path(s"${root(s)}/$name")
+    val dest = new Path(base, s"fp=$fp")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, dest)
+      if (f.exists(new Path(dest, "_SUCCESS")) && chainIntact(f, base, fp))
+        return // current state already servable
+      if (!f.exists(base)) return
+      val mset = manifest.toSet
+      // donor: the finished, intact artifact sharing the most files
+      // with the current state while having lost at least one (a
+      // strict-subset manifest is the APPEND case — not ours)
+      val donor = f.listStatus(base).toSeq
+        .filter(_.getPath.getName.startsWith("fp="))
+        .map(_.getPath.getName.stripPrefix("fp="))
+        .filter(g =>
+          f.exists(new Path(new Path(base, s"fp=$g"), "_SUCCESS")) &&
+            chainIntact(f, base, g))
+        .flatMap { g =>
+          readSmall(f, new Path(new Path(base, s"fp=$g"), "_MANIFEST"))
+            .map(m => (g, m.split("\n").toSeq.filter(_.nonEmpty)))
+        }
+        .filter { case (_, lines) =>
+          lines.exists(l => !mset(l)) && lines.exists(mset)
+        }
+        .sortBy { case (_, lines) => -lines.count(mset) }
+        .headOption
+      donor match {
+        case None => ()
+        case Some((afp, aLines)) =>
+          val deleted = aLines.filterNot(mset).toSet
+          val added = manifest.filterNot(aLines.toSet)
+          val fpsRootFirst = chainFps(f, base, afp).reverse
+          val segManifests = fpsRootFirst.map { g =>
+            readSmall(f, new Path(new Path(base, s"fp=$g"), "_MANIFEST"))
+              .map(_.split("\n").toSeq.filter(_.nonEmpty))
+          }
+          if (segManifests.forall(_.isDefined)) {
+            var donorCum = Set.empty[String]
+            var newLines = Seq.empty[String]
+            var parentNew: Option[String] = None
+            fpsRootFirst.zip(segManifests.map(_.get)).zipWithIndex
+              .foreach { case ((g, mI), idx) =>
+                val window = mI.filterNot(donorCum)
+                val isHead = idx == fpsRootFirst.size - 1
+                val windowNew = window.filterNot(deleted) ++
+                  (if (isHead) added else Nil)
+                val mNew = (newLines ++ windowNew).sorted
+                val fpNew = fingerprintOf(version, extra, mNew)
+                // fpNew == g ⇔ nothing below or inside this segment
+                // changed — the shared root prefix, no new dir at all
+                if (fpNew != g) {
+                  val newDir = new Path(base, s"fp=$fpNew")
+                  if (!f.exists(new Path(newDir, "_SUCCESS"))) {
+                    if (f.exists(newDir)) f.delete(newDir, true) // debris
+                    val tmp = new Path(base,
+                      s".build-$fpNew-${System.nanoTime()}")
+                    if (windowNew == window) {
+                      // window intact, only the lineage below changed:
+                      // borrow the donor segment's data, zero copy
+                      f.mkdirs(tmp)
+                      writeSmall(f, new Path(tmp, "_HEAD"),
+                        resolved(f, base, g).getName)
+                      writeSmall(f, new Path(tmp, "_REUSE"), "")
+                      writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+                    } else if (windowNew.isEmpty) {
+                      // the whole window was deleted: a marker-only
+                      // empty segment keeps the chain arithmetic flat
+                      f.mkdirs(tmp)
+                      writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+                    } else {
+                      perFiles(windowNew.map(_.split('|').head))
+                        .write.mode("overwrite").parquet(tmp.toString)
+                    }
+                    writeSmall(f, new Path(tmp, "_MANIFEST"),
+                      mNew.mkString("\n"))
+                    parentNew.foreach(p =>
+                      writeSmall(f, new Path(tmp, "_PARENT"), p))
+                    if (f.exists(new Path(newDir, "_SUCCESS")))
+                      f.delete(tmp, true) // concurrent equivalent build
+                    else if (!f.rename(tmp, newDir)) f.delete(tmp, true)
+                  }
+                }
+                parentNew = Some(fpNew)
+                donorCum ++= mI
+                newLines = mNew
+              }
+          }
+      }
+    }
+  }
 
   /** The artifact at `srcDir`'s CURRENT fingerprint, if one is
     * already published and chain-intact — a read-only probe that
@@ -411,8 +592,7 @@ object IndexStore {
     val fp = fingerprint(s, srcDir, version)
     val base = new Path(s"${root(s)}/$name")
     val f = fs(s, base)
-    readSmall(f, new Path(resolved(f, base, fp), "_PARENT"))
-      .exists(_.trim.nonEmpty)
+    segParent(f, base, fp).nonEmpty
   }
 
   /** Time-travel read: artifact `name` AS OF the source state whose
@@ -503,8 +683,15 @@ object IndexStore {
               }
           }
           // deferred delete behind a published pointer: reclaim the
-          // fp= dir's own data files once the pointer is old enough
-          val deferred = heads.flatMap { h =>
+          // fp= dir's own data files once the pointer is old enough.
+          // REUSE pointer dirs are excluded outright: their _HEAD is
+          // not a compaction swap but a data borrow, they hold no
+          // superseded data files of their own, and their _PARENT is
+          // the LIVE chain link — deleting it would silently truncate
+          // the excised chain.
+          val deferred = heads
+            .filterNot(h => f.exists(new Path(h.getPath, "_REUSE")))
+            .flatMap { h =>
             val headFile = new Path(h.getPath, "_HEAD")
             // only behind a LIVE pointer: target present and committed
             val pointed = readSmall(f, headFile).map(_.trim)

@@ -33,7 +33,14 @@ object Multimodal {
   case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte])
 
   /** Decoded features. Fixed-width struct so the downstream plan is
-    * columnar; `frame_hashes` stands in for sampled-frame embeddings. */
+    * columnar; `frame_hashes` stands in for sampled-frame embeddings.
+    * `block_hashes` are CONTENT-DEFINED: md5 per full 64-byte block of
+    * the post-header body (absolute cap 16 blocks — the df-cap
+    * discipline applied to row width), so two containers wrapping the
+    * same media bytes share blocks even though their payload offsets —
+    * and hence the positional `frame_hashes` — differ. This is the
+    * join key media near-dup detection needs and frame_hashes cannot
+    * be. */
   case class MediaFeatures(
       doc_id: Long,
       modality: String,
@@ -41,7 +48,8 @@ object Multimodal {
       width: Long,
       height: Long,
       duration_ms: Long,
-      frame_hashes: Seq[String])
+      frame_hashes: Seq[String],
+      block_hashes: Seq[String])
 
   // ---- fixture: payloads with REAL container headers ---------------------
 
@@ -56,13 +64,20 @@ object Multimodal {
       shiftleft(shiftright(v, 16).bitwiseAND(lit(255L)), 8) +
       shiftright(v, 24).bitwiseAND(lit(255L)), 4)
 
+  /** Base-payload column expressions over a documents row (needs
+    * `doc_id` and `text` in scope) — shared by [[mediaTable]] and
+    * [[mediaCorpus]] so the planted corpus costs ONE scan. */
+  private def baseModality: Column = element_at(
+    array(lit("image"), lit("audio"), lit("video")),
+    (col("doc_id") % 3 + 1).cast("int"))
+
   /** Multimodal fixture: each document's text bytes wrapped in a real
     * container header — PNG IHDR (image), RIFF/WAVE (audio), JPEG SOF0
     * (video) — with the header's dimension/rate fields derived from
     * doc_id, so the oracle can verify the PARSED values independently
     * of the parser. Construction is pure columnar byte math
     * (hex/unhex/concat), map-only. */
-  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+  private def basePayload: Column = {
     val body = encode(col("text"), "UTF-8")
     val bodyLen = length(body).cast("bigint")
     val pngW = lit(16L) + pmod(col("doc_id"), lit(1024L))
@@ -95,16 +110,15 @@ object Multimodal {
       unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
       be(jpgH, 2), be(jpgW, 2), unhex(lit("01011100")),
       body)
-    Tables.load(s, dir, "documents")
-      .withColumn("modality", element_at(
-        array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")))
-      .select(
-        col("doc_id"), col("modality"),
-        when(col("modality") === "image", png)
-          .when(col("modality") === "audio", wav)
-          .otherwise(jpg).as("payload"))
+    when(col("modality") === "image", png)
+      .when(col("modality") === "audio", wav)
+      .otherwise(jpg)
   }
+
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("modality", baseModality)
+      .select(col("doc_id"), col("modality"), basePayload.as("payload"))
 
   /** REAL header parse — runs per partition over an iterator (i.e.
     * batch-shaped: one decoder init per partition, not per row). Reads
@@ -130,30 +144,34 @@ object Multimodal {
       def ascii(i: Int, sTag: String): Boolean =
         i + sTag.length <= p.length &&
           sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-      val (w, h, d) =
+      // (width, height, duration, bodyStart): bodyStart is the PARSED
+      // header end — where the codec payload begins — so block hashes
+      // below are container-independent (a re-encode shifts the header,
+      // never the body blocks)
+      val (w, h, d, bodyStart) =
         if (len >= 24 && p.take(8).sameElements(pngSig) && ascii(12, "IHDR"))
-          (be32(16), be32(20), 0L)
+          (be32(16), be32(20), 0L, 33)
         else if (len >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
           val byteRate = le32(28)
           val dataSize = le32(40)
-          (0L, 0L, if (byteRate > 0) dataSize * 1000L / byteRate else 0L)
+          (0L, 0L, if (byteRate > 0) dataSize * 1000L / byteRate else 0L, 44)
         } else if (len >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
           // marker scan for SOF0 (FFC0): len, precision, height, width
           var i = 2
-          var res = (0L, 0L, 0L)
+          var res = (0L, 0L, 0L, len.toInt)
           var found = false
           while (!found && i + 8 < p.length) {
             if (u8(i) == 0xFF && u8(i + 1) == 0xC0) {
               val headerEnd = i + 2 + be16(i + 2).toInt
               res = (be16(i + 7), be16(i + 5),
-                math.max(0L, len - headerEnd) * 40L)
+                math.max(0L, len - headerEnd) * 40L, headerEnd)
               found = true
             } else if (u8(i) == 0xFF && i + 3 < p.length) {
               i += 2 + be16(i + 2).toInt // skip unrelated segment
             } else i += 1
           }
           res
-        } else (0L, 0L, 0L)
+        } else (0L, 0L, 0L, len.toInt)
       // "Frame sampling": 3 evenly spaced 16-byte slices, hex-rendered —
       // stands in for per-frame feature vectors.
       val hashes = (0 until 3).map { i =>
@@ -161,9 +179,29 @@ object Multimodal {
         p.slice(off, math.min(off + 16, len.toInt))
           .map("%02x".format(_)).mkString
       }
-      MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes)
+      // Content-defined block signatures: md5 per FULL 64-byte body
+      // block (partial tail skipped — a truncated re-encode then shares
+      // every block it still carries), absolute cap 16 blocks per row.
+      // Preimage is the uppercase hex rendering, the engine-portable
+      // md5(hex(bytes)) idiom the content hash already uses.
+      val nFull = math.max(0,
+        math.min((len.toInt - bodyStart) / blockBytes, blockCap))
+      val blocks = (0 until nFull).map { i =>
+        val off = bodyStart + i * blockBytes
+        val hexStr = p.slice(off, off + blockBytes)
+          .map("%02X".format(_)).mkString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(hexStr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map("%02x".format(_)).mkString
+      }
+      MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes, blocks)
     }
   }
+
+  /** Block-signature parameters: 64-byte blocks, at most 16 per media
+    * row — row width is bounded by CONSTRUCTION at any corpus scale. */
+  private val blockBytes = 64
+  private val blockCap = 16
 
   /** Typed decode pass: Dataset[MediaRow] → mapPartitions → features. */
   def decoded(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
@@ -250,10 +288,146 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  // ---- media dedup (the near-dup family's missing modality) --------------
+
+  /** Media corpus WITH PLANTED DUPLICATES — the near-dup fixture the
+    * base table cannot provide (its payloads never collide: header
+    * dimensions derive from doc_id). Three populations, all
+    * deterministic and re-derivable by the oracle:
+    *
+    *  - the base [[mediaTable]] rows (`media_id = doc_id`);
+    *  - RE-ENCODES of every doc_id % 5 == 0 row (`media_id = doc_id +
+    *    1_000_000`): the same underlying media re-wrapped in a
+    *    DIFFERENT container (JPEG, other dimensions) with the tail
+    *    quarter of the body dropped — a lower-bitrate/shorter-clip
+    *    re-encode. Same leading body blocks, different payload bytes,
+    *    different positional frame hashes: only content-defined block
+    *    signatures can pair these;
+    *  - bit-identical RE-UPLOADS of every doc_id % 7 == 0 row
+    *    (`media_id = doc_id + 2_000_000`): the exact-dup population.
+    *
+    * Construction stays pure columnar byte math, map-only — and ONE
+    * corpus scan: the three populations explode out of a per-row
+    * variant array (a union of three branches would re-scan the
+    * documents table per branch — the E123 smell). */
+  def mediaCorpus(s: SparkSession, dir: String): DataFrame = {
+    val body = encode(col("text"), "UTF-8")
+    val bodyLen = length(body).cast("bigint")
+    val trunc = body.substr(lit(1),
+      floor(bodyLen * 3 / 4).cast("int"))
+    val vh = lit(100L) + pmod(col("doc_id"), lit(512L))
+    val vw = lit(140L) + pmod(col("doc_id"), lit(640L))
+    val reencPayload = concat(
+      unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
+      be(vh, 2), be(vw, 2), unhex(lit("01011100")), trunc)
+    Tables.load(s, dir, "documents")
+      .withColumn("modality", baseModality)
+      .withColumn("payload", basePayload)
+      .select(explode(array(
+        struct(col("doc_id").as("media_id"), col("modality"),
+          col("payload"), lit(true).as("keep")),
+        struct((col("doc_id") + 2000000L).as("media_id"), col("modality"),
+          col("payload"), (pmod(col("doc_id"), lit(7)) === 0).as("keep")),
+        struct((col("doc_id") + 1000000L).as("media_id"),
+          lit("video").as("modality"), reencPayload.as("payload"),
+          (pmod(col("doc_id"), lit(5)) === 0).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.media_id").as("media_id"),
+        col("v.modality").as("modality"), col("v.payload").as("payload"))
+  }
+
+  /** [[decode]] over the planted corpus, keyed by media_id. */
+  private def decodedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaCorpus(s, dir)
+      .withColumnRenamed("media_id", "doc_id")
+      .as[MediaRow].mapPartitions(decode _)
+      .withColumnRenamed("doc_id", "media_id")
+  }
+
+  /** q156: EXACT media dup detection — keep-first over the payload
+    * content hash (the q29 discipline on the binary plane): one row
+    * per shed copy, pointing at the kept representative.
+    *
+    * Scale shape: one map-side md5 projection, ONE shuffle on
+    * content_hash (partial-agg min/count), and the shed join reuses
+    * the same key — no second shuffle class. At 100 TB this is the
+    * cheapest dedup in the family: no shingles, no banding, the hash
+    * IS the identity. */
+  def mediaExactDups(s: SparkSession, dir: String): DataFrame = {
+    val hashed = mediaCorpus(s, dir)
+      .select(col("media_id"), md5(hex(col("payload"))).as("content_hash"))
+    val keep = hashed.groupBy(col("content_hash"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") >= 2)
+    hashed.join(keep, "content_hash")
+      .filter(col("media_id") =!= col("keep_id"))
+      .select(col("media_id"), col("keep_id"), col("content_hash"),
+        col("n_copies"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Block signatures shared by more media rows than this are
+    * boilerplate (a common intro/leader), not identity — the absolute
+    * stop threshold of the q33/q142 posting discipline. */
+  private val blockDfCap = 64
+
+  /** q157: media NEAR-dup via content-block overlap — the q68
+    * containment discipline over the decode stage's content-defined
+    * block signatures: two media rows pair when they share blocks, and
+    * a pair is reported when `common / least(n_a, n_b) ≥ 0.8`
+    * (integer micro units). A re-encode — same media, different
+    * container, truncated tail — shares every block it still carries,
+    * so containment hits 1.0 even though the payloads (and the
+    * positional frame hashes) differ byte-for-byte; q156's exact hash
+    * can never pair it.
+    *
+    * Scale shape: candidates come from a BUCKETED self-join of the
+    * (media_id, block_hash) postings — never all pairs; block hashes
+    * hotter than [[blockDfCap]] are removed by a broadcast stop-list
+    * anti-join before pair emission, and each row carries at most
+    * [[blockCap]] blocks, so a media row meets at most
+    * blockCap × blockDfCap candidates by construction. The postings
+    * relation is derived once ([[decodedCorpus]] explode) and
+    * localCheckpoint-pinned for its three consumers (per-media counts,
+    * the stop list, both join roles) — the E123 one-derivation rule. */
+  def mediaNearDups(s: SparkSession, dir: String): DataFrame = {
+    val posts = decodedCorpus(s, dir)
+      .select(col("media_id"), explode(col("block_hashes")).as("block_hash"))
+      .distinct()
+      .localCheckpoint()
+    val nPer = posts.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val stop = posts.groupBy(col("block_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > blockDfCap)
+      .select(col("block_hash"))
+    val rare = posts.join(broadcast(stop), Seq("block_hash"), "left_anti")
+    val pairs = rare.as("a").join(rare.as("b"), Seq("block_hash"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("common_blocks"))
+    pairs
+      .join(nPer.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("n_blocks", "n_a"), "media_a")
+      .join(nPer.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("n_blocks", "n_b"), "media_b")
+      .withColumn("containment_micro",
+        expr("common_blocks * 1000000L div least(n_a, n_b)"))
+      .filter(col("containment_micro") >= 800000L)
+      .select(col("media_a"), col("media_b"), col("common_blocks"),
+        col("n_a"), col("n_b"), col("containment_micro"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
     "q58_frame_hashes" -> frameHashes,
     "q155_media_resize" -> mediaResize,
+    "q156_media_exact_dups" -> mediaExactDups,
+    "q157_media_neardup" -> mediaNearDups,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -293,7 +467,74 @@ object Multimodal {
        |    END AS payload
        |  FROM m0)""".stripMargin
 
+  /** The planted-duplicate corpus, re-derived from scratch: base rows,
+    * the %5 JPEG re-encodes over the truncated body, the %7 verbatim
+    * re-uploads. `body_hex` is the post-header payload body as a hex
+    * string — DuckDB has no BLOB substr, so block slicing happens at
+    * 2 hex chars per byte (the q58 idiom). Assumes m0/m (duckMedia)
+    * in scope. */
+  private val duckMediaCorpus: String =
+    s"""mc AS (
+       |  SELECT doc_id AS media_id, payload,
+       |    hex(encode(text)) AS body_hex FROM m
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    unhex('FFD8FFC0') || unhex('000B') || unhex('08') ||
+       |      unhex(lpad(hex(100 + doc_id % 512), 4, '0')) ||
+       |      unhex(lpad(hex(140 + doc_id % 640), 4, '0')) ||
+       |      unhex('01011100') ||
+       |      unhex(substr(hex(encode(text)), 1,
+       |        CAST((3 * octet_length(encode(text)) // 4) * 2 AS BIGINT))),
+       |    substr(hex(encode(text)), 1,
+       |      CAST((3 * octet_length(encode(text)) // 4) * 2 AS BIGINT))
+       |  FROM m0 WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, payload, hex(encode(text))
+       |  FROM m WHERE doc_id % 7 = 0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // q156: keep-first exact dedup over the reconstructed corpus
+    "q156_media_exact_dups" ->
+      s"""WITH $duckMedia,
+         |$duckMediaCorpus,
+         |h AS (SELECT media_id, md5(hex(payload)) AS content_hash FROM mc),
+         |k AS (SELECT content_hash, min(media_id) AS keep_id,
+         |    CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM h GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT h.media_id, k.keep_id, h.content_hash, k.n_copies
+         |FROM h JOIN k USING (content_hash)
+         |WHERE h.media_id <> k.keep_id
+         |ORDER BY h.media_id""".stripMargin,
+    // q157: block postings → df stop list → bucketed self-join →
+    // containment threshold, every block hash re-derived from the
+    // reconstructed body bytes
+    "q157_media_neardup" ->
+      s"""WITH $duckMedia,
+         |$duckMediaCorpus,
+         |p0 AS (SELECT media_id,
+         |    md5(substr(body_hex, CAST(i * 128 + 1 AS BIGINT), 128))
+         |      AS block_hash
+         |  FROM mc, LATERAL unnest(generate_series(0,
+         |    CAST(least(length(body_hex) // 128, 16) - 1 AS BIGINT)))
+         |    AS t(i)),
+         |p AS (SELECT DISTINCT media_id, block_hash FROM p0),
+         |np AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1),
+         |r AS (SELECT * FROM p WHERE block_hash NOT IN (
+         |  SELECT block_hash FROM p GROUP BY 1 HAVING count(*) > 64)),
+         |c AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |    CAST(count(*) AS BIGINT) AS common_blocks
+         |  FROM r a JOIN r b ON a.block_hash = b.block_hash
+         |    AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT media_a, media_b, common_blocks, na.n AS n_a,
+         |  nb.n AS n_b,
+         |  CAST(common_blocks * 1000000 // least(na.n, nb.n) AS BIGINT)
+         |    AS containment_micro
+         |FROM c JOIN np na ON na.media_id = media_a
+         |JOIN np nb ON nb.media_id = media_b
+         |WHERE common_blocks * 1000000 // least(na.n, nb.n) >= 800000
+         |ORDER BY media_a, media_b""".stripMargin,
     // q155: geometry re-derived from the independently-reconstructed
     // payload headers; the thumb hash's full lineage (content md5 ⊕
     // rendered target geometry) recomputed from scratch.

@@ -681,4 +681,158 @@ class IndexStoreSpec extends SparkSuite {
     val missing = IndexStore.fingerprint(spark, src + "/nope", 1)
     assert(missing.nonEmpty)
   }
+
+  // ---- delete-aware maintenance (round-9 task 2) ------------------------
+
+  /** Data files (non-underscore, non-hidden) directly under a dir. */
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+  }
+
+  private def storeRoot: String =
+    spark.conf.getOption("spark.graft.indexDir").getOrElse(
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft-index")
+
+  test("segmented store: a deletion EXCISES the chain — only the " +
+    "touched segment's surviving files are re-fed to the build, " +
+    "untouched segments above it re-link as zero-copy _REUSE " +
+    "pointers, and the result equals a from-scratch rebuild") {
+    val name = freshName("excise")
+    val src = scratch("excise")
+    val s = spark
+    import s.implicits._
+    val calls = scala.collection.mutable.Buffer.empty[Seq[String]]
+    def get() = IndexStore.readOrBuildSegmented(s, name, src)(
+      files => { calls += files.sorted; s.read.parquet(files: _*) })
+    def fileSet() = dataFiles(src).map(_.getName).toSet
+    // segment 1: one file
+    Seq(1L, 2L, 3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // segment 2: TWO files (two separate appends folded by one build)
+    Thread.sleep(5)
+    val before2 = fileSet()
+    Seq(4L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    Seq(5L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    val seg2Files = (fileSet() -- before2).toSeq.sorted
+    assert(seg2Files.size === 2)
+    assert(get().collect().map(_.getLong(0)).toSet === (1L to 5L).toSet)
+    // segment 3: one more file — chain depth 3
+    Thread.sleep(5)
+    val before3 = fileSet()
+    Seq(6L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    val seg3File = (fileSet() -- before3).head
+    assert(get().collect().map(_.getLong(0)).toSet === (1L to 6L).toSet)
+    // DELETE one of segment 2's two files (the row holding 4 or 5)
+    calls.clear()
+    val victim = new java.io.File(src, seg2Files.head)
+    val survivorRows = {
+      val kept = s.read.parquet(s"$src/${seg2Files(1)}")
+        .collect().map(_.getLong(0)).toSet
+      kept
+    }
+    assert(victim.delete(), "fixture must delete the victim file")
+    val afterDelete = get().collect().map(_.getLong(0)).toSet
+    assert(afterDelete === Set(1L, 2L, 3L, 6L) ++ survivorRows,
+      "the deleted file's rows must vanish, everything else stays")
+    // THE excision proof: the only build call re-fed EXACTLY the
+    // touched segment's surviving file — not the corpus, not the
+    // untouched segments
+    assert(calls.size === 1,
+      s"excision must invoke the build once, got ${calls.size}")
+    assert(calls.head === Seq(s"file:$src/${seg2Files(1)}") ||
+      calls.head.map(_.stripPrefix("file:")) ===
+        Seq(s"$src/${seg2Files(1)}"),
+      s"rebuild must touch only the survivor of the touched window: " +
+        s"${calls.head}")
+    // the untouched segment ABOVE the cut re-linked as a _REUSE pointer
+    val artDir = new java.io.File(s"$storeRoot/$name")
+    val reuse = Option(artDir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory &&
+        new java.io.File(d, "_REUSE").exists())
+    assert(reuse.nonEmpty, "segment 3 must re-link as a _REUSE pointer")
+    reuse.foreach { d =>
+      assert(!dataFiles(d.toString).exists(_.getName.endsWith(".parquet")),
+        "a reuse pointer dir must carry NO copied data files")
+    }
+    // ≡ from-scratch: invalidate and rebuild the reduced corpus fully
+    val excised = afterDelete
+    IndexStore.invalidate(s, name)
+    calls.clear()
+    assert(get().collect().map(_.getLong(0)).toSet === excised,
+      "excised chain must equal the from-scratch rebuild")
+    // and the store keeps serving + appending on the excised chain
+    Thread.sleep(5)
+    calls.clear()
+    Seq(7L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    assert(get().collect().map(_.getLong(0)).toSet === excised + 7L)
+    assert(calls.size === 1 && calls.head.size === 1,
+      "a post-excision append must take the one-file delta path")
+  }
+
+  test("delete-one-source ≡ from-scratch rebuild for the mix-count " +
+    "chain: a takedown re-tokenizes only the touched segment") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-counts").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents")
+    // three appends → a 3-segment chain
+    all.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Llm.sourceTokenCounts(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Llm.sourceTokenCounts(s, wh).count()
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Llm.sourceTokenCounts(s, wh).count()
+    // takedown: segment 2's source file goes away
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Llm.sourceTokenCounts(s, wh)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // from-scratch ground truth over the REDUCED corpus
+    IndexStore.invalidate(s, "source_token_counts")
+    val rebuilt = graft.ops.Llm.sourceTokenCounts(s, wh)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(excised === rebuilt,
+      "excised mix counts must equal the from-scratch rebuild")
+  }
+
+  test("delete-one-source ≡ from-scratch rebuild for the shingle-set " +
+    "near-dup artifact") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-shingles").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 60)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Llm.corpusShinglesIdx(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Llm.corpusShinglesIdx(s, wh).count()
+    // takedown of the second crawl batch
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Llm.corpusShinglesIdx(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "shingle_sets")
+    val rebuilt = graft.ops.Llm.corpusShinglesIdx(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised shingle sets must equal the from-scratch rebuild")
+    // only the first batch's docs remain
+    assert(excised.nonEmpty)
+  }
 }

@@ -649,6 +649,33 @@ class LlmSpec extends SparkSuite {
     info(f"recall@10: nprobe=base $rBase%.3f -> 3x budget $rMulti%.3f")
   }
 
+  test("adaptive probe budget (q158): on boundary-straddling clusters " +
+    "recall@10 holds at >= the fixed 3x multiprobe path with a " +
+    "strictly LOWER mean probe count — probes go only to ambiguous " +
+    "assignments") {
+    val (_, exact) = exactTop10(overlapClusterDir)
+    val multi = Llm.ivfAdcMultiprobeTopk(spark, overlapClusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val adap = Llm.ivfAdcAdaptiveTopk(spark, overlapClusterDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val (rM, rA) = (recallAt10(multi, exact), recallAt10(adap, exact))
+    assert(rA >= rM,
+      f"adaptive recall $rA%.3f must not lose to fixed 3x $rM%.3f")
+    val nlist = Llm.ivfCentroids(spark, overlapClusterDir).count()
+    val base = Llm.ivfNprobe(nlist)
+    val cap = math.min(nlist, base * Llm.ivfMultiProbeBoost)
+    val probes = Llm.ivfAdaptiveProbes(spark, overlapClusterDir)
+      .collect().map(r => r.getLong(0))
+    val qids = probes.distinct.length
+    assert(probes.length < cap * qids,
+      s"adaptive must spend FEWER probes than the fixed cap " +
+        s"(${probes.length} vs ${cap * qids})")
+    assert(probes.length >= base * qids,
+      "every query keeps at least the base budget")
+    info(f"recall@10 fixed $rM%.3f vs adaptive $rA%.3f; mean probes " +
+      f"${probes.length.toDouble / qids}%.1f vs fixed cap $cap")
+  }
+
   test("clustered fixture: residual codes (q147) strictly beat plain " +
     "codes (q145) at the ADC stage under equal budget — the claim " +
     "the gaussian corpus could only show as parity") {

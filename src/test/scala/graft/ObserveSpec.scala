@@ -180,6 +180,56 @@ class ObserveSpec extends SparkSuite {
     }
   }
 
+  test("media dedup recall: every planted re-encode pairs with its " +
+    "base via content blocks (and positional frame hashes provably " +
+    "CANNOT pair them); every planted re-upload surfaces in exact " +
+    "dedup pointing at its base") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // ground truth from the typed decode over the planted corpus
+    val corpus = Multimodal.mediaCorpus(s, sf)
+      .withColumnRenamed("media_id", "doc_id")
+      .as[Multimodal.MediaRow].mapPartitions(Multimodal.decode _)
+      .collect().map(f => f.doc_id -> f).toMap
+    // --- near-dup recall: every re-encode with >= 1 full body block
+    // must pair with its base (containment already thresholded at 0.8)
+    val near = Multimodal.mediaNearDups(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = corpus.keys
+      .filter(id => id >= 1000000L && id < 2000000L)
+      .filter(id => corpus(id).block_hashes.nonEmpty)
+      .map(id => (id - 1000000L, id)).toSet
+    assert(expected.nonEmpty, "fixture must plant block-bearing re-encodes")
+    assert((expected -- near).isEmpty,
+      s"planted re-encode pairs missed: ${(expected -- near).take(3)}")
+    // the counterfactual: the re-encode's container shift displaces
+    // every positional frame slice, so frame_hashes share NOTHING —
+    // only the content-defined blocks can make this pair
+    val (b0, v0) = expected.head
+    assert(corpus(b0).frame_hashes.toSet
+      .intersect(corpus(v0).frame_hashes.toSet).isEmpty,
+      "positional frame hashes must NOT survive the re-encode")
+    assert(corpus(v0).block_hashes.toSet
+      .subsetOf(corpus(b0).block_hashes.toSet),
+      "a truncated re-encode's blocks are a prefix subset of its base")
+    // --- exact-dup recall: every %7 re-upload is shed toward its base
+    val shed = Multimodal.mediaExactDups(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reuploads = corpus.keys.filter(_ >= 2000000L).toSeq
+    assert(reuploads.nonEmpty, "fixture must plant re-uploads")
+    reuploads.foreach { id =>
+      assert(shed.contains(id), s"re-upload $id must be shed")
+      assert(shed(id) < 1000000L,
+        s"re-upload $id must keep a BASE row, got ${shed(id)}")
+    }
+    // a re-encode is NOT an exact dup — its container bytes differ,
+    // which is exactly why the block path has to exist
+    assert(corpus.keys.filter(id => id >= 1000000L && id < 2000000L)
+      .forall(id => !shed.contains(id)),
+      "re-encodes must never surface as exact dups")
+  }
+
   test("observed write: metrics harvested from the write's single pass") {
     val out = Files.createTempDirectory("graft_obs").toString + "/us"
     val m = graft.observe.Metrics.observedWrite(spark, sf, out)

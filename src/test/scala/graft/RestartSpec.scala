@@ -363,6 +363,45 @@ class RestartSpec extends SparkSuite {
         s"extra=${(got -- shards).take(3)})")
   }
 
+  test("curated admission survives restart: BOTH state planes — the " +
+    "dedup hashes and the per-source running totals — recover from " +
+    "the checkpoint, and the ledger across the restart equals the " +
+    "persisted q154 curated shards") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val feed = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+    val (h1, h2) = feed.splitAt(feed.length / 2)
+    val cp = ckpt("curadm")
+    val inR = MemoryStream[(Long, String, String, Long)]
+    val buf = scala.collection.mutable.Buffer
+      .empty[graft.ops.Llm.GateRow]
+    def gate() = graft.ops.Llm.curatedAdmission(s, sf,
+      inR.toDF().toDF("doc_id", "source", "text", "n_chars"))
+    val q1 = collectTo(gate(), Some(cp), buf)
+    withQuery(q1) { inR.addData(h1: _*); q1.processAllAvailable() }
+    // resume: a reset of EITHER plane would corrupt the ledger — lost
+    // dedup state re-admits dups, lost totals over-admit every source
+    inR.addData(h2: _*)
+    val q2 = collectTo(gate(), Some(cp), buf)
+    withQuery(q2) { q2.processAllAvailable() }
+    assert(buf.forall(_.status == "admit"))
+    val got = buf.map(r => (r.source, r.doc_id, r.n_tok, r.cum)).toSet
+    val shards = graft.ops.Llm.curatedMixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === shards,
+      s"restarted composed ledger must equal the q154 shards " +
+        s"(missing=${(shards -- got).take(3)}, " +
+        s"extra=${(got -- shards).take(3)})")
+  }
+
   test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +
     "materializations append to the watched events table between " +
     "micro-batches and every file-stream read is a consistent snapshot") {

@@ -614,6 +614,51 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet === shards)
   }
 
+  test("curated admission: quality gates + exact dedup + curated mix " +
+    "admission composed under ONE stream — the ledger across " +
+    "micro-batches EQUALS the persisted q154 curated shards, and the " +
+    "batch face agrees") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._1) // the crawler contract
+    val in = MemoryStream[(Long, String, String, Long)]
+    val q = graft.ops.Llm.curatedAdmission(s, sf,
+      in.toDF().toDF("doc_id", "source", "text", "n_chars"))
+      .writeStream.format("memory").queryName("curated_adm_out")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val rows = withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      s.table("curated_adm_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+    }
+    assert(rows.forall(_._5 == "admit"),
+      "an in-order, dup-free-by-dedup crawl quarantines nothing")
+    val admitted = rows.map(t => (t._1, t._2, t._3, t._4)).toSet
+    val shards = graft.ops.Llm.curatedMixShards(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(admitted === shards,
+      s"composed streamed ledger must equal the q154 curated shards " +
+        s"(missing=${(shards -- admitted).take(3)}, " +
+        s"extra=${(admitted -- shards).take(3)})")
+    // batch face: same operator, one pass, min_by representative
+    val batch = graft.ops.Llm.curatedAdmission(s, sf,
+      feed.toSeq.toDF("doc_id", "source", "text", "n_chars"))
+      .collect().map(r => (r.source, r.doc_id, r.n_tok, r.cum)).toSet
+    assert(batch === shards)
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
