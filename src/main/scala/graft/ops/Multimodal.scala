@@ -132,6 +132,35 @@ object Multimodal {
   private[graft] def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
     val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
       .map(_.toByte)
+    // ONE digest per partition (the batch-shaped decoder-init
+    // discipline this boundary exists for — a per-block
+    // MessageDigest.getInstance measurably tripled q40/q58/q155) and
+    // table-driven hex: the md5 preimage is the uppercase-hex ASCII
+    // rendering of the block bytes, built directly as bytes, never
+    // through per-byte format calls
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexU = "0123456789ABCDEF".getBytes
+    val hexL = "0123456789abcdef"
+    def blockMd5(p: Array[Byte], from: Int, len: Int): String = {
+      val in = new Array[Byte](len * 2)
+      var i = 0
+      while (i < len) {
+        val v = p(from + i) & 0xFF
+        in(2 * i) = hexU(v >>> 4)
+        in(2 * i + 1) = hexU(v & 0xF)
+        i += 1
+      }
+      val d = md.digest(in) // digest() resets the instance
+      val out = new Array[Char](32)
+      i = 0
+      while (i < 16) {
+        val v = d(i) & 0xFF
+        out(2 * i) = hexL(v >>> 4)
+        out(2 * i + 1) = hexL(v & 0xF)
+        i += 1
+      }
+      new String(out)
+    }
     rows.map { r =>
       val p = r.payload
       val len = p.length.toLong
@@ -187,12 +216,7 @@ object Multimodal {
       val nFull = math.max(0,
         math.min((len.toInt - bodyStart) / blockBytes, blockCap))
       val blocks = (0 until nFull).map { i =>
-        val off = bodyStart + i * blockBytes
-        val hexStr = p.slice(off, off + blockBytes)
-          .map("%02X".format(_)).mkString
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(hexStr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-          .map("%02x".format(_)).mkString
+        blockMd5(p, bodyStart + i * blockBytes, blockBytes)
       }
       MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes, blocks)
     }
@@ -310,7 +334,13 @@ object Multimodal {
     * corpus scan: the three populations explode out of a per-row
     * variant array (a union of three branches would re-scan the
     * documents table per branch — the E123 smell). */
-  def mediaCorpus(s: SparkSession, dir: String): DataFrame = {
+  def mediaCorpus(s: SparkSession, dir: String): DataFrame =
+    mediaCorpusOf(Tables.load(s, dir, "documents"))
+
+  /** [[mediaCorpus]] over an EXPLICIT documents frame — the
+    * per-source-files face the segmented block-postings artifact
+    * builds from. */
+  private def mediaCorpusOf(docsDf: DataFrame): DataFrame = {
     val body = encode(col("text"), "UTF-8")
     val bodyLen = length(body).cast("bigint")
     val trunc = body.substr(lit(1),
@@ -320,7 +350,7 @@ object Multimodal {
     val reencPayload = concat(
       unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
       be(vh, 2), be(vw, 2), unhex(lit("01011100")), trunc)
-    Tables.load(s, dir, "documents")
+    docsDf
       .withColumn("modality", baseModality)
       .withColumn("payload", basePayload)
       .select(explode(array(
@@ -337,13 +367,33 @@ object Multimodal {
   }
 
   /** [[decode]] over the planted corpus, keyed by media_id. */
-  private def decodedCorpus(s: SparkSession, dir: String): DataFrame = {
+  private def decodedCorpusOf(
+      s: SparkSession, docsDf: DataFrame): DataFrame = {
     import s.implicits._
-    mediaCorpus(s, dir)
+    mediaCorpusOf(docsDf)
       .withColumnRenamed("media_id", "doc_id")
       .as[MediaRow].mapPartitions(decode _)
       .withColumnRenamed("doc_id", "media_id")
   }
+
+  /** The (media_id, block_hash) postings PERSISTED as a
+    * content-addressed SEGMENTED artifact (`media_block_postings`):
+    * decode + block hashing — the dominant CPU of the media near-dup
+    * path — is paid once per document ever. File-decomposable (one
+    * media row's blocks derive from one source document file), so a
+    * pure append builds a delta segment from just the added files and
+    * a DELETION (media takedown — the likeliest lifecycle event for
+    * media at 100 TB) excises only the touched segments, exactly the
+    * mix-count/shingle discipline (E157). */
+  private[graft] def mediaBlockPostingsIdx(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "media_block_postings", s"$dir/documents.parquet")(
+      files => decodedCorpusOf(s, s.read.parquet(files: _*)
+          .repartition(s.sparkContext.defaultParallelism))
+        .select(col("media_id"),
+          explode(col("block_hashes")).as("block_hash"))
+        .distinct())
 
   /** q156: EXACT media dup detection — keep-first over the payload
     * content hash (the q29 discipline on the binary plane): one row
@@ -389,14 +439,17 @@ object Multimodal {
     * anti-join before pair emission, and each row carries at most
     * [[blockCap]] blocks, so a media row meets at most
     * blockCap × blockDfCap candidates by construction. The postings
-    * relation is derived once ([[decodedCorpus]] explode) and
-    * localCheckpoint-pinned for its three consumers (per-media counts,
-    * the stop list, both join roles) — the E123 one-derivation rule. */
+    * relation is the persisted [[mediaBlockPostingsIdx]] artifact
+    * (decode + hashing once per document ever; delete-aware via the
+    * segmented store), localCheckpoint-pinned for its four consumers
+    * (per-media counts, the stop list, both join roles) — the E123
+    * one-derivation rule. */
   def mediaNearDups(s: SparkSession, dir: String): DataFrame = {
-    val posts = decodedCorpus(s, dir)
-      .select(col("media_id"), explode(col("block_hashes")).as("block_hash"))
-      .distinct()
-      .localCheckpoint()
+    // served from the persisted postings artifact (decode/hash paid
+    // once per document ever); the chain fold is pinned once for the
+    // four consumers below (per-media counts, df stop list, both
+    // self-join roles)
+    val posts = mediaBlockPostingsIdx(s, dir).localCheckpoint()
     val nPer = posts.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_blocks"))
     val stop = posts.groupBy(col("block_hash"))

@@ -835,4 +835,33 @@ class IndexStoreSpec extends SparkSuite {
     // only the first batch's docs remain
     assert(excised.nonEmpty)
   }
+
+  test("media takedown: the block-postings artifact excises the " +
+    "deleted crawl batch and equals the from-scratch rebuild") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-media").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 80)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Multimodal.mediaBlockPostingsIdx(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Multimodal.mediaBlockPostingsIdx(s, wh).count() // delta seg
+    // takedown of the second crawl batch (base rows AND their planted
+    // re-encode/re-upload variants all derive from the deleted file)
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Multimodal.mediaBlockPostingsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "media_block_postings")
+    val rebuilt = graft.ops.Multimodal.mediaBlockPostingsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised media block postings must equal the from-scratch rebuild")
+    assert(excised.nonEmpty)
+  }
 }
