@@ -35,6 +35,30 @@ object LowMemRun {
       println(s"[lowmem] $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}")
       require(n > 0, s"$name returned 0 rows under memory pressure")
     }
+    // Optional streaming-gate leg: drain a dominant-source backlog
+    // through the mix-admission gate in ONE AvailableNow trigger. The
+    // gate's memory claim — per-group state is the reorder WINDOW,
+    // never the trigger slice — is exactly what a tiny heap falsifies:
+    // the r8 implementation buffered and sorted the whole slice
+    // (O(trigger) tuples in one task) and dies here; the streamed
+    // heap finishes.
+    if (args.length > 1) {
+      val feedDir = args(1)
+      val t0 = System.nanoTime()
+      val feed = spark.readStream
+        .schema(spark.read.parquet(feedDir).schema)
+        .parquet(feedDir)
+      val q = graft.ops.Llm.mixGate(spark, dir, feed)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drained = q.recentProgress.map(_.numInputRows).sum
+      println(s"[lowmem] gate drained=$drained " +
+        s"sec=${(System.nanoTime() - t0) / 1e9}")
+      require(drained > 0, "gate drained nothing")
+    }
     println("[lowmem] OK")
     spark.stop()
   }

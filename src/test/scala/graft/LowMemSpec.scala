@@ -61,6 +61,22 @@ class LowMemSpec extends SparkSuite {
       s"CAST(`$c` AS ${ev.schema(c).dataType.sql}) AS `$c`"): _*))
       .write.parquet(s"$dir/events.parquet")
 
+    // the streaming-gate backlog: 2M one-token docs of the corpus's
+    // highest-allocation source, id-ordered in ONE file — a month of a
+    // dominant crawl source drained in a single AvailableNow trigger.
+    // The r8 gate materialized this whole slice as a sorted Seq in one
+    // task (the q149 class one layer up); the streamed reorder heap
+    // holds 1024 entries regardless
+    val hotSrc = ops.Llm.mixAllocation(s, dir)
+      .orderBy(col("alloc_tokens").desc)
+      .select(col("source")).as[String].head()
+    s.range(2000000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      lit(hotSrc).as("source"),
+      lit("tok").as("text"))
+      .coalesce(1)
+      .write.parquet(s"$dir/_gate_feed")
+
     // child JVM: tiny heap, same classpath, isolated index store (the
     // artifacts it builds under pressure are part of the gate)
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -77,7 +93,7 @@ class LowMemSpec extends SparkSuite {
       "-Dspark.ui.enabled=false",
       s"-Dspark.graft.indexDir=$dir/_index") ++ addOpens ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.LowMemRun", dir)
+      "graft.LowMemRun", dir, s"$dir/_gate_feed")
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
@@ -96,6 +112,8 @@ class LowMemSpec extends SparkSuite {
       s"low-mem child failed (exit ${proc.exitValue()}):\n$out")
     assert(out.toString.contains("[lowmem] OK"),
       s"missing OK marker:\n$out")
+    assert(out.toString.contains("drained=2000000"),
+      s"the gate must drain the whole 2M backlog in the tiny heap:\n$out")
     // the bot user must have been truncated-and-flagged by the funnel,
     // not silently dropped: verify the planted key is present in the
     // parent session too (same plan, roomy heap)
