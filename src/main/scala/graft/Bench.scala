@@ -242,11 +242,16 @@ object Bench {
       // keep the newest 8 and prune the rest (they live under target/,
       // but sbt clean is not a policy).
       import scala.jdk.CollectionConverters._
-      val old = java.nio.file.Files.list(out.getParent).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("bench-detail-"))
-        .toSeq
-        .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .drop(8)
+      // Files.list holds an open directory handle until closed — leaked
+      // once per bench run without the finally (ADVICE r9).
+      val listing = java.nio.file.Files.list(out.getParent)
+      val old =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("bench-detail-"))
+          .toSeq
+          .sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .drop(8)
+        finally listing.close()
       old.foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")

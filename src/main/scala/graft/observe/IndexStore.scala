@@ -536,10 +536,21 @@ object IndexStore {
                       writeSmall(f, new Path(tmp, "_REUSE"), "")
                       writeSmall(f, new Path(tmp, "_SUCCESS"), "")
                     } else if (windowNew.isEmpty) {
-                      // the whole window was deleted: a marker-only
-                      // empty segment keeps the chain arithmetic flat
-                      f.mkdirs(tmp)
-                      writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+                      // the whole window was deleted. A marker-only dir
+                      // keeps the chain arithmetic flat, but if EVERY
+                      // chain segment ended up file-less the multi-path
+                      // scan would have no footer to infer a schema
+                      // from (ADVICE r9) — so carry the artifact schema
+                      // as a zero-row parquet file cloned from the
+                      // donor segment's own data when it has any.
+                      val donorData = resolved(f, base, g)
+                      if (hasDataFiles(f, donorData))
+                        s.read.parquet(donorData.toString).limit(0)
+                          .write.mode("overwrite").parquet(tmp.toString)
+                      else {
+                        f.mkdirs(tmp)
+                        writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+                      }
                     } else {
                       perFiles(windowNew.map(_.split('|').head))
                         .write.mode("overwrite").parquet(tmp.toString)

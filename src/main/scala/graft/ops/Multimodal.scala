@@ -418,10 +418,22 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** Block signatures shared by more media rows than this are
-    * boilerplate (a common intro/leader), not identity — the absolute
-    * stop threshold of the q33/q142 posting discipline. */
-  private val blockDfCap = 64
+  /** Stop-block document-frequency threshold, CORPUS-RELATIVE like the
+    * text twin [[Llm.stopDfThreshold]] (r9 verdict's weak item): a
+    * block signature in more than 1/5 of the media corpus is
+    * boilerplate (a common intro/leader), not identity — floored at an
+    * absolute 64 so tiny fixtures keep stable semantics. The fraction
+    * is what makes the broadcast stop list PROVABLY bounded: total
+    * postings ≤ nMedia × [[blockCap]], so blocks with df > nMedia/5
+    * number at most 5 × blockCap = 80 — a constant, independent of
+    * corpus size. The previous ABSOLUTE cap (df > 64) let the stop
+    * list grow as postings/64 ≈ nMedia/4 on a boilerplate-heavy corpus
+    * (every file sharing an intro leader), and the broadcast hint then
+    * forced a corpus-linear relation through the driver. The DuckDB
+    * oracle embeds the same formula, so both engines prune
+    * identically. */
+  private[graft] def mediaBlockDfThreshold(nMedia: Long): Long =
+    math.max(64L, nMedia / 5)
 
   /** q157: media NEAR-dup via content-block overlap — the q68
     * containment discipline over the decode stage's content-defined
@@ -435,26 +447,33 @@ object Multimodal {
     *
     * Scale shape: candidates come from a BUCKETED self-join of the
     * (media_id, block_hash) postings — never all pairs; block hashes
-    * hotter than [[blockDfCap]] are removed by a broadcast stop-list
-    * anti-join before pair emission, and each row carries at most
-    * [[blockCap]] blocks, so a media row meets at most
-    * blockCap × blockDfCap candidates by construction. The postings
-    * relation is the persisted [[mediaBlockPostingsIdx]] artifact
-    * (decode + hashing once per document ever; delete-aware via the
-    * segmented store), localCheckpoint-pinned for its four consumers
-    * (per-media counts, the stop list, both join roles) — the E123
-    * one-derivation rule. */
+    * hotter than [[mediaBlockDfThreshold]] are removed by a broadcast
+    * stop-list anti-join before pair emission (the stop list is
+    * ≤ 5 × blockCap = 80 rows by the threshold's construction when
+    * the fraction binds — broadcast-safe at ANY corpus size), and
+    * each row carries at most [[blockCap]] blocks, so a media row
+    * meets at most blockCap × df-threshold candidates by
+    * construction. The postings relation is the persisted
+    * [[mediaBlockPostingsIdx]] artifact (decode + hashing once per
+    * document ever; delete-aware via the segmented store),
+    * localCheckpoint-pinned for its four consumers (per-media counts,
+    * the stop list, both join roles) — the E123 one-derivation
+    * rule. */
   def mediaNearDups(s: SparkSession, dir: String): DataFrame = {
     // served from the persisted postings artifact (decode/hash paid
     // once per document ever); the chain fold is pinned once for the
     // four consumers below (per-media counts, df stop list, both
     // self-join roles)
     val posts = mediaBlockPostingsIdx(s, dir).localCheckpoint()
+    // corpus size for the relative threshold: a columnar count over
+    // the variant-exploded corpus — Catalyst prunes the scan to
+    // doc_id (keep flags derive from it), no payload bytes move
+    val nMedia = mediaCorpus(s, dir).count()
     val nPer = posts.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_blocks"))
     val stop = posts.groupBy(col("block_hash"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > blockDfCap)
+      .filter(col("df") > mediaBlockDfThreshold(nMedia))
       .select(col("block_hash"))
     val rare = posts.join(broadcast(stop), Seq("block_hash"), "left_anti")
     val pairs = rare.as("a").join(rare.as("b"), Seq("block_hash"))
@@ -574,7 +593,8 @@ object Multimodal {
          |np AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n
          |  FROM p GROUP BY 1),
          |r AS (SELECT * FROM p WHERE block_hash NOT IN (
-         |  SELECT block_hash FROM p GROUP BY 1 HAVING count(*) > 64)),
+         |  SELECT block_hash FROM p GROUP BY 1
+         |  HAVING count(*) > greatest(64, (SELECT count(*) FROM mc) // 5))),
          |c AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
          |    CAST(count(*) AS BIGINT) AS common_blocks
          |  FROM r a JOIN r b ON a.block_hash = b.block_hash

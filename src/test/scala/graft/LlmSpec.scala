@@ -659,8 +659,15 @@ class LlmSpec extends SparkSuite {
     val adap = Llm.ivfAdcAdaptiveTopk(spark, overlapClusterDir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     val (rM, rA) = (recallAt10(multi, exact), recallAt10(adap, exact))
+    // FIXTURE-PINNED empirical result, not an invariant: the subset
+    // argument only protects the cut stage — a true neighbor in a
+    // margin-pruned cell is lost at the probe stage, so >= holds here
+    // because ivfAdaptiveMarginMicro was tuned on THIS seed-fixed
+    // straddling fixture (deterministic, so the assert is stable);
+    // on other data the relation is a tuning target, not a theorem.
     assert(rA >= rM,
-      f"adaptive recall $rA%.3f must not lose to fixed 3x $rM%.3f")
+      f"adaptive recall $rA%.3f must not lose to fixed 3x $rM%.3f " +
+        "on the straddling fixture the margin was tuned on")
     val nlist = Llm.ivfCentroids(spark, overlapClusterDir).count()
     val base = Llm.ivfNprobe(nlist)
     val cap = math.min(nlist, base * Llm.ivfMultiProbeBoost)

@@ -659,6 +659,79 @@ class StreamingSpec extends SparkSuite {
     assert(batch === shards)
   }
 
+  test("curated admission dedup state is BOUNDED: already-ingested " +
+    "documents drop via the stream-static text-hash artifact with " +
+    "zero state growth, and in-flight hashes evict as the watermark " +
+    "passes — state rows track the window, never the fed history") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(s, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_._1)
+    val (seen, fresh) = docs.splitAt(docs.length / 2)
+    // the "already ingested" warehouse: first half persisted where the
+    // text-hash artifact expects the documents table
+    val seenDir = java.nio.file.Files
+      .createTempDirectory("graft_curadm_seen").toString
+    seen.toSeq.toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$seenDir/documents.parquet")
+    val in = MemoryStream[(Long, String, String, Long, Timestamp)]
+    val q = graft.ops.Llm.curatedAdmission(s, sf,
+      in.toDF().toDF("doc_id", "source", "text", "n_chars", "arr_ts"),
+      seenCorpus = Some(seenDir))
+      .writeStream.format("memory").queryName("curated_adm_bounded")
+      .outputMode("append").start()
+    def dedupRows: Long = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .filter(_.operatorName.toLowerCase.contains("dedupe"))
+      .map(_.numRowsTotal).sum
+    def filler(id: Long, sec: Long) = {
+      // a filler must PASS the quality gates to reach the watermark
+      // node and advance the eviction clock: ≥15 words, n_chars ≤
+      // 12·n_words, and long enough that the largest single 2-gram
+      // stays under Gopher's 12%-of-chars rule
+      val text = (1 to 60).map(i => s"n${id % 1000}x$i").mkString(" ")
+      (id, "web", text, text.length.toLong, ts(sec))
+    }
+    withQuery(q) {
+      // batch A: every doc's text is in the seen corpus — plane 1
+      // (the anti-join) drops them BEFORE the dedup operator, so
+      // admitted output and dedup state must both stay empty
+      in.addData(seen.map(d => (d._1, d._2, d._3, d._4, ts(10))).toSeq: _*)
+      q.processAllAvailable()
+      assert(s.table("curated_adm_bounded").isEmpty,
+        "already-ingested docs must not re-admit")
+      assert(dedupRows === 0L,
+        s"anti-joined docs must never enter dedup state (got $dedupRows)")
+      // batch B: novel second half — state holds its window hashes
+      in.addData(fresh.map(d => (d._1, d._2, d._3, d._4, ts(1000))).toSeq: _*)
+      q.processAllAvailable()
+      val afterB = dedupRows
+      assert(afterB > 0L && afterB <= fresh.length,
+        s"window state must be bounded by the batch's docs ($afterB)")
+      val admitted = s.table("curated_adm_bounded").collect()
+        .map(_.getLong(1)).toSet
+      assert(admitted.nonEmpty &&
+        admitted.forall(id => fresh.exists(_._1 == id)),
+        "every admitted doc must come from the novel half")
+      // batches C/D: a few fillers far past the 10-minute watermark —
+      // C advances the watermark beyond batch B's event time, D gives
+      // the store the following trigger in which eviction lands
+      in.addData(filler(900001L, 1000 + 3600),
+        filler(900002L, 1000 + 3600)); q.processAllAvailable()
+      in.addData(filler(900003L, 1000 + 3700)); q.processAllAvailable()
+      val afterD = dedupRows
+      assert(afterD <= 3L,
+        s"batch B's ${afterB} hashes must evict once the watermark " +
+          s"passes — state is the window, not the history (got $afterD)")
+    }
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
