@@ -448,11 +448,34 @@ object IndexStore {
     * documented "unsplittable" case. */
   def readOrBuildSegmented(s: SparkSession, name: String, srcDir: String,
       version: Int = 1, extra: String = "")(
-      perFiles: Seq[String] => DataFrame): DataFrame = {
-    exciseOnDelete(s, name, srcDir, version, extra)(perFiles)
+      perFiles: Seq[String] => DataFrame): DataFrame =
+    readOrBuildSegmentedGated(s, name, srcDir, version, extra)(perFiles)(
+      (_, _) => true)
+
+  /** [[readOrBuildSegmented]] with a CARRY GATE for artifacts whose
+    * per-file contribution depends on a MODEL artifact (quantizer
+    * scales, centroids, codebooks): `carry(deletedLines, addedPaths)`
+    * is consulted before the excision path AND before an append
+    * delta. `deletedLines` are the MANIFEST LINES (`path|len|mtime`)
+    * of the files the source state lost — the files themselves are
+    * gone, so byte sizes for drift math must come from the recorded
+    * line; `addedPaths` are plain paths (added files exist and can be
+    * read). Returning true asserts the model the contributions were
+    * computed against is UNCHANGED at the current source state
+    * (frozen chain or delete-carry), so reused segments and rebuilt
+    * segments encode against the same model; returning false declines
+    * both shortcuts and the artifact rebuilds in full — the retrain
+    * cascade. The gate should resolve the model artifact (so its own
+    * lifecycle runs at the current fingerprint) and then check
+    * [[isChained]]/[[frozenFrom]]. */
+  def readOrBuildSegmentedGated(s: SparkSession, name: String,
+      srcDir: String, version: Int = 1, extra: String = "")(
+      perFiles: Seq[String] => DataFrame)(
+      carry: (Seq[String], Seq[String]) => Boolean): DataFrame = {
+    exciseOnDelete(s, name, srcDir, version, extra)(perFiles)(carry)
     readOrBuildIncremental(s, name, srcDir, version, extra)(
       perFiles(sourceManifest(s, srcDir).map(_.split('|').head)))(
-      (_, added) => perFiles(added))
+      (_, added) => if (carry(Nil, added)) perFiles(added) else null)
   }
 
   /** The deletion path of [[readOrBuildSegmented]]: if the current
@@ -467,7 +490,8 @@ object IndexStore {
     * `_SUCCESS`). */
   private def exciseOnDelete(s: SparkSession, name: String, srcDir: String,
       version: Int, extra: String)(
-      perFiles: Seq[String] => DataFrame): Unit = {
+      perFiles: Seq[String] => DataFrame)(
+      carry: (Seq[String], Seq[String]) => Boolean): Unit = {
     val manifest = sourceManifest(s, srcDir)
     val fp = fingerprintOf(version, extra, manifest)
     val base = new Path(s"${root(s)}/$name")
@@ -502,6 +526,12 @@ object IndexStore {
         case Some((afp, aLines)) =>
           val deleted = aLines.filterNot(mset).toSet
           val added = manifest.filterNot(aLines.toSet)
+          // model-consistency gate: a declined carry (the model
+          // retrained at this transition) falls through to the full
+          // rebuild instead of mixing old-model reused segments with
+          // new-model rebuilt ones
+          if (!carry(deleted.toSeq.sorted, added.map(_.split('|').head)))
+            return
           val fpsRootFirst = chainFps(f, base, afp).reverse
           val segManifests = fpsRootFirst.map { g =>
             readSmall(f, new Path(new Path(base, s"fp=$g"), "_MANIFEST"))
@@ -571,6 +601,83 @@ object IndexStore {
           }
       }
     }
+  }
+
+  /** Freeze-on-delete for MODEL artifacts (quantizer scales, centroid
+    * tables, codebooks — tiny, model-sized relations): when the
+    * current source state is not servable and a finished donor
+    * artifact LOST at least one file, and `accept(deletedLines,
+    * addedPaths)` says the frozen model remains valid for the
+    * surviving corpus, the donor's FOLDED content is republished at
+    * the current fingerprint as a standalone segment carrying a
+    * `_FROZEN` marker naming the donor. This is the deletion analog
+    * of the append-freeze chain (`prev.limit(0)` deltas): a takedown
+    * below the drift threshold keeps serving the trained model —
+    * every downstream code stays valid and the code chains can EXCISE
+    * instead of re-encoding ([[readOrBuildSegmentedGated]] checks
+    * [[frozenFrom]]) — while a drift-sized deletion declines and the
+    * next read retrains from scratch. The copy is one model-sized
+    * write (KBs at any corpus scale), never a recompute. No-op when
+    * the current state is already servable or no donor qualifies. */
+  def carryOnDelete(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1, extra: String = "")(
+      accept: (Seq[String], Seq[String]) => Boolean): Unit = {
+    val manifest = sourceManifest(s, srcDir)
+    val fp = fingerprintOf(version, extra, manifest)
+    val base = new Path(s"${root(s)}/$name")
+    val dest = new Path(base, s"fp=$fp")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, dest)
+      if (f.exists(new Path(dest, "_SUCCESS")) && chainIntact(f, base, fp))
+        return // current state already servable
+      if (!f.exists(base)) return
+      val mset = manifest.toSet
+      val donor = f.listStatus(base).toSeq
+        .filter(_.getPath.getName.startsWith("fp="))
+        .map(_.getPath.getName.stripPrefix("fp="))
+        .filter(g =>
+          f.exists(new Path(new Path(base, s"fp=$g"), "_SUCCESS")) &&
+            chainIntact(f, base, g))
+        .flatMap { g =>
+          readSmall(f, new Path(new Path(base, s"fp=$g"), "_MANIFEST"))
+            .map(m => (g, m.split("\n").toSeq.filter(_.nonEmpty)))
+        }
+        .filter { case (_, lines) =>
+          lines.exists(l => !mset(l)) && lines.exists(mset)
+        }
+        .sortBy { case (_, lines) => -lines.count(mset) }
+        .headOption
+      donor.foreach { case (afp, aLines) =>
+        val deleted = aLines.filterNot(mset).toSeq.sorted
+        val added = manifest.filterNot(aLines.toSet)
+          .map(_.split('|').head)
+        if (accept(deleted, added)) {
+          if (f.exists(dest)) f.delete(dest, true) // unfinished debris
+          val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+          readChain(s, base, afp)
+            .write.mode("overwrite").parquet(tmp.toString)
+          writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
+          writeSmall(f, new Path(tmp, "_FROZEN"), afp)
+          if (f.exists(new Path(dest, "_SUCCESS"))) f.delete(tmp, true)
+          else if (!f.rename(tmp, dest)) f.delete(tmp, true)
+        }
+      }
+    }
+  }
+
+  /** The donor fingerprint recorded by a [[carryOnDelete]] freeze at
+    * `srcDir`'s CURRENT fingerprint, if the artifact serving it is a
+    * delete-carried frozen model — the deletion analog of
+    * [[isChained]], and the other half of the code-chain consistency
+    * check ([[readOrBuildSegmentedGated]]). */
+  def frozenFrom(s: SparkSession, name: String, srcDir: String,
+      version: Int = 1, extra: String = ""): Option[String] = {
+    val fp = fingerprint(s, srcDir, version, extra)
+    val base = new Path(s"${root(s)}/$name")
+    val f = fs(s, base)
+    readSmall(f, new Path(new Path(base, s"fp=$fp"), "_FROZEN"))
+      .map(_.trim).filter(_.nonEmpty)
   }
 
   /** The artifact at `srcDir`'s CURRENT fingerprint, if one is

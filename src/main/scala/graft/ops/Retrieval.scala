@@ -86,17 +86,20 @@ object Retrieval {
   /** The inverted index as a persisted [[graft.observe.IndexStore]]
     * artifact — at 100 TB a retriever that re-tokenizes the corpus per
     * query is not an index, it is a full scan with extra steps. The
-    * postings relation is MONOTONE under corpus append (appended files
-    * carry new doc_ids, the same contract as the shingle/band
-    * artifacts), so a pure append indexes only the added files into a
-    * chained delta segment; document-frequency and corpus totals are
-    * NOT persisted — they are vocabulary-sized aggregations of the
-    * chain computed at read, so a delta append cannot stale them. */
+    * postings relation is FILE-DECOMPOSABLE (per-(doc, term) rows with
+    * the doc length carried in-row — a document never spans source
+    * files), so it rides the SEGMENTED store (E157): a pure append
+    * indexes only the added files into a chained delta segment, and a
+    * takedown EXCISES only the touched segments instead of
+    * re-tokenizing the corpus (previously any deletion full-rebuilt).
+    * Document-frequency and corpus totals are NOT persisted — they
+    * are vocabulary-sized aggregations of the chain computed at read,
+    * so neither an append nor an excision can stale them. */
   private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
-    graft.observe.IndexStore.readOrBuildIncremental(
+    graft.observe.IndexStore.readOrBuildSegmented(
       s, "bm25_postings", docsSrc(dir))(
-      postingsOf(docs(s, dir)))(
-      (_, added) => postingsOf(s.read.parquet(added: _*)))
+      files => postingsOf(s.read.parquet(files: _*)
+        .repartition(s.sparkContext.defaultParallelism)))
 
   /** Per-(query, doc) BM25 score in integer micro-units, plus the
     * doc's matched-term stats — the shared scoring core of

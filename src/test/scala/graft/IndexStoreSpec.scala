@@ -836,6 +836,175 @@ class IndexStoreSpec extends SparkSuite {
     assert(excised.nonEmpty)
   }
 
+  test("gated segmented store: the carry gate sees the deleted " +
+    "manifest lines and added paths; a TRUE gate excises, a FALSE " +
+    "gate (model retrained) falls back to the full rebuild") {
+    val name = freshName("gated")
+    val src = scratch("gated")
+    val s = spark
+    import s.implicits._
+    val calls = scala.collection.mutable.Buffer.empty[Seq[String]]
+    val gates = scala.collection.mutable
+      .Buffer.empty[(Seq[String], Seq[String])]
+    var allow = true
+    def get() = IndexStore.readOrBuildSegmentedGated(s, name, src)(
+      files => { calls += files.sorted; s.read.parquet(files: _*) })(
+      (del, add) => { gates += ((del, add)); allow })
+    def fileSet() = dataFiles(src).map(_.getName).toSet
+    Seq(1L, 2L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    val seg1File = fileSet().head
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    Thread.sleep(5)
+    val before2 = fileSet()
+    Seq(3L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    val seg2File = (fileSet() -- before2).head
+    assert(get().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // the append consulted the gate with NO deletions and ONE path
+    assert(gates.nonEmpty && gates.last._1.isEmpty &&
+      gates.last._2.map(_.split('/').last) === Seq(seg2File))
+    // deletion with the gate CLOSED: the model retrained — no segment
+    // of the old chain may be reused, the build re-feeds everything.
+    // (Delete the FIRST file: the surviving state {seg2} was never
+    // built, so the store cannot just re-serve a retained ancestor.)
+    assert(new java.io.File(src, seg1File).delete())
+    allow = false
+    calls.clear(); gates.clear()
+    assert(get().collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(gates.size === 1, s"gate consulted once, got ${gates.size}")
+    assert(gates.head._1.size === 1 &&
+      gates.head._1.head.contains(seg1File) &&
+      gates.head._1.head.split('|').length >= 3,
+      s"the gate must see the deleted file's manifest LINE " +
+        s"(path|len|mtime): ${gates.head._1}")
+    assert(gates.head._2.isEmpty, "pure deletion adds nothing")
+    assert(calls.size === 1 && calls.head.size === 1 &&
+      calls.head.head.contains(seg2File),
+      s"closed gate must full-rebuild from the survivors: $calls")
+    // deletion with the gate OPEN: the untouched window excises with
+    // no rebuild call at all
+    Thread.sleep(5)
+    val before3 = fileSet()
+    Seq(4L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    val seg3File = (fileSet() -- before3).head
+    allow = true
+    assert(get().collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    assert(new java.io.File(src, seg2File).delete())
+    calls.clear(); gates.clear()
+    assert(get().collect().map(_.getLong(0)).toSet === Set(4L))
+    // excision path: the touched window lost its only file → empty
+    // segment, the untouched seg re-links — nothing is re-fed
+    assert(calls.forall(_.forall(_.contains(seg3File))),
+      s"an open gate must never re-feed untouched windows: $calls")
+  }
+
+  test("delete-one-source ≡ from-scratch rebuild for the BM25 " +
+    "postings chain: a takedown re-tokenizes only the touched " +
+    "segment, document frequencies re-derive from the fold") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-bm25").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 90)
+    all.filter(col("doc_id") % 3 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Retrieval.bm25Postings(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Retrieval.bm25Postings(s, wh).count()
+    Thread.sleep(5)
+    all.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Retrieval.bm25Postings(s, wh).count()
+    // takedown: the middle crawl batch goes away
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Retrieval.bm25Postings(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "bm25_postings")
+    val rebuilt = graft.ops.Retrieval.bm25Postings(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised BM25 postings must equal the from-scratch rebuild")
+    assert(excised.nonEmpty)
+  }
+
+  test("delete-one-source for the SQ8 vector-code chain: a sub-drift " +
+    "takedown CARRIES the frozen scale model (zero retrain) and " +
+    "excises the code segments ≡ a from-scratch encode under that " +
+    "model; a drift-sized takedown cascades into a retrain") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-sq8").toString
+    val embDir = s"$wh/embeddings.parquet"
+    val src = s"$wh/embeddings.parquet"
+    val all = s.read.parquet(s"$sf/embeddings.parquet")
+    // state 1: the BULK slice (~80% of rows), AMPLIFIED 2× so its
+    // per-dim maxima dominate — later appends then provably freeze
+    // the scales, and the two small appends stay under the 20%
+    // deletion-drift bound individually
+    all.filter(col("vec_id") % 10 < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x * 2.0f).as("embedding"),
+        col("label"))
+      .coalesce(1).write.mode("append").parquet(embDir)
+    val bulkFile = dataFiles(embDir).map(_.getName).head
+    graft.ops.Llm.sq8Vectors(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(embDir).map(_.getName).toSet
+    all.filter(col("vec_id") % 10 === 8).coalesce(1)
+      .write.mode("append").parquet(embDir)
+    val seg2File = (dataFiles(embDir).map(_.getName).toSet -- before2).head
+    graft.ops.Llm.sq8Vectors(s, wh).count()
+    Thread.sleep(5)
+    all.filter(col("vec_id") % 10 === 9).coalesce(1)
+      .write.mode("append").parquet(embDir)
+    graft.ops.Llm.sq8Vectors(s, wh).count()
+    val scalesBefore = graft.ops.Llm.sq8Scales(s, wh)
+      .collect().map(_.toString).toSet
+    // SUB-DRIFT takedown: one of three appended slices (~1/7 of the
+    // surviving bytes — far under the 20% drift bound)
+    assert(new java.io.File(embDir, seg2File).delete())
+    val excised = graft.ops.Llm.sq8Vectors(s, wh)
+      .collect().map(_.toString).toSet
+    // the scale model CARRIED: delete-frozen at the new fingerprint,
+    // content identical to the pre-deletion model
+    assert(IndexStore.frozenFrom(s, "sq8_scales", src,
+      graft.ops.Llm.sq8ArtifactVersion).nonEmpty,
+      "a sub-drift takedown must carry the scale model frozen")
+    assert(graft.ops.Llm.sq8Scales(s, wh)
+      .collect().map(_.toString).toSet === scalesBefore,
+      "the carried model must be byte-identical to the donor's")
+    // ≡ from-scratch encode UNDER THE CARRIED MODEL (the frozen-model
+    // contract: codes re-derive against the model in force, which the
+    // carry pins to the trained one)
+    IndexStore.invalidate(s, "sq8_vectors")
+    val rebuilt = graft.ops.Llm.sq8Vectors(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised SQ8 codes must equal the from-scratch encode under " +
+        "the carried scales")
+    // DRIFT-SIZED takedown: the amplified bulk slice goes away — the
+    // carry must DECLINE (deleted bytes ≫ 20% of survivors), the
+    // scales retrain on the survivors, and the codes re-encode in
+    // full against the new model
+    assert(new java.io.File(embDir, bulkFile).delete())
+    val retrained = graft.ops.Llm.sq8Vectors(s, wh)
+      .collect().map(_.toString).toSet
+    assert(IndexStore.frozenFrom(s, "sq8_scales", src,
+      graft.ops.Llm.sq8ArtifactVersion).isEmpty,
+      "a drift-sized takedown must NOT carry the model")
+    assert(graft.ops.Llm.sq8Scales(s, wh)
+      .collect().map(_.toString).toSet !== scalesBefore,
+      "the retrained scales must reflect the survivors")
+    IndexStore.invalidate(s, "sq8_vectors")
+    assert(graft.ops.Llm.sq8Vectors(s, wh)
+      .collect().map(_.toString).toSet === retrained,
+      "cascaded re-encode must equal the from-scratch rebuild")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark
