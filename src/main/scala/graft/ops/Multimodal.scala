@@ -256,11 +256,17 @@ object Multimodal {
   /** q155: RESIZE / thumbnail stage — the fit-into-64×64
     * target-geometry math (pure integer, aspect-preserving) over the
     * typed decode output, plus a DETERMINISTIC STAND-IN for the
-    * resampled pixels: this container ships no image codec, so the
-    * pixel resample is a clearly-marked fake (md5 over content-hash ⊕
-    * target geometry) while everything Spark-side — the typed
-    * mapPartitions decode, the columnar projection, the per-row
-    * integer geometry, the hash lineage — is real and oracle-checked.
+    * resampled pixels: PNG/JPEG payloads need a codec this container
+    * does not ship, so for THESE containers the pixel resample is a
+    * clearly-marked fake (md5 over content-hash ⊕ target geometry)
+    * while everything Spark-side — the typed mapPartitions decode,
+    * the columnar projection, the per-row integer geometry, the hash
+    * lineage — is real and oracle-checked. The UNCOMPRESSED raster
+    * path has no such boundary: q159 ([[rasterThumbnail]]) runs a
+    * genuine integer box-filter kernel over real PGM bytes and is
+    * byte-verified by its oracle — the codec swap for PNG/JPEG drops
+    * into the same mapPartitions boundary that kernel already
+    * occupies.
     * Geometry law: the long edge lands exactly on 64 (floor division
     * for the short edge, floored at 1); no upscaling (a thumbnail
     * never fabricates pixels, so sub-64 media keep their size); audio
@@ -494,12 +500,128 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // ---- q159: REAL pixel resample over an uncompressed raster -------------
+
+  /** One raster row: a REAL binary PGM (P5) payload. */
+  case class RasterRow(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded + resampled raster: `thumb_hex` is the RESAMPLED PIXEL
+    * BYTES (uppercase hex) — not a stand-in hash. */
+  case class RasterThumb(doc_id: Long, width: Long, height: Long,
+      thumb_w: Long, thumb_h: Long, thumb_hex: String)
+
+  /** Raster fixture: each document contributes a genuine binary PGM
+    * (`P5\nW H\n255\n` + W·H grayscale bytes) whose pixel at (y, x) is
+    * `(doc_id·31 + y·17 + x·7) mod 256` — fully re-derivable by the
+    * oracle, so the resample output can be BYTE-verified. Dimensions
+    * 9–24 px per edge: always larger than the 8-px thumb target, so
+    * every row exercises a real downsample. Pure columnar byte math
+    * (transform + array_join is linear in pixels — an aggregate-concat
+    * fold would be O(n²) string copying), map-only. */
+  private def rasterTable(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .withColumn("w", lit(9L) + pmod(col("doc_id"), lit(16L)))
+      .withColumn("h", lit(9L) + pmod(col("doc_id"), lit(12L)))
+      .select(col("doc_id"), concat(
+        encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+          col("h").cast("string"), lit("\n255\n")), "UTF-8"),
+        unhex(expr(
+          """array_join(transform(sequence(0, w * h - 1),
+               i -> lpad(hex(pmod(doc_id * 31 + (i div w) * 17
+                                    + (i % w) * 7, 256)), 2, '0')), '')""")))
+        .as("payload"))
+
+  /** GENUINE integer box-filter downsample inside the decode
+    * `mapPartitions` boundary (the round-9 verdict's task 4: the one
+    * documented simulation, retired for the raster container — PNG/
+    * JPEG keep the documented codec boundary, q155). Parses the P5
+    * header from the bytes (magic, ASCII dims — never trusting row
+    * metadata), fits the geometry into 8×8 with the q155 law, and for
+    * each target pixel averages its source block
+    * `rows [ty·h/th, (ty+1)·h/th) × cols [tx·w/tw, (tx+1)·w/tw)` in
+    * integer math (floor-div average) — the standard area-map box
+    * filter. Unparseable payloads decode to zeros (T5). Map-only,
+    * zero shuffles; at 100 TB this IS the thumbnail pipeline's kernel
+    * shape, with the codec swap confined to the same boundary. */
+  private[graft] def rasterDecode(
+      rows: Iterator[RasterRow]): Iterator[RasterThumb] = {
+    val hexU = "0123456789ABCDEF"
+    rows.map { r =>
+      val p = r.payload
+      var i = 0
+      def ws(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def int(): Long = {
+        while (i < p.length && ws(p(i))) i += 1
+        var v = 0L
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+          v = v * 10 + (p(i) - '0'); i += 1
+        }
+        v
+      }
+      if (p.length < 2 || p(0) != 'P' || p(1) != '5')
+        RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
+      else {
+        i = 2
+        val w = int(); val h = int(); int() // maxval (255) — parsed, unused
+        i += 1 // the single whitespace byte terminating the header
+        val base = i
+        if (w <= 0 || h <= 0 || base + w * h > p.length)
+          RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
+        else {
+          // q155's no-upscale law keeps the kernel TOTAL: with both
+          // target edges ≤ their source edges every block holds ≥ 1
+          // pixel, so the average can never divide by zero
+          val tw = if (w <= 8 && h <= 8) w
+            else if (w >= h) 8L else math.max(1L, w * 8 / h)
+          val th = if (w <= 8 && h <= 8) h
+            else if (w >= h) math.max(1L, h * 8 / w) else 8L
+          val sb = new java.lang.StringBuilder((tw * th * 2).toInt)
+          var ty = 0L
+          while (ty < th) {
+            var tx = 0L
+            while (tx < tw) {
+              val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+              val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+              var sum = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  sum += p((base + y * w + x).toInt) & 0xFF; x += 1
+                }
+                y += 1
+              }
+              val av = sum / ((y1 - y0) * (x1 - x0))
+              sb.append(hexU((av >> 4).toInt)).append(hexU((av & 0xF).toInt))
+              tx += 1
+            }
+            ty += 1
+          }
+          RasterThumb(r.doc_id, w, h, tw, th, sb.toString)
+        }
+      }
+    }
+  }
+
+  /** q159: the raster thumbnail relation — real container bytes in,
+    * real resampled pixel bytes out, every byte re-derived by the
+    * DuckDB oracle from the same pixel formula the fixture plants. */
+  def rasterThumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rasterTable(s, dir).as[RasterRow]
+      .mapPartitions(rasterDecode _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
     "q58_frame_hashes" -> frameHashes,
     "q155_media_resize" -> mediaResize,
     "q156_media_exact_dups" -> mediaExactDups,
     "q157_media_neardup" -> mediaNearDups,
+    "q159_raster_thumbnail" -> rasterThumbnail,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -647,6 +769,46 @@ object Multimodal {
          |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
          |SELECT doc_id, frame_no, frame_hash FROM f
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // q159: the box-filter resample re-derived pixel by pixel from the
+    // planted formula — the engine PARSES real container bytes and
+    // filters real pixels; the oracle recomputes the identical bytes
+    // from arithmetic alone, so a decoder or kernel drift breaks the
+    // hash at the first pixel
+    "q159_raster_thumbnail" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    CAST(9 + doc_id % 16 AS BIGINT) AS w,
+         |    CAST(9 + doc_id % 12 AS BIGINT) AS h
+         |  FROM documents),
+         |t AS (SELECT *,
+         |    CAST(CASE WHEN w <= 8 AND h <= 8 THEN w
+         |         WHEN w >= h THEN 8
+         |         ELSE greatest(1, w * 8 // h) END AS BIGINT) AS tw,
+         |    CAST(CASE WHEN w <= 8 AND h <= 8 THEN h
+         |         WHEN w >= h THEN greatest(1, h * 8 // w)
+         |         ELSE 8 END AS BIGINT) AS th
+         |  FROM g),
+         |c AS (SELECT doc_id, w, h, tw, th, ty.i AS ty, tx.i AS tx
+         |  FROM t,
+         |    LATERAL unnest(generate_series(0, th - 1)) ty(i),
+         |    LATERAL unnest(generate_series(0, tw - 1)) tx(i)),
+         |bp AS (SELECT doc_id, ty, tx,
+         |    (doc_id * 31 + y.i * 17 + x.i * 7) % 256 AS v
+         |  FROM c,
+         |    LATERAL unnest(generate_series(ty * h // th,
+         |      (ty + 1) * h // th - 1)) y(i),
+         |    LATERAL unnest(generate_series(tx * w // tw,
+         |      (tx + 1) * w // tw - 1)) x(i)),
+         |cell AS (SELECT doc_id, ty, tx,
+         |    CAST(sum(v) // count(*) AS BIGINT) AS av
+         |  FROM bp GROUP BY 1, 2, 3),
+         |hx AS (SELECT doc_id,
+         |    string_agg(lpad(hex(av), 2, '0'), '' ORDER BY ty, tx)
+         |      AS thumb_hex
+         |  FROM cell GROUP BY 1)
+         |SELECT t.doc_id, w AS width, h AS height, tw AS thumb_w,
+         |  th AS thumb_h, thumb_hex
+         |FROM t JOIN hx ON hx.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "q40_multimodal_meta" ->
       s"""WITH $duckMedia
          |SELECT doc_id, modality,

@@ -755,4 +755,37 @@ class ObserveSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() ===
       spark.read.parquet(in).count())
   }
+
+  test("raster box filter (q159): the kernel averages exactly the " +
+    "source block of each target pixel, sub-target rasters pass " +
+    "through unscaled, and garbage payloads decode to zeros (T5)") {
+    import graft.ops.Multimodal.{RasterRow, RasterThumb}
+    def decode(p: Array[Byte]): RasterThumb =
+      graft.ops.Multimodal.rasterDecode(
+        Iterator.single(RasterRow(7L, p))).next()
+    def pgm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("UTF-8").toSeq ++
+        px.map(_.toByte)).toArray
+    // 16×1 strip of known values → thumb 8×1, each target pixel the
+    // floor-average of its 2-pixel block
+    val strip = (0 until 16).map(i => i * 10 + 1) // 1,11,21,...,151
+    val t = decode(pgm(16, 1, strip))
+    assert((t.width, t.height, t.thumb_w, t.thumb_h) === (16L, 1L, 8L, 1L))
+    val expect = (0 until 8).map { i =>
+      val av = (strip(2 * i) + strip(2 * i + 1)) / 2
+      f"$av%02X"
+    }.mkString
+    assert(t.thumb_hex === expect,
+      s"box filter must average each 2-px block: ${t.thumb_hex}")
+    // sub-target raster: identity, pixels byte-identical
+    val tiny = decode(pgm(2, 2, Seq(5, 250, 0, 128)))
+    assert((tiny.thumb_w, tiny.thumb_h) === (2L, 2L))
+    assert(tiny.thumb_hex === "05FA0080")
+    // garbage: quarantine default, never a throw
+    val bad = decode("not a raster at all".getBytes("UTF-8"))
+    assert(bad === RasterThumb(7L, 0L, 0L, 0L, 0L, ""))
+    // truncated pixel section: header promises more bytes than exist
+    val trunc = decode(pgm(4, 4, Seq(1, 2, 3)))
+    assert(trunc.thumb_hex === "")
+  }
 }
