@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stale-report hygiene: a deleted suite's TEST-*.xml otherwise
+// survives under target/test-reports indefinitely and reads as a
+// current result (a pre-HEAD ScratchSpec report sat there through
+// round 9). Purge at the start of every test run so the post-run dir
+// holds exactly the suites that ran.
+Test / testOptions += Tests.Setup { () =>
+  val dir = file("target/test-reports")
+  if (dir.exists)
+    IO.listFiles(dir).filter(_.getName.endsWith(".xml")).foreach(_.delete())
+}
 // Forked program stdout must reach the real stdout UNPREFIXED: the
 // driver parses Bench's one-line JSON, and sbt's default logger wraps
 // forked output in "[info] " (round 1's BENCH json was unparseable).

@@ -603,6 +603,214 @@ object IndexStore {
     }
   }
 
+  /** PARTITION-DECOMPOSABLE sinks (the q152/q154 shard artifacts):
+    * the artifact's rows cluster by a partition column (`source`) and
+    * a partition's content depends only on (that partition's input
+    * rows, that partition's slice of the `extra` parameterization) —
+    * NOT file-decomposable (a source's cumulative cutoff spans every
+    * input file carrying that source) but cleanly decomposable one
+    * level up. Lifecycle:
+    *
+    *  - the artifact is written `partitionBy(partCol)` under `data/`,
+    *    with a `_PARTMAP` recording which INPUT FILES carry which
+    *    partition values (one columnar scan at build time) and the
+    *    verbatim `extra` in `_EXTRA`;
+    *  - on a source change, the TOUCHED partitions are (values in
+    *    deleted files, from the donor's recorded `_PARTMAP` — the
+    *    files themselves are gone) ∪ (values in added files, scanned)
+    *    ∪ (values whose `extra` slice changed, from
+    *    `extraDiffParts(donorExtra, extra)` — `None` means the diff
+    *    is not attributable and the whole artifact rebuilds);
+    *  - `build(Some(touched))` re-extracts ONLY the touched
+    *    partitions; every untouched partition re-links ZERO-COPY via
+    *    a `_PARTS` pointer file naming the donor's `part=` dir — a
+    *    takedown at 100 TB re-pays the touched sources' extraction,
+    *    never the full sink, and untouched sources' shard files stay
+    *    byte-identical (they are literally the same files).
+    *
+    * Reads resolve `_PARTS`: one scan over the head's own `data/`
+    * plus one basePath-scan over the linked donor dirs — O(2) scans
+    * regardless of partition count. A torn link (donor reclaimed)
+    * fails servability and the next read rebuilds. Retention: heads
+    * referenced by a `_PARTS` file are protected like `_REUSE`
+    * donors. */
+  def readOrBuildPartitioned(s: SparkSession, name: String,
+      srcDir: String, partCol: String, version: Int = 1,
+      extra: String = "")(build: Option[Set[String]] => DataFrame)(
+      extraDiffParts: (String, String) => Option[Set[String]]): DataFrame = {
+    val manifest = sourceManifest(s, srcDir)
+    val fp = fingerprintOf(version, extra, manifest)
+    val base = new Path(s"${root(s)}/$name")
+    val dest = new Path(base, s"fp=$fp")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, dest)
+      if (!partServable(f, base, dest)) {
+        if (f.exists(dest)) f.delete(dest, true) // unfinished or torn
+        // donor: the finished artifact sharing the most files
+        val mset = manifest.toSet
+        val donor = (if (f.exists(base)) f.listStatus(base).toSeq else Nil)
+          .filter(_.getPath.getName.startsWith("fp="))
+          .map(_.getPath.getName.stripPrefix("fp="))
+          .filter(g => partServable(f, base, new Path(base, s"fp=$g")))
+          .flatMap { g =>
+            val d = new Path(base, s"fp=$g")
+            for {
+              m <- readSmall(f, new Path(d, "_MANIFEST"))
+              pm <- readSmall(f, new Path(d, "_PARTMAP"))
+              ex = readSmall(f, new Path(d, "_EXTRA")).getOrElse("")
+              lines = m.split("\n").toSeq.filter(_.nonEmpty)
+              if lines.exists(mset)
+            } yield (g, lines, parsePartMap(pm), ex)
+          }
+          .sortBy { case (_, lines, _, _) => -lines.count(mset) }
+          .headOption
+        val touched: Option[(String, Set[String])] = donor.flatMap {
+          case (g, dLines, dMap, dExtra) =>
+            val deleted = dLines.filterNot(mset)
+              .map(_.split('|').head.split('/').last)
+            val added = manifest.filterNot(dLines.toSet)
+              .map(_.split('|').head)
+            extraDiffParts(dExtra, extra).map { extraParts =>
+              val delParts = deleted.flatMap(fn =>
+                dMap.getOrElse(fn, Set.empty)).toSet
+              val addParts =
+                if (added.isEmpty) Set.empty[String]
+                else partsOfFiles(s, added, partCol)
+              (g, delParts ++ addParts ++ extraParts)
+            }
+        }
+        val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+        val data = new Path(tmp, "data")
+        touched match {
+          case Some((g, parts)) =>
+            if (parts.nonEmpty)
+              build(Some(parts))
+                .write.mode("overwrite").partitionBy(partCol)
+                .parquet(data.toString)
+            else f.mkdirs(data)
+            // zero-copy links for every untouched donor partition
+            val donorData = new Path(new Path(base, s"fp=$g"), "data")
+            val donorParts = f.listStatus(donorData).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.contains("="))
+              .map(_.getPath.getName)
+            val links = donorParts.filterNot(p =>
+              parts.contains(partValueOf(p)))
+              .map(p => s"fp=$g/data/$p")
+            writeSmall(f, new Path(tmp, "_PARTS"), links.mkString("\n"))
+          case None =>
+            build(None)
+              .write.mode("overwrite").partitionBy(partCol)
+              .parquet(data.toString)
+            writeSmall(f, new Path(tmp, "_PARTS"), "")
+        }
+        writeSmall(f, new Path(tmp, "_PARTMAP"), renderPartMap(
+          partMapOf(s, manifest.map(_.split('|').head), partCol)))
+        writeSmall(f, new Path(tmp, "_EXTRA"), extra)
+        writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
+        writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+        if (f.exists(new Path(dest, "_SUCCESS"))) f.delete(tmp, true)
+        else if (!f.rename(tmp, dest)) f.delete(tmp, true)
+        // retention: same bounded-head policy as the chain store,
+        // protecting link donors like _REUSE donors
+        val all = f.listStatus(base).toSeq
+          .filter(_.getPath.getName.startsWith("fp="))
+        val retained = all.sortBy(-_.getModificationTime)
+          .take(keepFingerprints).map(_.getPath.getName)
+        val protectedNames: Set[String] = retained.toSet ++
+          retained.flatMap { n =>
+            readSmall(f, new Path(new Path(base, n), "_PARTS")).toSeq
+              .flatMap(_.split("\n").toSeq)
+              .filter(_.nonEmpty)
+              .map(_.split('/').head)
+          }
+        all.filterNot(st => protectedNames.contains(st.getPath.getName))
+          .foreach(st => f.delete(st.getPath, true))
+      }
+    }
+    readPartitioned(s, base, fp, partCol)
+  }
+
+  /** A partitioned head is servable when its `_SUCCESS` is published
+    * and every `_PARTS` link target still exists. */
+  private def partServable(f: FileSystem, base: Path, dest: Path): Boolean =
+    f.exists(new Path(dest, "_SUCCESS")) &&
+      readSmall(f, new Path(dest, "_PARTS")).forall(
+        _.split("\n").toSeq.filter(_.nonEmpty).forall(l =>
+          f.exists(new Path(base, l))))
+
+  private def readPartitioned(s: SparkSession, base: Path, fp: String,
+      partCol: String): DataFrame = {
+    val f = fs(s, base)
+    val dest = new Path(base, s"fp=$fp")
+    val own = new Path(dest, "data")
+    val links = readSmall(f, new Path(dest, "_PARTS"))
+      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val ownHasParts = f.exists(own) && f.listStatus(own)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    val ownDf =
+      if (ownHasParts) Some(s.read.parquet(own.toString)) else None
+    val linkDf =
+      if (links.isEmpty) None
+      else {
+        // one scan for ALL linked parts: basePath keeps the partition
+        // column that lives in the dir names
+        val donorData = new Path(base,
+          links.head.split('/').take(2).mkString("/"))
+        Some(s.read.option("basePath", donorData.toString)
+          .parquet(links.map(l => new Path(base, l).toString): _*))
+      }
+    (ownDf, linkDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        throw new IllegalStateException(
+          s"partitioned artifact at $dest has neither data nor links")
+    }
+  }
+
+  /** Which partition values does each input file carry — one columnar
+    * scan keyed by file BASENAME (stable across URI-scheme renderings
+    * of the same path). */
+  private def partMapOf(s: SparkSession, files: Seq[String],
+      partCol: String): Map[String, Set[String]] =
+    if (files.isEmpty) Map.empty
+    else s.read.parquet(files: _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col(partCol).cast("string").as("v"))
+      .distinct().collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+
+  private def partsOfFiles(s: SparkSession, files: Seq[String],
+      partCol: String): Set[String] =
+    partMapOf(s, files, partCol).values.flatten.toSet
+
+  /** `_PARTMAP` codec: `basename<TAB>v1<US>v2...` per line, values
+    * separated by the unit separator (never in a source name that
+    * survives a parquet write of practical provenance; basenames are
+    * writer-generated part files, TAB-free). */
+  private def renderPartMap(m: Map[String, Set[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (fn, vs) =>
+      s"$fn\t${vs.toSeq.sorted.mkString("")}"
+    }.mkString("\n")
+
+  private def parsePartMap(text: String): Map[String, Set[String]] =
+    text.split("\n").toSeq.filter(_.contains("\t")).map { l =>
+      val i = l.indexOf('\t')
+      l.substring(0, i) ->
+        l.substring(i + 1).split('').toSet.filter(_.nonEmpty)
+    }.toMap
+
+  /** The partition VALUE of a `part=`-style dir name (URL-decoded the
+    * way the parquet writer escaped it). */
+  private def partValueOf(dirName: String): String = {
+    val raw = dirName.substring(dirName.indexOf('=') + 1)
+    java.net.URLDecoder.decode(raw, "UTF-8")
+  }
+
   /** Freeze-on-delete for MODEL artifacts (quantizer scales, centroid
     * tables, codebooks — tiny, model-sized relations): when the
     * current source state is not servable and a finished donor

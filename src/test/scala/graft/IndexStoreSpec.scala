@@ -1005,6 +1005,77 @@ class IndexStoreSpec extends SparkSuite {
       "cascaded re-encode must equal the from-scratch rebuild")
   }
 
+  test("shard-sink takedown (q152): untouched capped sources' shard " +
+    "files stay BYTE-IDENTICAL zero-copy links, touched and " +
+    "re-allocated sources re-extract, and the artifact equals a full " +
+    "re-extraction") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-shards").toString
+    val docsDir = s"$wh/documents.parquet"
+    def doc(id: Long, src: String, words: Int) =
+      (id, (1 to words).map(i => s"w${id}x$i").mkString(" "),
+        "en", src, 0L)
+    // file 1: a big uncapped source + a tiny CAPPED one (a capped
+    // source's allocation is its own availability, invariant under a
+    // deletion elsewhere — the reusable partition)
+    val f1 = (1L to 200L).map(doc(_, "alpha", 50)) ++
+      (201L to 203L).map(doc(_, "tiny", 20))
+    // file 2: one source entirely in one file — the takedown victim
+    val f2 = (301L to 350L).map(doc(_, "beta", 50))
+    f1.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    f2.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    val artRoot = new java.io.File(s"$storeRoot/mix_shards")
+    def heads(): Set[String] = Option(artRoot.listFiles()).map(_.toSeq)
+      .getOrElse(Nil).filter(d => d.isDirectory &&
+        d.getName.startsWith("fp=") &&
+        new java.io.File(d, "_SUCCESS").exists()).map(_.getName).toSet
+    val heads0 = heads()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val shards1 = graft.ops.Llm.mixShards(s, wh).collect().map(key).toSet
+    assert(shards1.exists(_._1 == "beta") && shards1.exists(_._1 == "tiny"))
+    val head1 = (heads() -- heads0).head
+    val tiny1 = new java.io.File(artRoot, s"$head1/data/source=tiny")
+    assert(tiny1.isDirectory, "the sink must cluster by source")
+    val tinyBytes1 = dataFiles(tiny1.toString)
+      .map(f => (f.getName, f.length())).toSet
+    // TAKEDOWN of beta's file
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val headsBefore2 = heads()
+    val shards2 = graft.ops.Llm.mixShards(s, wh).collect().map(key).toSet
+    assert(!shards2.exists(_._1 == "beta"), "beta's shard must vanish")
+    val head2 = (heads() -- headsBefore2).head
+    // tiny: capped, allocation unchanged → ZERO-COPY link into head1,
+    // files literally the same bytes
+    val links = Files.readString(
+      Paths.get(s"$storeRoot/mix_shards/$head2/_PARTS"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val tinyLink = links.find(_.endsWith("source=tiny"))
+    assert(tinyLink.isDefined && tinyLink.get.startsWith(head1),
+      s"tiny must re-link into the donor, got $links")
+    val tinyLinked = new java.io.File(artRoot, tinyLink.get)
+    assert(dataFiles(tinyLinked.toString)
+      .map(f => (f.getName, f.length())).toSet === tinyBytes1,
+      "the linked shard files must be the donor's own, byte-identical")
+    // alpha: uncapped — the shrunken budget moved its allocation, so
+    // it re-extracted into the NEW head's own data
+    assert(new java.io.File(artRoot, s"$head2/data/source=alpha")
+      .isDirectory, "a re-allocated source must re-extract")
+    assert(!links.exists(_.endsWith("source=alpha")))
+    // ≡ full re-extraction from scratch
+    IndexStore.invalidate(s, "mix_shards")
+    val rebuilt = graft.ops.Llm.mixShards(s, wh).collect().map(key).toSet
+    assert(shards2 === rebuilt,
+      "takedown shards must equal the from-scratch re-extraction")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

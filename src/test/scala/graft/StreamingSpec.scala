@@ -518,7 +518,7 @@ class StreamingSpec extends SparkSuite {
       .writeStream.format("memory").queryName("mix_gate_replay")
       .outputMode("append").start()
     val third = math.max(feed.length / 3, 1)
-    val rows = withQuery(q) {
+    val (rows, batchMetrics) = withQuery(q) {
       feed.grouped(third).foreach { chunk =>
         in.addData(chunk: _*); q.processAllAvailable()
       }
@@ -526,9 +526,17 @@ class StreamingSpec extends SparkSuite {
       // re-run) — every row violates the monotone contract
       in.addData(feed.take(third): _*)
       q.processAllAvailable()
-      s.table("mix_gate_replay").collect()
+      // per-micro-batch gate counters off the query's OWN progress
+      // stream (observedMetrics — the monitoring plane, no second
+      // pass over the dead-letter output)
+      val metrics = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.observedMetrics.get("mix_gate")))
+        .map(r => (r.getAs[Long]("quarantined"), r.getAs[Long]("admitted")))
+      (s.table("mix_gate_replay").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getString(4))).toSeq
+          r.getLong(3), r.getString(4))).toSeq,
+        metrics)
     }
     val admitted = rows.filter(_._5 == "admit")
       .map(t => (t._1, t._2, t._3, t._4)).toSet
@@ -544,6 +552,18 @@ class StreamingSpec extends SparkSuite {
       "quarantined rows carry the sentinel cum, never a running total")
     assert(quarantined.map(_._2).toSet ===
       feed.take(third).map(_._1).toSet)
+    // observability (E-task r9#7): the violating batch is visible on
+    // the dashboard the moment it commits — its own micro-batch
+    // progress carries the quarantine counter, clean batches carry 0
+    assert(batchMetrics.size >= 4, s"one metric row per data batch: " +
+      s"$batchMetrics")
+    assert(batchMetrics.last === ((third.toLong, 0L)),
+      s"the replay batch must report (quarantined=$third, admitted=0): " +
+        s"${batchMetrics.last}")
+    assert(batchMetrics.dropRight(1).forall(_._1 == 0L),
+      s"clean batches must report zero quarantined: $batchMetrics")
+    assert(batchMetrics.map(_._2).sum === admitted.size.toLong,
+      "per-batch admitted counters must sum to the ledger")
   }
 
   test("mix gate reorder window: transport reordering WITHIN the " +
