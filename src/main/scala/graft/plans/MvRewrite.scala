@@ -257,9 +257,17 @@ object MvCatalog {
 
   def registerLineitemDaily(s: SparkSession, dir: String): DataFrame = {
     val basePath = s"$dir/lineitem.parquet"
-    val mv = graft.observe.IndexStore.readOrBuild(
-      s, "mv_lineitem_daily", basePath, version = artifactVersion) {
-      s.read.parquet(basePath)
+    // SEGMENTED (E157 rollout): the MV is PARTIAL aggregates under a
+    // re-aggregation fold — every consumer ([[MvRewrite]]'s rewritten
+    // plans) re-aggregates the artifact anyway (sum of cnt/sums, min
+    // of mins, avg synthesized from sums), so a chain holding one
+    // partial row per (grain, segment) folds to the identical answer:
+    // file-decomposable AS CONSUMED. An append rolls up only the added
+    // files; a base-table DELETE excises only the touched segments —
+    // previously any deletion re-aggregated the whole base.
+    val mv = graft.observe.IndexStore.readOrBuildSegmented(
+      s, "mv_lineitem_daily", basePath, version = artifactVersion)(
+      files => s.read.parquet(files: _*)
         .groupBy(col("l_returnflag"), col("l_linestatus"),
           to_date(col("l_shipdate")).as("ship_day"))
         .agg(
@@ -267,8 +275,7 @@ object MvCatalog {
           sum(col("l_quantity")).as("sum_qty"),
           count(col("l_quantity")).as("cnt_qty"),
           min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"))
-    }
+          max(col("l_extendedprice")).as("max_price")))
     MvRewrite.register(MvRewrite.Spec(
       basePath = basePath,
       artifact = "mv_lineitem_daily",

@@ -595,6 +595,25 @@ class PlanSpec extends SparkSuite {
     assert(p3.contains("mv_lineitem_daily"),
       s"re-registration must serve the rebuilt artifact:\n$p3")
     assert(q.collect().map(_.getLong(1)).sum === after.values.sum)
+    // TAKEDOWN (segmented, r10): delete the ORIGINAL file — the
+    // surviving state (appended file only) was never built, so the MV
+    // must EXCISE the donor chain rather than re-serve a retained
+    // head; the served rollup equals the direct compute over the
+    // survivors
+    val original = Option(new java.io.File(basePath).listFiles())
+      .get.filter(f => f.getName.endsWith(".parquet"))
+      .sortBy(_.lastModified()).head
+    assert(original.delete())
+    val truth = q.collect() // old registration no longer matches → base
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(truth.values.sum === 100L, "only the appended rows survive")
+    graft.plans.MvCatalog.registerLineitemDaily(spark, dir)
+    val p4 = q.queryExecution.executedPlan.toString
+    assert(p4.contains("mv_lineitem_daily"),
+      s"post-takedown registration must serve the excised artifact:\n$p4")
+    val served = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served === truth,
+      "the excised MV must serve exactly the surviving base's rollup")
   }
 
   test("MV type safety: sum over a DECIMAL base never rewrites (rolled " +
