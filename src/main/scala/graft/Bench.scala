@@ -234,8 +234,13 @@ object Bench {
       // comparisons (tools/bench_compare.py) survive local iteration.
       // A CONTENDED pass must not overwrite the clean snapshot it was
       // judged against — the keyed file's whole value is being the
-      // uncontended reference.
-      if (!contended)
+      // uncontended reference. Neither may a FILTERED pass
+      // (SPARK_GRAFT_ONLY): a 4-query probe at the same fixture would
+      // replace the full-pass reference with a partial one and break
+      // both the contention verdict (its total_r1 is ~0) and the
+      // cross-round compare (the round-7 clobber lesson, one level
+      // deeper).
+      if (!contended && only.isEmpty)
         java.nio.file.Files.writeString(keyedPath,
           detailLine + "\n" + headline + "\n")
       // Retention: keyed files accumulate one per fixture regeneration;
