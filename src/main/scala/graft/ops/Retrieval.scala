@@ -107,7 +107,17 @@ object Retrieval {
     * per-query corpus-sized work is one scan of the postings chain. */
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val tf = bm25Postings(s, dir)
-    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency restricted to the QUERY TERMS before the
+    // broadcast: the full df relation is VOCABULARY-sized (Heaps' law
+    // — not broadcastable at 100 TB), but scoring only ever needs the
+    // df of terms some query contains, and postings rows are unique
+    // per (doc, term), so counting the restricted postings IS the df
+    // of those terms. The restriction itself is a broadcast semi-join
+    // of the tiny term set onto the postings scan — O(query terms)
+    // rows reach the driver, never the vocabulary.
+    val dfr = tf
+      .join(broadcast(queryTerms(s).select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     // n_docs via the parquet-metadata count (footer-only, as the oracle's
     // count(*)); n_toks from the index itself (Σtf ≡ token count).
     val stat = docs(s, dir).agg(count(lit(1)).as("n_docs"))
