@@ -129,78 +129,103 @@ object Multimodal {
     * for MJPEG frame payload (duration = frames·40 ms). Unparseable
     * payloads decode to zeros rather than throwing — the quarantine
     * default (T5). */
-  private[graft] def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
-      .map(_.toByte)
-    // ONE digest per partition (the batch-shaped decoder-init
-    // discipline this boundary exists for — a per-block
-    // MessageDigest.getInstance measurably tripled q40/q58/q155) and
-    // table-driven hex: the md5 preimage is the uppercase-hex ASCII
-    // rendering of the block bytes, built directly as bytes, never
-    // through per-byte format calls
-    val md = java.security.MessageDigest.getInstance("MD5")
+  /** md5 of the uppercase-hex ASCII rendering of `len` bytes at
+    * `from` — the engine-portable `md5(hex(bytes))` idiom, built with
+    * table-driven bytes (a per-byte format call measurably tripled
+    * the decode queries). `md` is the PARTITION-level digest instance
+    * (digest() resets it), shared by [[decode]] and the streaming
+    * admission gate's block stage. */
+  private def blockMd5Of(md: java.security.MessageDigest,
+      p: Array[Byte], from: Int, len: Int): String = {
     val hexU = "0123456789ABCDEF".getBytes
     val hexL = "0123456789abcdef"
-    def blockMd5(p: Array[Byte], from: Int, len: Int): String = {
-      val in = new Array[Byte](len * 2)
-      var i = 0
-      while (i < len) {
-        val v = p(from + i) & 0xFF
-        in(2 * i) = hexU(v >>> 4)
-        in(2 * i + 1) = hexU(v & 0xF)
-        i += 1
-      }
-      val d = md.digest(in) // digest() resets the instance
-      val out = new Array[Char](32)
-      i = 0
-      while (i < 16) {
-        val v = d(i) & 0xFF
-        out(2 * i) = hexL(v >>> 4)
-        out(2 * i + 1) = hexL(v & 0xF)
-        i += 1
-      }
-      new String(out)
+    val in = new Array[Byte](len * 2)
+    var i = 0
+    while (i < len) {
+      val v = p(from + i) & 0xFF
+      in(2 * i) = hexU(v >>> 4)
+      in(2 * i + 1) = hexU(v & 0xF)
+      i += 1
     }
+    val d = md.digest(in)
+    val out = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      val v = d(i) & 0xFF
+      out(2 * i) = hexL(v >>> 4)
+      out(2 * i + 1) = hexL(v & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  /** REAL container parse — (width, height, duration_ms, bodyStart):
+    * bodyStart is the PARSED header end — where the codec payload
+    * begins — so block hashes are container-independent (a re-encode
+    * shifts the header, never the body blocks). Shared by the batch
+    * decode stage and the streaming admission gate. */
+  private[graft] def parseContainer(
+      p: Array[Byte]): (Long, Long, Long, Int) = {
+    val len = p.length.toLong
+    def u8(i: Int): Long = p(i) & 0xFFL
+    def be16(i: Int): Long = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Long =
+      (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
+    def ascii(i: Int, sTag: String): Boolean =
+      i + sTag.length <= p.length &&
+        sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
+    if (len >= 24 && p.take(8).sameElements(pngSig) && ascii(12, "IHDR"))
+      (be32(16), be32(20), 0L, 33)
+    else if (len >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      val byteRate = le32(28)
+      val dataSize = le32(40)
+      (0L, 0L, if (byteRate > 0) dataSize * 1000L / byteRate else 0L, 44)
+    } else if (len >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      // marker scan for SOF0 (FFC0): len, precision, height, width
+      var i = 2
+      var res = (0L, 0L, 0L, len.toInt)
+      var found = false
+      while (!found && i + 8 < p.length) {
+        if (u8(i) == 0xFF && u8(i + 1) == 0xC0) {
+          val headerEnd = i + 2 + be16(i + 2).toInt
+          res = (be16(i + 7), be16(i + 5),
+            math.max(0L, len - headerEnd) * 40L, headerEnd)
+          found = true
+        } else if (u8(i) == 0xFF && i + 3 < p.length) {
+          i += 2 + be16(i + 2).toInt // skip unrelated segment
+        } else i += 1
+      }
+      res
+    } else (0L, 0L, 0L, len.toInt)
+  }
+
+  /** Content-defined block signatures: md5 per FULL 64-byte body
+    * block (partial tail skipped — a truncated re-encode then shares
+    * every block it still carries), absolute cap [[blockCap]] per
+    * row. Preimage is the uppercase hex rendering, the
+    * engine-portable md5(hex(bytes)) idiom the content hash uses. */
+  private def blockSigsOf(md: java.security.MessageDigest,
+      p: Array[Byte], bodyStart: Int): Seq[String] = {
+    val nFull = math.max(0,
+      math.min((p.length - bodyStart) / blockBytes, blockCap))
+    (0 until nFull).map(i =>
+      blockMd5Of(md, p, bodyStart + i * blockBytes, blockBytes))
+  }
+
+  private[graft] def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // ONE digest per partition (the batch-shaped decoder-init
+    // discipline this boundary exists for — a per-block
+    // MessageDigest.getInstance measurably tripled q40/q58/q155)
+    val md = java.security.MessageDigest.getInstance("MD5")
     rows.map { r =>
       val p = r.payload
       val len = p.length.toLong
-      def u8(i: Int): Long = p(i) & 0xFFL
-      def be16(i: Int): Long = (u8(i) << 8) | u8(i + 1)
-      def be32(i: Int): Long =
-        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
-      def le32(i: Int): Long =
-        (u8(i + 3) << 24) | (u8(i + 2) << 16) | (u8(i + 1) << 8) | u8(i)
-      def ascii(i: Int, sTag: String): Boolean =
-        i + sTag.length <= p.length &&
-          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-      // (width, height, duration, bodyStart): bodyStart is the PARSED
-      // header end — where the codec payload begins — so block hashes
-      // below are container-independent (a re-encode shifts the header,
-      // never the body blocks)
-      val (w, h, d, bodyStart) =
-        if (len >= 24 && p.take(8).sameElements(pngSig) && ascii(12, "IHDR"))
-          (be32(16), be32(20), 0L, 33)
-        else if (len >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
-          val byteRate = le32(28)
-          val dataSize = le32(40)
-          (0L, 0L, if (byteRate > 0) dataSize * 1000L / byteRate else 0L, 44)
-        } else if (len >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
-          // marker scan for SOF0 (FFC0): len, precision, height, width
-          var i = 2
-          var res = (0L, 0L, 0L, len.toInt)
-          var found = false
-          while (!found && i + 8 < p.length) {
-            if (u8(i) == 0xFF && u8(i + 1) == 0xC0) {
-              val headerEnd = i + 2 + be16(i + 2).toInt
-              res = (be16(i + 7), be16(i + 5),
-                math.max(0L, len - headerEnd) * 40L, headerEnd)
-              found = true
-            } else if (u8(i) == 0xFF && i + 3 < p.length) {
-              i += 2 + be16(i + 2).toInt // skip unrelated segment
-            } else i += 1
-          }
-          res
-        } else (0L, 0L, 0L, len.toInt)
+      val (w, h, d, bodyStart) = parseContainer(p)
       // "Frame sampling": 3 evenly spaced 16-byte slices, hex-rendered —
       // stands in for per-frame feature vectors.
       val hashes = (0 until 3).map { i =>
@@ -208,17 +233,8 @@ object Multimodal {
         p.slice(off, math.min(off + 16, len.toInt))
           .map("%02x".format(_)).mkString
       }
-      // Content-defined block signatures: md5 per FULL 64-byte body
-      // block (partial tail skipped — a truncated re-encode then shares
-      // every block it still carries), absolute cap 16 blocks per row.
-      // Preimage is the uppercase hex rendering, the engine-portable
-      // md5(hex(bytes)) idiom the content hash already uses.
-      val nFull = math.max(0,
-        math.min((len.toInt - bodyStart) / blockBytes, blockCap))
-      val blocks = (0 until nFull).map { i =>
-        blockMd5(p, bodyStart + i * blockBytes, blockBytes)
-      }
-      MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes, blocks)
+      MediaFeatures(r.doc_id, r.modality, len, w, h, d, hashes,
+        blockSigsOf(md, p, bodyStart))
     }
   }
 
@@ -500,6 +516,150 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // ---- media admission gate (E36/E41 discipline, media modality) ---------
+
+  /** One incoming media row of [[mediaAdmission]]'s typed decode
+    * stage. */
+  case class InMediaRow(media_id: Long, payload: Array[Byte],
+      arr_ts: java.sql.Timestamp)
+
+  /** The corpus-relative stop-block list, COLLECTED: ≤ 5 × blockCap =
+    * 80 rows by the threshold's construction at any corpus size (the
+    * E161 bound) — the engine's model-sized-collect discipline, same
+    * class as Lloyd centroids and BPE merges. */
+  private def mediaStopBlocks(s: SparkSession, dir: String): Seq[String] = {
+    val sess = s
+    import sess.implicits._
+    val nMedia = mediaCorpus(s, dir).count()
+    mediaBlockPostingsIdx(s, dir)
+      .groupBy(col("block_hash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > mediaBlockDfThreshold(nMedia))
+      .select(col("block_hash")).as[String].collect().toSeq.sorted
+  }
+
+  /** Media NEAR-DUP ADMISSION CONTROL — the q157 containment
+    * discipline as a crawler gate, completing the admission family
+    * (text bands E36, exact-Jaccard E136, winnowing, vectors E97)
+    * for the media modality: an incoming media payload decodes
+    * MAP-SIDE into its content-defined block signatures (same
+    * partition-level digest and container parse as the batch decode),
+    * collides against the PERSISTED block-postings artifact
+    * (stream-static equi-join on the block hash — never a corpus
+    * re-decode per micro-batch), and verifies containment in-row
+    * against the corpus media's full block set. Emits
+    * (in_id, corpus_id, common_blocks, n_in, n_corpus,
+    * containment_micro ≥ 0.8). The SAME plan serves a batch backfill
+    * (q160) and a `readStream` gate; StreamingSpec proves the two
+    * emit identical flags.
+    *
+    * Scale shape: incoming work is map-only; stop blocks are pruned
+    * on BOTH sides via the collected ≤ 80-row relative-threshold list
+    * (a candidate can never come from boilerplate); candidate volume
+    * per incoming media is ≤ blockCap × df-threshold by construction;
+    * candidate-dedup state is watermark-bounded
+    * (`dropDuplicatesWithinWatermark` — a pair only repeats within
+    * the micro-batches that carry the media). The corpus-side block
+    * SETS fold from the postings artifact at query build (one grouped
+    * pass over the chain — the E123 one-derivation rule; no second
+    * decode of any corpus byte, ever). */
+  def mediaAdmission(s: SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    import s.implicits._
+    val fed = (if (incoming.columns.contains("arr_ts")) incoming
+      else incoming.withColumn("arr_ts", current_timestamp()))
+      .select(col("media_id").cast("long").as("media_id"),
+        col("payload"), col("arr_ts"))
+    val dec = fed.as[InMediaRow].mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val bodyStart = parseContainer(r.payload)._4
+        (r.media_id, r.arr_ts,
+          blockSigsOf(md, r.payload, bodyStart).distinct)
+      }
+    }.toDF("in_id", "arr_ts", "in_all")
+    val stop = mediaStopBlocks(s, dir)
+    val stopCol = typedLit(stop)
+    val inR = dec
+      .withColumn("n_in", size(col("in_all")).cast("bigint"))
+      .withColumn("in_blocks", array_except(col("in_all"), stopCol))
+    val posts = mediaBlockPostingsIdx(s, dir)
+      .select(col("block_hash"), col("media_id").as("corpus_id"))
+    val postsRare =
+      if (stop.isEmpty) posts
+      else posts.filter(!col("block_hash").isin(stop: _*))
+    val corpusSets = mediaBlockPostingsIdx(s, dir)
+      .groupBy(col("media_id").as("corpus_id"))
+      .agg(collect_set(col("block_hash")).as("corpus_blocks"))
+      .select(col("corpus_id"),
+        size(col("corpus_blocks")).cast("bigint").as("n_corpus"),
+        array_except(col("corpus_blocks"), stopCol).as("corpus_rare"))
+    val cand0 = inR
+      .select(col("in_id"), col("arr_ts"), col("in_blocks"), col("n_in"),
+        explode(col("in_blocks")).as("block_hash"))
+      .join(postsRare, "block_hash")
+      .select(col("in_id"), col("arr_ts"), col("in_blocks"), col("n_in"),
+        col("corpus_id"))
+    val cand =
+      if (incoming.isStreaming)
+        cand0.withWatermark("arr_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
+      else cand0.dropDuplicates("in_id", "corpus_id")
+    cand
+      .join(corpusSets, "corpus_id")
+      .withColumn("common_blocks",
+        size(array_intersect(col("in_blocks"), col("corpus_rare")))
+          .cast("bigint"))
+      .withColumn("containment_micro",
+        expr("common_blocks * 1000000L div least(n_in, n_corpus)"))
+      .filter(col("containment_micro") >= 800000L)
+      .select(col("in_id"), col("corpus_id"), col("common_blocks"),
+        col("n_in"), col("n_corpus"), col("containment_micro"))
+  }
+
+  /** Deterministic incoming-media fixture for [[mediaAdmission]]'s
+    * batch face (q160): for doc_id % 3 == 0, a PNG RE-WRAP of the
+    * first HALF of the document's body (a transcode+trim of corpus
+    * media — every block it carries is shared, so containment is
+    * exactly 1.0 against its base and that base's planted variants);
+    * for doc_id % 3 == 1, NOVEL media (a JPEG over the REVERSED text
+    * bytes — no 64-byte chunk matches any forward chunk). Both arms
+    * re-derivable in SQL. */
+  private[graft] def mediaIncomingFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    val body = encode(col("text"), "UTF-8")
+    val bodyLen = length(body).cast("bigint")
+    val half = body.substr(lit(1), floor(bodyLen / 2).cast("int"))
+    val rw = lit(16L) + pmod(col("doc_id"), lit(512L))
+    val rh = lit(16L) + pmod(col("doc_id"), lit(384L))
+    val reenc = concat(
+      unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D49484452")),
+      be(rw, 4), be(rh, 4), unhex(lit("080600000000000000")), half)
+    val novelBody = encode(reverse(col("text")), "UTF-8")
+    val nh = lit(90L) + pmod(col("doc_id"), lit(256L))
+    val nw = lit(120L) + pmod(col("doc_id"), lit(320L))
+    val novel = concat(
+      unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
+      be(nh, 2), be(nw, 2), unhex(lit("01011100")), novelBody)
+    Tables.load(s, dir, "documents")
+      .select(explode(array(
+        struct((col("doc_id") + 3000000L).as("media_id"),
+          reenc.as("payload"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("keep")),
+        struct((col("doc_id") + 4000000L).as("media_id"),
+          novel.as("payload"),
+          (pmod(col("doc_id"), lit(3)) === 1).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.media_id").as("media_id"), col("v.payload").as("payload"))
+  }
+
+  /** q160: the admission gate's batch-backfill face over the
+    * deterministic incoming fixture — the oracle re-derives incoming
+    * blocks, the stop filter, candidates, and containment from the
+    * reconstructed bytes. */
+  def mediaAdmissionBackfill(s: SparkSession, dir: String): DataFrame =
+    mediaAdmission(s, dir, mediaIncomingFixture(s, dir))
+      .orderBy(col("in_id"), col("corpus_id"))
+
   // ---- q159: REAL pixel resample over an uncompressed raster -------------
 
   /** One raster row: a REAL binary PGM (P5) payload. */
@@ -622,6 +782,7 @@ object Multimodal {
     "q156_media_exact_dups" -> mediaExactDups,
     "q157_media_neardup" -> mediaNearDups,
     "q159_raster_thumbnail" -> rasterThumbnail,
+    "q160_media_admission" -> mediaAdmissionBackfill,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -769,6 +930,55 @@ object Multimodal {
          |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
          |SELECT doc_id, frame_no, frame_hash FROM f
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // q160: the admission gate's batch face — incoming blocks, the
+    // corpus-relative stop filter, candidate pairs, and containment
+    // all re-derived from independently reconstructed bytes
+    "q160_media_admission" ->
+      s"""WITH $duckMedia,
+         |$duckMediaCorpus,
+         |p0 AS (SELECT media_id,
+         |    md5(substr(body_hex, CAST(i * 128 + 1 AS BIGINT), 128))
+         |      AS block_hash
+         |  FROM mc, LATERAL unnest(generate_series(0,
+         |    CAST(least(length(body_hex) // 128, 16) - 1 AS BIGINT)))
+         |    AS t(i)),
+         |p AS (SELECT DISTINCT media_id, block_hash FROM p0),
+         |np AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1),
+         |stopb AS (SELECT block_hash FROM p GROUP BY 1
+         |  HAVING count(*) > greatest(64, (SELECT count(*) FROM mc) // 5)),
+         |rp AS (SELECT * FROM p WHERE block_hash NOT IN
+         |  (SELECT block_hash FROM stopb)),
+         |inc AS (SELECT doc_id + 3000000 AS in_id,
+         |    substr(hex(encode(text)), 1,
+         |      CAST((octet_length(encode(text)) // 2) * 2 AS BIGINT))
+         |      AS body_hex
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |ip0 AS (SELECT in_id,
+         |    md5(substr(body_hex, CAST(i * 128 + 1 AS BIGINT), 128))
+         |      AS block_hash
+         |  FROM inc, LATERAL unnest(generate_series(0,
+         |    CAST(least(length(body_hex) // 128, 16) - 1 AS BIGINT)))
+         |    AS t(i)),
+         |ip AS (SELECT DISTINCT in_id, block_hash FROM ip0),
+         |nin AS (SELECT in_id, CAST(count(*) AS BIGINT) AS n_in
+         |  FROM ip GROUP BY 1),
+         |ipr AS (SELECT * FROM ip WHERE block_hash NOT IN
+         |  (SELECT block_hash FROM stopb)),
+         |cm AS (SELECT in_id, corpus_id,
+         |    CAST(count(*) AS BIGINT) AS common_blocks
+         |  FROM (SELECT DISTINCT ipr.in_id, rp.media_id AS corpus_id,
+         |          block_hash
+         |        FROM ipr JOIN rp USING (block_hash))
+         |  GROUP BY 1, 2)
+         |SELECT cm.in_id, cm.corpus_id, cm.common_blocks, nin.n_in,
+         |  np.n AS n_corpus,
+         |  CAST(common_blocks * 1000000 // least(n_in, np.n) AS BIGINT)
+         |    AS containment_micro
+         |FROM cm JOIN nin USING (in_id)
+         |JOIN np ON np.media_id = cm.corpus_id
+         |WHERE common_blocks * 1000000 // least(n_in, np.n) >= 800000
+         |ORDER BY cm.in_id, cm.corpus_id""".stripMargin,
     // q159: the box-filter resample re-derived pixel by pixel from the
     // planted formula — the engine PARSES real container bytes and
     // filters real pixels; the oracle recomputes the identical bytes

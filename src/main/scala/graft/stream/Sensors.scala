@@ -103,13 +103,23 @@ object Sensors {
   }
 
   /** T4 standalone — at-most-once per (entityId, updateId) via
-    * watermarked dropDuplicates: the streaming state analog of the
-    * reference's cursor-key dedup; the watermark lets Spark evict
-    * dedup state older than the lateness bound. */
+    * `dropDuplicatesWithinWatermark`: the streaming state analog of
+    * the reference's cursor-key dedup, with state EVICTION actually
+    * wired. A plain `dropDuplicates` under a watermark only evicts
+    * when the event-time column is part of the dedup KEYS — with
+    * (entityId, updateId) alone the state would grow one row per
+    * update forever, the exact unbounded-state class the curated
+    * gate's dedup plane was rebuilt to avoid (E162); the
+    * within-watermark variant evicts by each row's stored event time,
+    * so state is the lateness window. The contract is unchanged for
+    * in-bound data: a redelivery INSIDE the 1-hour lateness bound is
+    * dropped; one beyond it is by definition outside the stream's
+    * declared disorder and would re-emit — T4's cursor semantics under
+    * a bounded-lateness feed. */
   def dedupUpdates(updates: Dataset[UpdateEvent]): Dataset[UpdateEvent] =
     updates
       .withWatermark("ts", "1 hour")
-      .dropDuplicates(Seq("entityId", "updateId"))
+      .dropDuplicatesWithinWatermark(Seq("entityId", "updateId"))
 
   /** T3 — event-time tumbling window counts with watermark (the
     * credible-observer windowed aggregation; append mode finalizes a

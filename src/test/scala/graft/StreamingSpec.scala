@@ -752,6 +752,50 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("media admission: a streamed media feed gated against the " +
+    "persisted block-postings artifact equals the batch plan; " +
+    "re-encodes flag at containment 1.0, novel media passes") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = graft.ops.Multimodal.mediaIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    assert(feed.exists(_._1 >= 4000000L), "fixture must carry novel media")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.ops.Multimodal.mediaAdmission(s, sf,
+      in.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("media_adm_out")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val streamed = withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      s.table("media_adm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    }
+    val batch = graft.ops.Multimodal
+      .mediaAdmissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch,
+      s"streamed flags must equal the batch plan " +
+        s"(missing=${(batch -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batch).take(3)})")
+    assert(streamed.nonEmpty, "the planted re-encodes must flag")
+    // a half-body re-wrap's every block is shared → containment 1.0
+    // against its own base media
+    val vsBase = streamed.filter(t => t._2 == t._1 - 3000000L)
+    assert(vsBase.nonEmpty && vsBase.forall(_._6 == 1000000L),
+      "each re-encode must flag its base at exactly 1.0")
+    // novel media (reversed-body JPEGs, ids +4e6) never flag
+    assert(streamed.forall(_._1 < 4000000L),
+      "novel media must pass the gate silently")
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
