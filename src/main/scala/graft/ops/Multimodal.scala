@@ -516,6 +516,87 @@ object Multimodal {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  // ---- q161: REAL PCM feature extraction (audio analog of q159) ----------
+
+  /** Per-audio-row sample-level features: PCM is UNCOMPRESSED, so —
+    * exactly like the PGM raster (q159) — real signal math needs no
+    * codec. All-integer so both engines agree exactly: `mean_sq` is
+    * the floor mean of squared samples (the RMS² — RMS itself would
+    * be a sqrt both engines round differently), `top_frame` the
+    * 100-sample frame with the largest energy (ties → lowest index). */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long,
+      n_samples: Long, peak_abs: Long, mean_sq: Long,
+      top_frame: Long, top_frame_energy: Long)
+
+  /** Samples per analysis frame — the hop of the energy profile. */
+  private val audioFrame = 100
+
+  /** GENUINE PCM kernel inside the decode `mapPartitions` boundary:
+    * parses the RIFF/WAVE header from the bytes (the fmt chunk's
+    * sample rate; the data chunk's extent via [[parseContainer]]),
+    * reads the body as little-endian signed 16-bit samples, and folds
+    * peak / energy / per-frame energies in one pass. Non-audio or
+    * unparseable payloads emit zeros (T5). Map-only, zero shuffles —
+    * the feature-extraction stage of an audio training pipeline, with
+    * a real decoder swap (FLAC/MP3 → JNI) confined to this same
+    * boundary. */
+  private[graft] def audioDecode(
+      rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.map { r =>
+      val p = r.payload
+      def ascii(i: Int, sTag: String): Boolean =
+        i + sTag.length <= p.length &&
+          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
+      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")))
+        AudioFeatures(r.doc_id, 0L, 0L, 0L, 0L, 0L, 0L)
+      else {
+        def le32(i: Int): Long =
+          ((p(i + 3) & 0xFFL) << 24) | ((p(i + 2) & 0xFFL) << 16) |
+            ((p(i + 1) & 0xFFL) << 8) | (p(i) & 0xFFL)
+        val rate = le32(24)
+        val body = 44
+        val n = (p.length - body) / 2
+        var peak = 0L
+        var sumSq = 0L
+        var frameSum = 0L
+        var bestFrame = 0L
+        var bestEnergy = -1L
+        var i = 0
+        while (i < n) {
+          val lo = p(body + 2 * i) & 0xFF
+          val hi = p(body + 2 * i + 1) & 0xFF
+          val u = hi * 256 + lo
+          val s = if (u >= 32768) u - 65536L else u.toLong
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s * s
+          frameSum += s * s
+          if ((i + 1) % audioFrame == 0 || i + 1 == n.toInt) {
+            if (frameSum > bestEnergy) {
+              bestEnergy = frameSum; bestFrame = i / audioFrame
+            }
+            frameSum = 0L
+          }
+          i += 1
+        }
+        AudioFeatures(r.doc_id, rate, n,
+          peak, if (n > 0) sumSq / n else 0L,
+          if (bestEnergy < 0) 0L else bestFrame,
+          math.max(bestEnergy, 0L))
+      }
+    }
+
+  /** q161: the audio feature relation over the corpus' WAV rows —
+    * every integer re-derived by the oracle from independently
+    * reconstructed bytes, sample by sample. */
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).filter(col("modality") === "audio")
+      .as[MediaRow].mapPartitions(audioDecode _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ---- media admission gate (E36/E41 discipline, media modality) ---------
 
   /** One incoming media row of [[mediaAdmission]]'s typed decode
@@ -783,6 +864,7 @@ object Multimodal {
     "q157_media_neardup" -> mediaNearDups,
     "q159_raster_thumbnail" -> rasterThumbnail,
     "q160_media_admission" -> mediaAdmissionBackfill,
+    "q161_audio_energy" -> audioEnergy,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -930,6 +1012,50 @@ object Multimodal {
          |  FROM m, LATERAL unnest(generate_series(0, 2)) AS t(i))
          |SELECT doc_id, frame_no, frame_hash FROM f
          |ORDER BY doc_id, frame_no""".stripMargin,
+    // q161: PCM features re-derived SAMPLE BY SAMPLE — the oracle
+    // parses the same little-endian int16 stream from the
+    // independently reconstructed body hex (strpos-table hex-digit
+    // decode), so a kernel drift breaks the hash at the first sample
+    "q161_audio_energy" ->
+      s"""WITH au AS (SELECT doc_id,
+         |    CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS rate,
+         |    hex(encode(text)) AS bh,
+         |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |smp AS (SELECT doc_id, i,
+         |    CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+         |      AS BIGINT) AS s
+         |  FROM (SELECT doc_id, i,
+         |      ((strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 3 AS BIGINT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 4 AS BIGINT), 1)) - 1)) * 256
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 1 AS BIGINT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 2 AS BIGINT), 1)) - 1) AS u
+         |    FROM au, LATERAL unnest(generate_series(0, n - 1)) t(i)
+         |    WHERE n > 0)),
+         |fr AS (SELECT doc_id, i // $audioFrame AS frame,
+         |    CAST(sum(s * s) AS BIGINT) AS fe
+         |  FROM smp GROUP BY 1, 2),
+         |topf AS (SELECT doc_id, frame AS top_frame,
+         |    fe AS top_frame_energy,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY fe DESC, frame) AS rn
+         |  FROM fr),
+         |agg AS (SELECT doc_id, CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+         |    CAST(sum(s * s) AS BIGINT) AS ssq
+         |  FROM smp GROUP BY 1)
+         |SELECT au.doc_id, rate AS sample_rate, au.n AS n_samples,
+         |  coalesce(a.peak_abs, 0) AS peak_abs,
+         |  CAST(CASE WHEN au.n > 0 THEN a.ssq // au.n ELSE 0 END
+         |    AS BIGINT) AS mean_sq,
+         |  coalesce(t.top_frame, 0) AS top_frame,
+         |  coalesce(t.top_frame_energy, 0) AS top_frame_energy
+         |FROM au LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN (SELECT * FROM topf WHERE rn = 1) t USING (doc_id)
+         |ORDER BY au.doc_id""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

@@ -756,6 +756,42 @@ class ObserveSpec extends SparkSuite {
       spark.read.parquet(in).count())
   }
 
+  test("PCM feature kernel (q161): known samples yield the exact " +
+    "peak / floor-mean-square / hottest frame, and non-WAV payloads " +
+    "decode to zeros (T5)") {
+    import graft.ops.Multimodal.{AudioFeatures, MediaRow}
+    def wav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + samples.length * 2)
+      bb.put("WAVEfmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1); bb.putInt(rate); bb.putInt(rate * 2)
+      bb.putShort(2); bb.putShort(16)
+      bb.put("data".getBytes); bb.putInt(samples.length * 2)
+      samples.foreach(s => bb.putShort(s.toShort))
+      bb.array()
+    }
+    def decode(p: Array[Byte]): AudioFeatures =
+      graft.ops.Multimodal.audioDecode(
+        Iterator.single(MediaRow(3L, "audio", p))).next()
+    // one partial frame: peak 30000, mean_sq = floor(902000025 / 4)
+    val a = decode(wav(8000, Seq(1000, -1000, 30000, 5)))
+    assert(a === AudioFeatures(3L, 8000L, 4L, 30000L,
+      902000025L / 4, 0L, 902000025L))
+    // two frames: the SECOND (frame 1, samples 100..120) carries the
+    // loud burst — argmax lands there, not on the long quiet frame
+    val quiet = Seq.fill(100)(10)
+    val loud = Seq.fill(21)(2000)
+    val b = decode(wav(16000, quiet ++ loud))
+    assert(b.top_frame === 1L &&
+      b.top_frame_energy === 21L * 2000L * 2000L)
+    assert(b.peak_abs === 2000L && b.n_samples === 121L)
+    // T5: a non-WAV payload yields zeros, never a throw
+    assert(decode("not audio".getBytes) ===
+      AudioFeatures(3L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("raster box filter (q159): the kernel averages exactly the " +
     "source block of each target pixel, sub-target rasters pass " +
     "through unscaled, and garbage payloads decode to zeros (T5)") {
