@@ -1076,6 +1076,62 @@ class IndexStoreSpec extends SparkSuite {
       "takedown shards must equal the from-scratch re-extraction")
   }
 
+  test("partitioned sink torn link: a reclaimed donor makes the head " +
+    "non-servable and the next read REBUILDS in full — never a " +
+    "path-not-found at scan time") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-torn-shards").toString
+    val docsDir = s"$wh/documents.parquet"
+    def doc(id: Long, src: String, words: Int) =
+      (id, (1 to words).map(i => s"t${id}x$i").mkString(" "),
+        "en", src, 0L)
+    ((1L to 150L).map(doc(_, "alpha", 40)) ++
+      (151L to 153L).map(doc(_, "tiny", 15)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    (201L to 240L).map(doc(_, "beta", 40))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    val artRoot = new java.io.File(s"$storeRoot/mix_shards")
+    def heads(): Set[String] = Option(artRoot.listFiles()).map(_.toSeq)
+      .getOrElse(Nil).filter(d => d.isDirectory &&
+        d.getName.startsWith("fp=") &&
+        new java.io.File(d, "_SUCCESS").exists()).map(_.getName).toSet
+    val h0 = heads()
+    graft.ops.Llm.mixShards(s, wh).count()
+    val donor = (heads() -- h0).head
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val h1 = heads()
+    val expected = graft.ops.Llm.mixShards(s, wh).collect()
+      .map(_.toString).toSet // head2 links tiny into the donor
+    val head2 = (heads() -- h1).head
+    assert(Files.readString(
+      Paths.get(s"$storeRoot/mix_shards/$head2/_PARTS")).nonEmpty)
+    // reclaim the donor out from under the link (a crashed retention
+    // pass, a manual rm — the hostile case)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(artRoot, donor))
+    // the torn head must not serve OR throw: the read rebuilds
+    val again = graft.ops.Llm.mixShards(s, wh).collect()
+      .map(_.toString).toSet
+    assert(again === expected,
+      "a torn partitioned head must rebuild to the identical content")
+    // and the rebuilt head is standalone (no dangling links)
+    val links2 = Files.readString(
+      Paths.get(s"$storeRoot/mix_shards/$head2/_PARTS"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    assert(links2.forall(l =>
+      new java.io.File(artRoot, l).exists()),
+      s"rebuilt head must not dangle: $links2")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

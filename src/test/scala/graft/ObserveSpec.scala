@@ -562,7 +562,12 @@ class ObserveSpec extends SparkSuite {
     "unbounded-agg-buffer" -> Set(
       "q51_segments_per_nation", "q63_dup_clusters",
       "q78_length_outliers", "q88_contamination_matrix",
-      "q142_winnowing_pairs"),
+      "q142_winnowing_pairs",
+      // q160: the corpus block-SET fold (collect_set per media) —
+      // bounded at blockCap = 16 elements per group BY CONSTRUCTION
+      // (the decode stage never emits more blocks per media row),
+      // which a plan-shape rule cannot see
+      "q160_media_admission"),
     // duplicate-source-scan: each entry is a DELIBERATE re-scan —
     // q22: four narrow one-column scans read the same bytes as one
     //   four-column scan (columnar), buying O(Σ distinct) shuffles;
