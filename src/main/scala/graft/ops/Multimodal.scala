@@ -597,6 +597,229 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q162: gain-invariant audio fingerprint near-dup (E172) ------------
+
+  /** Samples per fingerprint frame — finer than [[audioFrame]] so the
+    * fixture's short clips still yield a shingle-able profile. */
+  private[graft] val gainFrame = 20
+
+  /** Energy-profile quantization ceiling: levels are 0..15 (4 bits),
+    * so a [[gainShingle]]-gram packs into 16 bits — a bounded
+    * fingerprint universe both engines fold identically. */
+  private val gainLevels = 15L
+
+  /** Consecutive frames per fingerprint shingle. */
+  private[graft] val gainShingle = 4
+
+  /** Fingerprints kept per audio row (smallest [[gainShingle]]-gram
+    * values after distinct — deterministic, so a re-master with the
+    * SAME profile keeps the SAME subset). Bounds the per-row posting
+    * contribution the way [[blockCap]] bounds the block path. */
+  private[graft] val audioFpCap = 256
+
+  /** Stop-fingerprint df threshold, corpus-RELATIVE (the E161
+    * discipline): total fp rows ≤ nAudio × [[audioFpCap]], so fps with
+    * df > nAudio/5 number ≤ 5 × audioFpCap — a constant at any corpus
+    * size, broadcast-safe by construction. Floored low (16) because
+    * the fingerprint universe is small (16-bit) and boilerplate
+    * profiles (e.g. near-silence) saturate quickly. */
+  private[graft] def audioFpDfThreshold(nAudio: Long): Long =
+    math.max(16L, nAudio / 5)
+
+  /** WAV container around an arbitrary PCM body — byte-identical to
+    * the audio arm of [[basePayload]] (RIFF size, PCM fmt chunk,
+    * byteRate = rate·2, data chunk sized to the body). */
+  private def wavOf(rate: Column, body: Column): Column = {
+    val bodyLen = length(body).cast("bigint")
+    concat(
+      encode(lit("RIFF"), "UTF-8"), le32(bodyLen + 36L),
+      encode(lit("WAVEfmt "), "UTF-8"),
+      unhex(lit("10000000")), unhex(lit("01000100")),
+      le32(rate), le32(rate * 2L),
+      unhex(lit("02001000")),
+      encode(lit("data"), "UTF-8"), le32(bodyLen),
+      body)
+  }
+
+  /** PCM re-master as pure columnar byte math: maps every little-endian
+    * signed 16-bit sample of the binary column `body` through the SQL
+    * expression `f` (over the signed sample `%s`) and re-encodes the
+    * result little-endian. An odd trailing byte (half a sample) is
+    * dropped — exactly what the decode kernel does. */
+  private def remasterBody(f: String): Column = {
+    val u = "(CAST(conv(hex(substring(body, 2*i+2, 1)), 16, 10) AS BIGINT)" +
+      " * 256 + CAST(conv(hex(substring(body, 2*i+1, 1)), 16, 10) AS BIGINT))"
+    val sS = s"(CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END)"
+    val v = s"(${f.replace("%s", sS)})"
+    val le = s"concat(lpad(hex(pmod($v, 65536) % 256), 2, '0'), " +
+      s"lpad(hex(pmod($v, 65536) DIV 256), 2, '0'))"
+    expr(s"CASE WHEN length(body) >= 2 THEN unhex(array_join(" +
+      s"transform(sequence(0, CAST(length(body) DIV 2 AS INT) - 1), " +
+      s"i -> $le), '')) ELSE unhex('') END")
+  }
+
+  /** Audio corpus WITH PLANTED RE-MASTERS — the gain fixture the block
+    * path cannot provide (q157's planted re-encodes keep byte-identical
+    * body blocks; a re-MASTER rewrites every byte). Three populations,
+    * one documents scan, all re-derivable by the oracle sample by
+    * sample:
+    *
+    *  - the base audio rows (`media_id = doc_id`, doc_id % 3 == 1);
+    *  - POLARITY-INVERTED re-masters of every doc_id % 5 == 0 audio row
+    *    (`media_id = doc_id + 4_000_000`): every sample negated — the
+    *    classic inaudible phase flip. Energies are EXACTLY invariant
+    *    (s² = (−s)²), payload bytes share nothing;
+    *  - HALF-GAIN re-masters of every doc_id % 7 == 0 audio row
+    *    (`media_id = doc_id + 5_000_000`): every sample floor-halved —
+    *    a −6 dB master. Frame energies scale by ~¼ with O(1/s)
+    *    rounding residue, so the RELATIVE profile is near-invariant.
+    *
+    * The remaster arms are honest columnar byte math over the fixture
+    * (at 100 TB real re-masters arrive as real bytes; only the planted
+    * fixture pays this synthesis, once, inside the artifact build). */
+  private[graft] def audioVariantCorpusOf(docsDf: DataFrame): DataFrame = {
+    val aud = docsDf
+      .withColumn("modality", baseModality)
+      .filter(col("modality") === "audio")
+      .withColumn("body", encode(col("text"), "UTF-8"))
+      .withColumn("rate", lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L)
+    aud.select(col("rate"),
+        explode(array(
+          struct(col("doc_id").as("media_id"),
+            col("body").as("vbody"), lit(true).as("keep")),
+          struct((col("doc_id") + 4000000L).as("media_id"),
+            remasterBody("-%s").as("vbody"),
+            (pmod(col("doc_id"), lit(5)) === 0).as("keep")),
+          struct((col("doc_id") + 5000000L).as("media_id"),
+            remasterBody("shiftright(%s, 1)").as("vbody"),
+            (pmod(col("doc_id"), lit(7)) === 0).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.media_id").as("media_id"),
+        wavOf(col("rate"), col("v.vbody")).as("payload"))
+  }
+
+  private[graft] def audioVariantCorpus(
+      s: SparkSession, dir: String): DataFrame =
+    audioVariantCorpusOf(Tables.load(s, dir, "documents"))
+
+  /** GENUINE gain-invariant fingerprint kernel, inside the decode
+    * `mapPartitions` boundary: parses the WAV container, folds
+    * per-[[gainFrame]] mean-square energies over the int16 stream
+    * (partial tail frame included, as q161), quantizes each frame
+    * RELATIVE to the row's own peak frame (`⌊fe·15/emax⌋` — a uniform
+    * gain change scales fe and emax together, so the profile is
+    * invariant), packs [[gainShingle]] consecutive levels into one
+    * 16-bit fingerprint, and keeps the [[audioFpCap]] smallest
+    * distinct values. Rows shorter than [[gainShingle]] frames are
+    * below the fingerprint's resolution and emit nothing — the
+    * documented floor, like q157's blockCap. Non-WAV payloads emit
+    * nothing (T5). */
+  private[graft] def audioFpsOf(
+      rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
+    rows.flatMap { r =>
+      val p = r.payload
+      def ascii(i: Int, sTag: String): Boolean =
+        i + sTag.length <= p.length &&
+          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
+      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")))
+        Iterator.empty
+      else {
+        val body = 44
+        val n = (p.length - body) / 2
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var frameSum = 0L
+        var i = 0
+        while (i < n) {
+          val lo = p(body + 2 * i) & 0xFF
+          val hi = p(body + 2 * i + 1) & 0xFF
+          val u = hi * 256 + lo
+          val s = if (u >= 32768) u - 65536L else u.toLong
+          frameSum += s * s
+          if ((i + 1) % gainFrame == 0 || i + 1 == n) {
+            frames += frameSum; frameSum = 0L
+          }
+          i += 1
+        }
+        if (frames.length < gainShingle) Iterator.empty
+        else {
+          val emax = frames.max
+          val lv = frames.map(f =>
+            if (emax == 0L) 0L else f * gainLevels / emax)
+          (0 to lv.length - gainShingle).iterator
+            .map(j => ((lv(j) * 16 + lv(j + 1)) * 16 + lv(j + 2)) * 16
+              + lv(j + 3))
+            .toSeq.distinct.sorted.take(audioFpCap).iterator
+            .map(fp => (r.doc_id, fp))
+        }
+      }
+    }
+
+  /** The (media_id, fp) fingerprint postings PERSISTED as a segmented
+    * delete-aware artifact (`audio_fps`) — decode + profile folding
+    * paid once per audio row ever; file-decomposable (a row's
+    * fingerprints, including its planted re-masters', derive from one
+    * source document file), so an audio takedown excises only the
+    * touched segments (E157/E163 discipline). */
+  private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "audio_fps", s"$dir/documents.parquet")(
+      files => {
+        val sess = s
+        import sess.implicits._
+        audioVariantCorpusOf(s.read.parquet(files: _*)
+            .repartition(s.sparkContext.defaultParallelism))
+          .withColumnRenamed("media_id", "doc_id")
+          .withColumn("modality", lit("audio"))
+          .as[MediaRow].mapPartitions(audioFpsOf _)
+          .toDF("media_id", "fp")
+      })
+
+  /** q162: audio near-dup via gain-invariant energy-profile
+    * fingerprints — the re-MASTER detector the byte-block path
+    * provably cannot be: a polarity flip or gain change rewrites
+    * every payload byte (q156's content hash and q157's
+    * content-defined blocks share NOTHING), but the relative energy
+    * profile — and hence the fingerprint set — survives. Pairs are
+    * reported at `common·10⁶ div least(n_a, n_b) ≥ 600000`.
+    *
+    * Scale shape mirrors q157: candidates come from a bucketed
+    * self-join of the persisted fingerprint postings; fps hotter than
+    * [[audioFpDfThreshold]] (corpus-relative — the stop list is
+    * ≤ 5 × audioFpCap rows by construction at any corpus size) are
+    * removed by a broadcast anti-join before pair emission; each row
+    * carries ≤ [[audioFpCap]] fps, so candidate volume per row is
+    * ≤ audioFpCap × df-threshold by construction. The postings fold
+    * is pinned once for its four consumers (E123). */
+  def audioGainNearDups(s: SparkSession, dir: String): DataFrame = {
+    val fps = audioFpIdx(s, dir).localCheckpoint()
+    // corpus size for the relative threshold: keep flags derive from
+    // doc_id alone, so the count prunes to the doc_id column
+    val nAudio = audioVariantCorpus(s, dir).count()
+    val nPer = fps.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_fps"))
+    val stop = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > audioFpDfThreshold(nAudio))
+      .select(col("fp"))
+    val rare = fps.join(broadcast(stop), Seq("fp"), "left_anti")
+    val pairs = rare.as("a").join(rare.as("b"), Seq("fp"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("media_a"),
+        col("b.media_id").as("media_b"))
+      .agg(count(lit(1)).as("common_fps"))
+    pairs
+      .join(nPer.withColumnRenamed("media_id", "media_a")
+        .withColumnRenamed("n_fps", "n_a"), "media_a")
+      .join(nPer.withColumnRenamed("media_id", "media_b")
+        .withColumnRenamed("n_fps", "n_b"), "media_b")
+      .withColumn("containment_micro",
+        expr("common_fps * 1000000L div least(n_a, n_b)"))
+      .filter(col("containment_micro") >= 600000L)
+      .select(col("media_a"), col("media_b"), col("common_fps"),
+        col("n_a"), col("n_b"), col("containment_micro"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   // ---- media admission gate (E36/E41 discipline, media modality) ---------
 
   /** One incoming media row of [[mediaAdmission]]'s typed decode
@@ -865,6 +1088,7 @@ object Multimodal {
     "q159_raster_thumbnail" -> rasterThumbnail,
     "q160_media_admission" -> mediaAdmissionBackfill,
     "q161_audio_energy" -> audioEnergy,
+    "q162_audio_gain_neardup" -> audioGainNearDups,
   )
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
@@ -1056,6 +1280,74 @@ object Multimodal {
          |FROM au LEFT JOIN agg a USING (doc_id)
          |LEFT JOIN (SELECT * FROM topf WHERE rn = 1) t USING (doc_id)
          |ORDER BY au.doc_id""".stripMargin,
+    // q162: the gain near-dup re-derived sample by sample — base,
+    // polarity-inverted, and half-gain sample streams; frame
+    // energies; the peak-relative 0..15 profile; shingle packing;
+    // the corpus-relative stop filter; candidate pairs; containment
+    "q162_audio_gain_neardup" ->
+      s"""WITH au AS (SELECT doc_id, hex(encode(text)) AS bh,
+         |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |smp AS (SELECT doc_id, i,
+         |    CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+         |      AS BIGINT) AS s
+         |  FROM (SELECT doc_id, i,
+         |      ((strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 3 AS BIGINT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 4 AS BIGINT), 1)) - 1)) * 256
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 1 AS BIGINT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 2 AS BIGINT), 1)) - 1) AS u
+         |    FROM au, LATERAL unnest(generate_series(0, n - 1)) t(i)
+         |    WHERE n > 0)),
+         |var AS (
+         |  SELECT doc_id AS media_id, i, s FROM smp
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, i, -s FROM smp WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, i,
+         |    CAST(floor(s / 2.0) AS BIGINT) FROM smp WHERE doc_id % 7 = 0),
+         |ncorp AS (SELECT (SELECT count(*) FROM au)
+         |    + (SELECT count(*) FROM au WHERE doc_id % 5 = 0)
+         |    + (SELECT count(*) FROM au WHERE doc_id % 7 = 0) AS na),
+         |fr AS (SELECT media_id, i // $gainFrame AS frame,
+         |    CAST(sum(s * s) AS BIGINT) AS fe
+         |  FROM var GROUP BY 1, 2),
+         |mx AS (SELECT media_id, max(fe) AS emax FROM fr GROUP BY 1),
+         |lv AS (SELECT f.media_id, frame,
+         |    CASE WHEN emax = 0 THEN 0 ELSE fe * 15 // emax END AS l
+         |  FROM fr f JOIN mx USING (media_id)),
+         |sh0 AS (SELECT media_id, l,
+         |    lead(l, 1) OVER w AS l1, lead(l, 2) OVER w AS l2,
+         |    lead(l, 3) OVER w AS l3
+         |  FROM lv WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
+         |shd AS (SELECT DISTINCT media_id,
+         |    CAST(((l * 16 + l1) * 16 + l2) * 16 + l3 AS BIGINT) AS fp
+         |  FROM sh0 WHERE l3 IS NOT NULL),
+         |fps AS (SELECT media_id, fp FROM (
+         |    SELECT media_id, fp, row_number() OVER (
+         |      PARTITION BY media_id ORDER BY fp) AS rn FROM shd)
+         |  WHERE rn <= $audioFpCap),
+         |np AS (SELECT media_id, count(*) AS nf FROM fps GROUP BY 1),
+         |stop AS (SELECT fp FROM fps GROUP BY fp
+         |  HAVING count(*) > greatest(16, (SELECT na FROM ncorp) // 5)),
+         |rare AS (SELECT * FROM fps
+         |  WHERE fp NOT IN (SELECT fp FROM stop)),
+         |pr AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+         |    CAST(count(*) AS BIGINT) AS common_fps
+         |  FROM rare a JOIN rare b
+         |    ON a.fp = b.fp AND a.media_id < b.media_id
+         |  GROUP BY 1, 2)
+         |SELECT media_a, media_b, common_fps,
+         |  CAST(na.nf AS BIGINT) AS n_a, CAST(nb.nf AS BIGINT) AS n_b,
+         |  CAST(common_fps * 1000000 // least(na.nf, nb.nf)
+         |    AS BIGINT) AS containment_micro
+         |FROM pr JOIN np na ON na.media_id = pr.media_a
+         |JOIN np nb ON nb.media_id = pr.media_b
+         |WHERE common_fps * 1000000 // least(na.nf, nb.nf) >= 600000
+         |ORDER BY media_a, media_b""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

@@ -230,6 +230,110 @@ class ObserveSpec extends SparkSuite {
       "re-encodes must never surface as exact dups")
   }
 
+  test("audio fingerprint kernel: frame energies quantize relative to " +
+    "the row's own peak, shingles pack 4 levels, below-resolution and " +
+    "non-WAV rows emit nothing") {
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val body = samples.flatMap { v =>
+        val u = v & 0xFFFF
+        Seq((u % 256).toByte, (u / 256).toByte)
+      }.toArray
+      val b = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + body.length)
+      b.put("WAVEfmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(body.length).put(body)
+      b.array()
+    }
+    def fps(p: Array[Byte]): Seq[Long] =
+      Multimodal.audioFpsOf(Iterator(
+        Multimodal.MediaRow(1L, "audio", p))).map(_._2).toSeq
+    // four 20-sample frames at amplitudes 100/200/300/400: energies
+    // 200k/800k/1.8M/3.2M, levels ⌊fe·15/3.2M⌋ = 0/3/8/15, one shingle
+    val base = Seq.fill(20)(100) ++ Seq.fill(20)(200) ++
+      Seq.fill(20)(300) ++ Seq.fill(20)(400)
+    assert(fps(wav(base)) === Seq(((0L * 16 + 3) * 16 + 8) * 16 + 15))
+    // polarity inversion: energies are exactly invariant
+    assert(fps(wav(base.map(-_))) === fps(wav(base)))
+    // a uniform EXACT gain change (×3, no clipping) is also invariant
+    assert(fps(wav(base.map(_ * 3))) === fps(wav(base)))
+    // 3 frames are below the shingle resolution
+    assert(fps(wav(base.take(60))).isEmpty)
+    // non-WAV payloads emit nothing (T5)
+    assert(fps("not audio at all, just bytes".getBytes).isEmpty)
+    // partial tail frame participates (as q161): 61 samples = 4 frames
+    assert(fps(wav(base.take(61))).nonEmpty)
+  }
+
+  test("audio gain near-dup recall: every eligible planted re-master " +
+    "pairs with its base via energy fingerprints (and the byte-block " +
+    "path provably CANNOT pair them)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // kernel-level ground truth: fingerprint set per corpus row
+    val corpus = Multimodal.audioVariantCorpus(s, sf)
+    val nCorpus = corpus.count()
+    val fpsOf = corpus.withColumnRenamed("media_id", "doc_id")
+      .withColumn("modality", lit("audio"))
+      .as[Multimodal.MediaRow].mapPartitions(Multimodal.audioFpsOf _)
+      .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      .withDefaultValue(Set.empty[Long])
+    // the exact invariance claim, kernel-level: a polarity flip keeps
+    // the ENTIRE fingerprint set (energies are exactly invariant)
+    val inverted = fpsOf.keys.filter(id =>
+      id >= 4000000L && id < 5000000L).toSeq
+    assert(inverted.nonEmpty, "fixture must plant inverted re-masters")
+    inverted.foreach { v =>
+      assert(fpsOf(v) === fpsOf(v - 4000000L),
+        s"inverted $v must keep its base's exact fingerprint set")
+    }
+    // expected pairs, re-derived from ground truth + the documented
+    // semantics (corpus-relative stop prune, containment >= 0.6)
+    val thr = Multimodal.audioFpDfThreshold(nCorpus)
+    val df = fpsOf.values.toSeq.flatten.groupBy(identity)
+      .map { case (fp, v) => fp -> v.size.toLong }
+    def rare(id: Long): Set[Long] = fpsOf(id).filter(df(_) <= thr)
+    def expectPair(b: Long, v: Long): Boolean = {
+      val common = (rare(b) & rare(v)).size.toLong
+      val least = math.min(fpsOf(b).size, fpsOf(v).size).toLong
+      least > 0 && common * 1000000L / least >= 600000L
+    }
+    val pairs = Multimodal.audioGainNearDups(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    inverted.filter(v => expectPair(v - 4000000L, v)).foreach { v =>
+      assert(pairs.contains((v - 4000000L, v)),
+        s"planted inverted pair (${v - 4000000L}, $v) missed")
+    }
+    // half-gain re-masters: the relative profile is NEAR-invariant
+    // (floor-halving perturbs each frame energy by O(1/s)), so recall
+    // is a fixture-pinned empirical result, asserted against the same
+    // ground-truth rule — not claimed as an invariant
+    val half = fpsOf.keys.filter(_ >= 5000000L).toSeq
+    assert(half.nonEmpty, "fixture must plant half-gain re-masters")
+    val expectedHalf = half.filter(v => expectPair(v - 5000000L, v))
+    assert(expectedHalf.nonEmpty,
+      "fixture must make at least one half-gain re-master eligible")
+    expectedHalf.foreach { v =>
+      assert(pairs.contains((v - 5000000L, v)),
+        s"planted half-gain pair (${v - 5000000L}, $v) missed")
+    }
+    // the counterfactual: a re-MASTER rewrites every payload byte, so
+    // q156's content hash and q157's content-defined blocks share
+    // NOTHING — only the energy-profile fingerprints can pair it
+    val blocks = corpus.withColumnRenamed("media_id", "doc_id")
+      .withColumn("modality", lit("audio"))
+      .as[Multimodal.MediaRow].mapPartitions(Multimodal.decode _)
+      .collect().map(f => f.doc_id -> f.block_hashes.toSet).toMap
+    val probed = inverted.filter(v => blocks(v - 4000000L).nonEmpty)
+    assert(probed.nonEmpty, "fixture must carry block-bearing audio")
+    probed.foreach { v =>
+      assert(blocks(v).intersect(blocks(v - 4000000L)).isEmpty,
+        s"inverted $v must share NO content blocks with its base")
+    }
+  }
+
   test("observed write: metrics harvested from the write's single pass") {
     val out = Files.createTempDirectory("graft_obs").toString + "/us"
     val m = graft.observe.Metrics.observedWrite(spark, sf, out)
