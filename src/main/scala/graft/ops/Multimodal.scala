@@ -603,10 +603,17 @@ object Multimodal {
     * fixture's short clips still yield a shingle-able profile. */
   private[graft] val gainFrame = 20
 
-  /** Energy-profile quantization ceiling: levels are 0..15 (4 bits),
-    * so a [[gainShingle]]-gram packs into 16 bits — a bounded
-    * fingerprint universe both engines fold identically. */
-  private val gainLevels = 15L
+  /** Energy-profile quantization ceiling: levels are 0..63 (6 bits),
+    * so a [[gainShingle]]-gram packs into 24 bits. The universe width
+    * is a SCALE variable, not a tuning knob: a 4-bit/16-level first
+    * cut saturated its 65,536-value universe at sf0.1 already — with
+    * every natural profile colliding, document frequencies grow
+    * linearly with the corpus and the candidate self-join Σdf²
+    * quadratically (measured 253k candidate rows from 11k postings).
+    * At 24 bits, chance collisions of independent profiles are
+    * negligible and df stays at true-similarity levels, the same
+    * reason q157's block universe (MD5) keeps ITS self-join linear. */
+  private val gainLevels = 63L
 
   /** Consecutive frames per fingerprint shingle. */
   private[graft] val gainShingle = 4
@@ -706,10 +713,10 @@ object Multimodal {
     * `mapPartitions` boundary: parses the WAV container, folds
     * per-[[gainFrame]] mean-square energies over the int16 stream
     * (partial tail frame included, as q161), quantizes each frame
-    * RELATIVE to the row's own peak frame (`⌊fe·15/emax⌋` — a uniform
+    * RELATIVE to the row's own peak frame (`⌊fe·63/emax⌋` — a uniform
     * gain change scales fe and emax together, so the profile is
     * invariant), packs [[gainShingle]] consecutive levels into one
-    * 16-bit fingerprint, and keeps the [[audioFpCap]] smallest
+    * 24-bit fingerprint, and keeps the [[audioFpCap]] smallest
     * distinct values. Rows shorter than [[gainShingle]] frames are
     * below the fingerprint's resolution and emit nothing — the
     * documented floor, like q157's blockCap. Non-WAV payloads emit
@@ -746,7 +753,7 @@ object Multimodal {
           val lv = frames.map(f =>
             if (emax == 0L) 0L else f * gainLevels / emax)
           (0 to lv.length - gainShingle).iterator
-            .map(j => ((lv(j) * 16 + lv(j + 1)) * 16 + lv(j + 2)) * 16
+            .map(j => ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64
               + lv(j + 3))
             .toSeq.distinct.sorted.take(audioFpCap).iterator
             .map(fp => (r.doc_id, fp))
@@ -762,7 +769,7 @@ object Multimodal {
     * touched segments (E157/E163 discipline). */
   private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fps", s"$dir/documents.parquet")(
+      s, "audio_fps", s"$dir/documents.parquet", version = 2)(
       files => {
         val sess = s
         import sess.implicits._
@@ -1317,14 +1324,14 @@ object Multimodal {
          |  FROM var GROUP BY 1, 2),
          |mx AS (SELECT media_id, max(fe) AS emax FROM fr GROUP BY 1),
          |lv AS (SELECT f.media_id, frame,
-         |    CASE WHEN emax = 0 THEN 0 ELSE fe * 15 // emax END AS l
+         |    CASE WHEN emax = 0 THEN 0 ELSE fe * 63 // emax END AS l
          |  FROM fr f JOIN mx USING (media_id)),
          |sh0 AS (SELECT media_id, l,
          |    lead(l, 1) OVER w AS l1, lead(l, 2) OVER w AS l2,
          |    lead(l, 3) OVER w AS l3
          |  FROM lv WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
          |shd AS (SELECT DISTINCT media_id,
-         |    CAST(((l * 16 + l1) * 16 + l2) * 16 + l3 AS BIGINT) AS fp
+         |    CAST(((l * 64 + l1) * 64 + l2) * 64 + l3 AS BIGINT) AS fp
          |  FROM sh0 WHERE l3 IS NOT NULL),
          |fps AS (SELECT media_id, fp FROM (
          |    SELECT media_id, fp, row_number() OVER (

@@ -250,10 +250,10 @@ class ObserveSpec extends SparkSuite {
       Multimodal.audioFpsOf(Iterator(
         Multimodal.MediaRow(1L, "audio", p))).map(_._2).toSeq
     // four 20-sample frames at amplitudes 100/200/300/400: energies
-    // 200k/800k/1.8M/3.2M, levels ⌊fe·15/3.2M⌋ = 0/3/8/15, one shingle
+    // 200k/800k/1.8M/3.2M, levels ⌊fe·63/3.2M⌋ = 3/15/35/63, one shingle
     val base = Seq.fill(20)(100) ++ Seq.fill(20)(200) ++
       Seq.fill(20)(300) ++ Seq.fill(20)(400)
-    assert(fps(wav(base)) === Seq(((0L * 16 + 3) * 16 + 8) * 16 + 15))
+    assert(fps(wav(base)) === Seq(((3L * 64 + 15) * 64 + 35) * 64 + 63))
     // polarity inversion: energies are exactly invariant
     assert(fps(wav(base.map(-_))) === fps(wav(base)))
     // a uniform EXACT gain change (×3, no clipping) is also invariant
