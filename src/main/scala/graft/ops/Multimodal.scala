@@ -799,9 +799,19 @@ object Multimodal {
     * is pinned once for its four consumers (E123). */
   def audioGainNearDups(s: SparkSession, dir: String): DataFrame = {
     val fps = audioFpIdx(s, dir).localCheckpoint()
-    // corpus size for the relative threshold: keep flags derive from
-    // doc_id alone, so the count prunes to the doc_id column
-    val nAudio = audioVariantCorpus(s, dir).count()
+    // corpus size for the relative threshold: base + planted variant
+    // counts all derive from doc_id predicates, so ONE doc_id-column
+    // aggregate replaces a count over the variant-exploded corpus
+    // (whose remaster byte math Catalyst would have to prove prunable)
+    val cnt = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pmod(col("doc_id"), lit(5)) === 0, 1L)
+          .otherwise(0L)).as("n5"),
+        sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L)
+          .otherwise(0L)).as("n7"))
+      .head()
+    val nAudio = cnt.getLong(0) + cnt.getLong(1) + cnt.getLong(2)
     val nPer = fps.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_fps"))
     val stop = fps.groupBy(col("fp"))
@@ -848,6 +858,35 @@ object Multimodal {
       .select(col("block_hash")).as[String].collect().toSeq.sorted
   }
 
+  /** The per-media block SET — the containment verify's in-row side —
+    * PERSISTED as a segmented delete-aware artifact
+    * (`media_block_sets`). Without it the grouped fold over the
+    * postings chain sits on the STATIC side of the admission gate's
+    * stream-static join, and Spark re-executes static sides per
+    * micro-batch — a corpus-sized shuffle+fold per trigger at 100 TB.
+    * As an artifact, the per-batch cost is a plain columnar scan.
+    * Per-media rows never span source files → file-decomposable
+    * (takedown excises one segment); each window's sets derive from
+    * the SHARED postings artifact restricted to the window's media
+    * (an id-only column scan of the window files + one semi-join
+    * against the chain — decode+hash stays paid once per document
+    * ever, the E163 band-index discipline). `sort_array` pins the
+    * set's order so excised chains compare byte-stable against
+    * rebuilds. */
+  private[graft] def mediaBlockSetsIdx(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "media_block_sets", s"$dir/documents.parquet")(
+      files => {
+        val winMedia = mediaCorpusOf(s.read.parquet(files: _*))
+          .select(col("media_id"))
+        mediaBlockPostingsIdx(s, dir)
+          .join(winMedia, Seq("media_id"), "left_semi")
+          .groupBy(col("media_id"))
+          .agg(sort_array(collect_set(col("block_hash")))
+            .as("corpus_blocks"))
+      })
+
   /** Media NEAR-DUP ADMISSION CONTROL — the q157 containment
     * discipline as a crawler gate, completing the admission family
     * (text bands E36, exact-Jaccard E136, winnowing, vectors E97)
@@ -870,9 +909,10 @@ object Multimodal {
     * candidate-dedup state is watermark-bounded
     * (`dropDuplicatesWithinWatermark` — a pair only repeats within
     * the micro-batches that carry the media). The corpus-side block
-    * SETS fold from the postings artifact at query build (one grouped
-    * pass over the chain — the E123 one-derivation rule; no second
-    * decode of any corpus byte, ever). */
+    * SETS are the persisted [[mediaBlockSetsIdx]] artifact (derived
+    * from the postings chain once per source state — the E123
+    * one-derivation rule; no second decode of any corpus byte, ever,
+    * and no per-micro-batch re-fold of the chain). */
   def mediaAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
     import s.implicits._
@@ -898,10 +938,11 @@ object Multimodal {
     val postsRare =
       if (stop.isEmpty) posts
       else posts.filter(!col("block_hash").isin(stop: _*))
-    val corpusSets = mediaBlockPostingsIdx(s, dir)
-      .groupBy(col("media_id").as("corpus_id"))
-      .agg(collect_set(col("block_hash")).as("corpus_blocks"))
-      .select(col("corpus_id"),
+    // the corpus-side sets come from the PERSISTED fold — per
+    // micro-batch this static side is a columnar artifact scan plus
+    // map-only array ops, never a re-fold of the postings chain
+    val corpusSets = mediaBlockSetsIdx(s, dir)
+      .select(col("media_id").as("corpus_id"),
         size(col("corpus_blocks")).cast("bigint").as("n_corpus"),
         array_except(col("corpus_blocks"), stopCol).as("corpus_rare"))
     val cand0 = inR

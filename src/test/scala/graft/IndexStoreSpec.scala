@@ -1132,6 +1132,35 @@ class IndexStoreSpec extends SparkSuite {
       s"rebuilt head must not dangle: $links2")
   }
 
+  test("media takedown: the block-SETS artifact (the admission gate's " +
+    "static join side) excises the deleted crawl batch and equals the " +
+    "from-scratch rebuild") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-msets").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 100)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Multimodal.mediaBlockSetsIdx(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Multimodal.mediaBlockSetsIdx(s, wh).count() // delta segment
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Multimodal.mediaBlockSetsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "media_block_sets")
+    IndexStore.invalidate(s, "media_block_postings")
+    val rebuilt = graft.ops.Multimodal.mediaBlockSetsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised media block sets must equal the from-scratch rebuild")
+    assert(excised.nonEmpty)
+  }
+
   test("audio takedown: the fingerprint-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark
