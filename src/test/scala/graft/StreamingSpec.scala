@@ -440,6 +440,13 @@ class StreamingSpec extends SparkSuite {
         "admission must read the persisted fingerprint artifact")
       assert(!microPlan.contains("documents.parquet"),
         "admission must not rescan the documents table per micro-batch")
+      // the stop list and the per-doc set fold are pinned at gate
+      // build — the micro-batch plan must carry NO static-side
+      // aggregation (a collect_set here = a corpus-sized re-fold
+      // every trigger)
+      assert(!microPlan.contains("collect_set"),
+        "the corpus set fold must be pinned at gate build, " +
+          "not re-run per micro-batch")
       s.table("winnow_admission_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
