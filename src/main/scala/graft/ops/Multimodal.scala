@@ -721,45 +721,45 @@ object Multimodal {
     * below the fingerprint's resolution and emit nothing — the
     * documented floor, like q157's blockCap. Non-WAV payloads emit
     * nothing (T5). */
-  private[graft] def audioFpsOf(
-      rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
-    rows.flatMap { r =>
-      val p = r.payload
-      def ascii(i: Int, sTag: String): Boolean =
-        i + sTag.length <= p.length &&
-          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")))
-        Iterator.empty
+  private[graft] def audioFpSeqOf(p: Array[Byte]): Seq[Long] = {
+    def ascii(i: Int, sTag: String): Boolean =
+      i + sTag.length <= p.length &&
+        sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
+    if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"))) Nil
+    else {
+      val body = 44
+      val n = (p.length - body) / 2
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var frameSum = 0L
+      var i = 0
+      while (i < n) {
+        val lo = p(body + 2 * i) & 0xFF
+        val hi = p(body + 2 * i + 1) & 0xFF
+        val u = hi * 256 + lo
+        val s = if (u >= 32768) u - 65536L else u.toLong
+        frameSum += s * s
+        if ((i + 1) % gainFrame == 0 || i + 1 == n) {
+          frames += frameSum; frameSum = 0L
+        }
+        i += 1
+      }
+      if (frames.length < gainShingle) Nil
       else {
-        val body = 44
-        val n = (p.length - body) / 2
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
-        var frameSum = 0L
-        var i = 0
-        while (i < n) {
-          val lo = p(body + 2 * i) & 0xFF
-          val hi = p(body + 2 * i + 1) & 0xFF
-          val u = hi * 256 + lo
-          val s = if (u >= 32768) u - 65536L else u.toLong
-          frameSum += s * s
-          if ((i + 1) % gainFrame == 0 || i + 1 == n) {
-            frames += frameSum; frameSum = 0L
-          }
-          i += 1
-        }
-        if (frames.length < gainShingle) Iterator.empty
-        else {
-          val emax = frames.max
-          val lv = frames.map(f =>
-            if (emax == 0L) 0L else f * gainLevels / emax)
-          (0 to lv.length - gainShingle).iterator
-            .map(j => ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64
-              + lv(j + 3))
-            .toSeq.distinct.sorted.take(audioFpCap).iterator
-            .map(fp => (r.doc_id, fp))
-        }
+        val emax = frames.max
+        val lv = frames.map(f =>
+          if (emax == 0L) 0L else f * gainLevels / emax)
+        (0 to lv.length - gainShingle)
+          .map(j => ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64
+            + lv(j + 3))
+          .distinct.sorted.take(audioFpCap)
       }
     }
+  }
+
+  private[graft] def audioFpsOf(
+      rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
+    rows.flatMap(r => audioFpSeqOf(r.payload).iterator.map(fp =>
+      (r.doc_id, fp)))
 
   /** The (media_id, fp) fingerprint postings PERSISTED as a segmented
     * delete-aware artifact (`audio_fps`) — decode + profile folding
@@ -780,6 +780,160 @@ object Multimodal {
           .as[MediaRow].mapPartitions(audioFpsOf _)
           .toDF("media_id", "fp")
       })
+
+  /** The audio corpus' media ids ONLY — base + planted re-master ids
+    * all derive from doc_id predicates, so this relation never touches
+    * the remaster byte math (used for window restriction in artifact
+    * builds and for the corpus-relative threshold's denominator). */
+  private def audioVariantIdsOf(docsDf: DataFrame): DataFrame =
+    docsDf.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(explode(array(
+        struct(col("doc_id").as("media_id"), lit(true).as("keep")),
+        struct((col("doc_id") + 4000000L).as("media_id"),
+          (pmod(col("doc_id"), lit(5)) === 0).as("keep")),
+        struct((col("doc_id") + 5000000L).as("media_id"),
+          (pmod(col("doc_id"), lit(7)) === 0).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.media_id").as("media_id"))
+
+  /** Audio corpus size for the relative threshold — ONE doc_id-column
+    * aggregate (base + planted variant counts), shared by q162 and
+    * the admission gate. */
+  private def nAudioCorpus(s: SparkSession, dir: String): Long = {
+    val cnt = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .agg(count(lit(1)).as("n"),
+        sum(when(pmod(col("doc_id"), lit(5)) === 0, 1L)
+          .otherwise(0L)).as("n5"),
+        sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L)
+          .otherwise(0L)).as("n7"))
+      .head()
+    cnt.getLong(0) + cnt.getLong(1) + cnt.getLong(2)
+  }
+
+  /** The per-media fingerprint SET — the audio gate's containment
+    * side, PERSISTED segmented (the E173 discipline: an unpinned
+    * fold on a stream-static join's static side re-runs every
+    * micro-batch). Legal as a segmented artifact because the sets are
+    * UNPRUNED — no global-df dependence — and per-media rows never
+    * span source files; stop pruning happens map-side per trigger
+    * against the collected bounded stop list. Derives from the
+    * shared fingerprint chain restricted per window by the id-only
+    * semi-join (decode+fold paid once per row ever). */
+  private[graft] def audioFpSetsIdx(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "audio_fp_sets", s"$dir/documents.parquet")(
+      files => audioFpIdx(s, dir)
+        .join(audioVariantIdsOf(s.read.parquet(files: _*)),
+          Seq("media_id"), "left_semi")
+        .groupBy(col("media_id"))
+        .agg(sort_array(collect_set(col("fp"))).as("corpus_fps")))
+
+  /** The corpus-relative stop-fingerprint list, COLLECTED: bounded
+    * ≤ 5 × [[audioFpCap]] rows by [[audioFpDfThreshold]]'s
+    * construction at any corpus size (the E161 bound). */
+  private def audioStopFps(s: SparkSession, dir: String): Seq[Long] = {
+    val sess = s
+    import sess.implicits._
+    audioFpIdx(s, dir)
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > audioFpDfThreshold(nAudioCorpus(s, dir)))
+      .select(col("fp")).as[Long].collect().toSeq.sorted
+  }
+
+  /** Audio near-dup ADMISSION CONTROL — the E36/E41 discipline for
+    * the audio modality, completing the admission family (text bands
+    * E36, exact-Jaccard E136, winnowing, vectors E97, media blocks
+    * E170): an incoming WAV decodes MAP-SIDE into its gain-invariant
+    * energy-profile fingerprints (the q162 kernel — a polarity flip
+    * or exact gain change at the crawler cannot evade the gate, and
+    * byte-level gates provably cannot catch it), collides against the
+    * PERSISTED fingerprint postings stream-static, prunes boilerplate
+    * profiles on both sides via the collected bounded stop list,
+    * dedups candidates within a watermark, and verifies containment
+    * in-row against the persisted per-media fingerprint sets
+    * ([[audioFpSetsIdx]] — per trigger a columnar scan plus map-only
+    * array ops, never a re-fold). Emits (in_id, corpus_id,
+    * common_fps, n_in, n_corpus, containment_micro ≥ 0.6). The SAME
+    * plan serves the batch backfill (q163) and a `readStream` gate;
+    * StreamingSpec proves the two emit identical flags. */
+  def audioAdmission(s: SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    import s.implicits._
+    val fed = (if (incoming.columns.contains("arr_ts")) incoming
+      else incoming.withColumn("arr_ts", current_timestamp()))
+      .select(col("media_id").cast("long").as("media_id"),
+        col("payload"), col("arr_ts"))
+    val dec = fed.as[InMediaRow].mapPartitions(rows =>
+      rows.map(r => (r.media_id, r.arr_ts, audioFpSeqOf(r.payload))))
+      .toDF("in_id", "arr_ts", "in_all")
+    val stop = audioStopFps(s, dir)
+    val stopCol = typedLit(stop)
+    val inR = dec
+      .withColumn("n_in", size(col("in_all")).cast("bigint"))
+      .withColumn("in_fps", array_except(col("in_all"), stopCol))
+    val posts = audioFpIdx(s, dir)
+      .select(col("fp"), col("media_id").as("corpus_id"))
+    val postsRare =
+      if (stop.isEmpty) posts
+      else posts.filter(!col("fp").isin(stop: _*))
+    val corpusSets = audioFpSetsIdx(s, dir)
+      .select(col("media_id").as("corpus_id"),
+        size(col("corpus_fps")).cast("bigint").as("n_corpus"),
+        array_except(col("corpus_fps"), stopCol).as("corpus_rare"))
+    val cand0 = inR
+      .select(col("in_id"), col("arr_ts"), col("in_fps"), col("n_in"),
+        explode(col("in_fps")).as("fp"))
+      .join(postsRare, "fp")
+      .select(col("in_id"), col("arr_ts"), col("in_fps"), col("n_in"),
+        col("corpus_id"))
+    val cand =
+      if (incoming.isStreaming)
+        cand0.withWatermark("arr_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
+      else cand0.dropDuplicates("in_id", "corpus_id")
+    cand
+      .join(corpusSets, "corpus_id")
+      .withColumn("common_fps",
+        size(array_intersect(col("in_fps"), col("corpus_rare")))
+          .cast("bigint"))
+      .withColumn("containment_micro",
+        expr("common_fps * 1000000L div least(n_in, n_corpus)"))
+      .filter(col("containment_micro") >= 600000L)
+      .select(col("in_id"), col("corpus_id"), col("common_fps"),
+        col("n_in"), col("n_corpus"), col("containment_micro"))
+  }
+
+  /** Deterministic incoming-audio fixture for [[audioAdmission]]'s
+    * batch face (q163): for doc_id % 4 == 0 audio docs, a
+    * POLARITY-INVERTED re-master under a new id (energies exactly
+    * invariant — must flag its base at containment 1.0, and byte
+    * gates provably cannot); for doc_id % 4 == 1 audio docs, NOVEL
+    * audio (a WAV over the REVERSED text bytes — byte pairs regroup,
+    * so the sample stream and its profile differ). Both arms
+    * re-derivable in SQL sample by sample. */
+  private[graft] def audioIncomingFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    val aud = Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .withColumn("rate", lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L)
+    val inv = aud.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("body", encode(col("text"), "UTF-8"))
+      .select((col("doc_id") + 6000000L).as("media_id"),
+        wavOf(col("rate"), remasterBody("-%s")).as("payload"))
+    val novel = aud.filter(pmod(col("doc_id"), lit(4)) === 1)
+      .select((col("doc_id") + 7000000L).as("media_id"),
+        wavOf(col("rate"), encode(reverse(col("text")), "UTF-8"))
+          .as("payload"))
+    inv.unionByName(novel)
+  }
+
+  /** q163: the audio gate's batch-backfill face over the
+    * deterministic incoming fixture. */
+  def audioAdmissionBackfill(s: SparkSession, dir: String): DataFrame =
+    audioAdmission(s, dir, audioIncomingFixture(s, dir))
+      .orderBy(col("in_id"), col("corpus_id"))
 
   /** q162: audio near-dup via gain-invariant energy-profile
     * fingerprints — the re-MASTER detector the byte-block path
@@ -803,15 +957,7 @@ object Multimodal {
     // counts all derive from doc_id predicates, so ONE doc_id-column
     // aggregate replaces a count over the variant-exploded corpus
     // (whose remaster byte math Catalyst would have to prove prunable)
-    val cnt = Tables.load(s, dir, "documents")
-      .filter(pmod(col("doc_id"), lit(3)) === 1)
-      .agg(count(lit(1)).as("n"),
-        sum(when(pmod(col("doc_id"), lit(5)) === 0, 1L)
-          .otherwise(0L)).as("n5"),
-        sum(when(pmod(col("doc_id"), lit(7)) === 0, 1L)
-          .otherwise(0L)).as("n7"))
-      .head()
-    val nAudio = cnt.getLong(0) + cnt.getLong(1) + cnt.getLong(2)
+    val nAudio = nAudioCorpus(s, dir)
     val nPer = fps.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_fps"))
     val stop = fps.groupBy(col("fp"))
@@ -1137,7 +1283,33 @@ object Multimodal {
     "q160_media_admission" -> mediaAdmissionBackfill,
     "q161_audio_energy" -> audioEnergy,
     "q162_audio_gain_neardup" -> audioGainNearDups,
+    "q163_audio_admission" -> audioAdmissionBackfill,
   )
+
+  /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
+    * the capped fingerprint relation `<p>fps` (id, fp) — the SQL twin
+    * of [[audioFpSeqOf]]'s frame/level/shingle pipeline, emitted once
+    * for the corpus and once for an incoming feed (CTE names take the
+    * prefix `p`). */
+  private def duckAudioFps(p: String, src: String, id: String): String =
+    s"""${p}fr AS (SELECT $id, i // $gainFrame AS frame,
+       |    CAST(sum(s * s) AS BIGINT) AS fe
+       |  FROM $src GROUP BY 1, 2),
+       |${p}mx AS (SELECT $id, max(fe) AS emax FROM ${p}fr GROUP BY 1),
+       |${p}lv AS (SELECT f.$id, frame,
+       |    CASE WHEN emax = 0 THEN 0 ELSE fe * 63 // emax END AS l
+       |  FROM ${p}fr f JOIN ${p}mx USING ($id)),
+       |${p}sh0 AS (SELECT $id, l,
+       |    lead(l, 1) OVER w AS l1, lead(l, 2) OVER w AS l2,
+       |    lead(l, 3) OVER w AS l3
+       |  FROM ${p}lv WINDOW w AS (PARTITION BY $id ORDER BY frame)),
+       |${p}shd AS (SELECT DISTINCT $id,
+       |    CAST(((l * 64 + l1) * 64 + l2) * 64 + l3 AS BIGINT) AS fp
+       |  FROM ${p}sh0 WHERE l3 IS NOT NULL),
+       |${p}fps AS (SELECT $id, fp FROM (
+       |    SELECT $id, fp, row_number() OVER (
+       |      PARTITION BY $id ORDER BY fp) AS rn FROM ${p}shd)
+       |  WHERE rn <= $audioFpCap)""".stripMargin
 
   /** DuckDB little-endian 32-bit render of an integer SQL expression. */
   private def duckLe32(e: String): String =
@@ -1360,24 +1532,7 @@ object Multimodal {
          |ncorp AS (SELECT (SELECT count(*) FROM au)
          |    + (SELECT count(*) FROM au WHERE doc_id % 5 = 0)
          |    + (SELECT count(*) FROM au WHERE doc_id % 7 = 0) AS na),
-         |fr AS (SELECT media_id, i // $gainFrame AS frame,
-         |    CAST(sum(s * s) AS BIGINT) AS fe
-         |  FROM var GROUP BY 1, 2),
-         |mx AS (SELECT media_id, max(fe) AS emax FROM fr GROUP BY 1),
-         |lv AS (SELECT f.media_id, frame,
-         |    CASE WHEN emax = 0 THEN 0 ELSE fe * 63 // emax END AS l
-         |  FROM fr f JOIN mx USING (media_id)),
-         |sh0 AS (SELECT media_id, l,
-         |    lead(l, 1) OVER w AS l1, lead(l, 2) OVER w AS l2,
-         |    lead(l, 3) OVER w AS l3
-         |  FROM lv WINDOW w AS (PARTITION BY media_id ORDER BY frame)),
-         |shd AS (SELECT DISTINCT media_id,
-         |    CAST(((l * 64 + l1) * 64 + l2) * 64 + l3 AS BIGINT) AS fp
-         |  FROM sh0 WHERE l3 IS NOT NULL),
-         |fps AS (SELECT media_id, fp FROM (
-         |    SELECT media_id, fp, row_number() OVER (
-         |      PARTITION BY media_id ORDER BY fp) AS rn FROM shd)
-         |  WHERE rn <= $audioFpCap),
+         |${duckAudioFps("", "var", "media_id")},
          |np AS (SELECT media_id, count(*) AS nf FROM fps GROUP BY 1),
          |stop AS (SELECT fp FROM fps GROUP BY fp
          |  HAVING count(*) > greatest(16, (SELECT na FROM ncorp) // 5)),
@@ -1396,6 +1551,85 @@ object Multimodal {
          |JOIN np nb ON nb.media_id = pr.media_b
          |WHERE common_fps * 1000000 // least(na.nf, nb.nf) >= 600000
          |ORDER BY media_a, media_b""".stripMargin,
+    // q163: the audio gate's batch face — corpus and incoming
+    // fingerprints, the stop filter, candidates, and containment all
+    // re-derived sample by sample (the incoming arms: polarity
+    // inversion of the base samples; a reversed-text novel stream)
+    "q163_audio_admission" ->
+      s"""WITH au AS (SELECT doc_id, hex(encode(text)) AS bh,
+         |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |smp AS (SELECT doc_id, i,
+         |    CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+         |      AS BIGINT) AS s
+         |  FROM (SELECT doc_id, i,
+         |      ((strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 3 AS BIGINT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 4 AS BIGINT), 1)) - 1)) * 256
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 1 AS BIGINT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 2 AS BIGINT), 1)) - 1) AS u
+         |    FROM au, LATERAL unnest(generate_series(0, n - 1)) t(i)
+         |    WHERE n > 0)),
+         |var AS (
+         |  SELECT doc_id AS media_id, i, s FROM smp
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, i, -s FROM smp WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, i,
+         |    CAST(floor(s / 2.0) AS BIGINT) FROM smp WHERE doc_id % 7 = 0),
+         |ncorp AS (SELECT (SELECT count(*) FROM au)
+         |    + (SELECT count(*) FROM au WHERE doc_id % 5 = 0)
+         |    + (SELECT count(*) FROM au WHERE doc_id % 7 = 0) AS na),
+         |${duckAudioFps("", "var", "media_id")},
+         |stop AS (SELECT fp FROM fps GROUP BY fp
+         |  HAVING count(*) > greatest(16, (SELECT na FROM ncorp) // 5)),
+         |np AS (SELECT media_id, count(*) AS nf FROM fps GROUP BY 1),
+         |rare AS (SELECT * FROM fps
+         |  WHERE fp NOT IN (SELECT fp FROM stop)),
+         |rau AS (SELECT doc_id, hex(encode(reverse(text))) AS bh,
+         |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 4 = 1),
+         |rsmp AS (SELECT doc_id, i,
+         |    CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END
+         |      AS BIGINT) AS s
+         |  FROM (SELECT doc_id, i,
+         |      ((strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 3 AS BIGINT), 1)) - 1) * 16
+         |        + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 4 AS BIGINT), 1)) - 1)) * 256
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 1 AS BIGINT), 1)) - 1) * 16
+         |      + (strpos('0123456789ABCDEF',
+         |          substr(bh, CAST(4 * i + 2 AS BIGINT), 1)) - 1) AS u
+         |    FROM rau, LATERAL unnest(generate_series(0, n - 1)) t(i)
+         |    WHERE n > 0)),
+         |ivar AS (
+         |  SELECT doc_id + 6000000 AS in_id, i, -s AS s FROM smp
+         |  WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, i, s FROM rsmp),
+         |${duckAudioFps("i", "ivar", "in_id")},
+         |nin AS (SELECT in_id, count(*) AS n_in FROM ifps GROUP BY 1),
+         |irare AS (SELECT * FROM ifps
+         |  WHERE fp NOT IN (SELECT fp FROM stop)),
+         |cm AS (SELECT in_id, corpus_id,
+         |    CAST(count(*) AS BIGINT) AS common_fps
+         |  FROM (SELECT DISTINCT irare.in_id, rare.media_id AS corpus_id,
+         |          fp
+         |        FROM irare JOIN rare USING (fp))
+         |  GROUP BY 1, 2)
+         |SELECT cm.in_id, cm.corpus_id, cm.common_fps,
+         |  CAST(nin.n_in AS BIGINT) AS n_in,
+         |  CAST(np.nf AS BIGINT) AS n_corpus,
+         |  CAST(common_fps * 1000000 // least(nin.n_in, np.nf)
+         |    AS BIGINT) AS containment_micro
+         |FROM cm JOIN nin USING (in_id)
+         |JOIN np ON np.media_id = cm.corpus_id
+         |WHERE common_fps * 1000000 // least(nin.n_in, np.nf) >= 600000
+         |ORDER BY cm.in_id, cm.corpus_id""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

@@ -1190,6 +1190,35 @@ class IndexStoreSpec extends SparkSuite {
     assert(excised.nonEmpty)
   }
 
+  test("audio takedown: the fingerprint-SETS artifact (the audio " +
+    "gate's static join side) excises the deleted batch and equals " +
+    "the from-scratch rebuild") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-afsets").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 120)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Multimodal.audioFpSetsIdx(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Multimodal.audioFpSetsIdx(s, wh).count() // delta segment
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Multimodal.audioFpSetsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "audio_fp_sets")
+    IndexStore.invalidate(s, "audio_fps")
+    val rebuilt = graft.ops.Multimodal.audioFpSetsIdx(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised audio fingerprint sets must equal the from-scratch rebuild")
+    assert(excised.nonEmpty)
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

@@ -803,6 +803,80 @@ class StreamingSpec extends SparkSuite {
       "novel media must pass the gate silently")
   }
 
+  test("audio admission: a streamed WAV feed gated against the " +
+    "persisted fingerprint artifacts equals the batch plan; polarity " +
+    "re-masters flag their base at containment 1.0 (bytes share " +
+    "nothing), novel audio never flags its own base") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = graft.ops.Multimodal.audioIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    assert(feed.exists(_._1 >= 7000000L), "fixture must carry novel audio")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.ops.Multimodal.audioAdmission(s, sf,
+      in.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("audio_adm_out")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val streamed = withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // the corpus side must be artifact LOOKUPS: no documents
+      // rescan, no static-side set fold per micro-batch (the sets
+      // are the persisted audio_fp_sets artifact)
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(microPlan.contains("graft-index"),
+        "the audio gate must read the persisted fingerprint artifacts")
+      assert(!microPlan.contains("documents.parquet"),
+        "the audio gate must not rescan the documents table per batch")
+      assert(!microPlan.contains("collect_set"),
+        "the corpus fingerprint sets must come from the persisted " +
+          "artifact, not a per-trigger fold")
+      s.table("audio_adm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    }
+    val batch = graft.ops.Multimodal
+      .audioAdmissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch,
+      s"streamed flags must equal the batch plan " +
+        s"(missing=${(batch -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batch).take(3)})")
+    assert(streamed.nonEmpty, "the planted re-masters must flag")
+    // a polarity flip keeps the EXACT fingerprint set (s² = (−s)²),
+    // so every inverted re-master that flags its base flags at 1.0
+    val vsBase = streamed.filter(t => t._2 == t._1 - 6000000L)
+    assert(vsBase.nonEmpty && vsBase.forall(_._6 == 1000000L),
+      "each polarity re-master must flag its base at exactly 1.0")
+    // the counterfactual: the re-master shares NO payload bytes with
+    // its base, so the byte-block gate (q160) provably cannot pair it
+    val (someIn, someBase) = (vsBase.head._1, vsBase.head._2)
+    val inPayload = feed.toMap.apply(someIn)
+    val basePayload = graft.ops.Multimodal.audioVariantCorpus(s, sf)
+      .filter(col("media_id") === someBase)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(!java.util.Arrays.equals(inPayload, basePayload))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def blocks(p: Array[Byte]): Set[String] = {
+      val rows = Iterator(graft.ops.Multimodal.MediaRow(0L, "audio", p))
+      graft.ops.Multimodal.decode(rows).next().block_hashes.toSet
+    }
+    assert(blocks(inPayload).intersect(blocks(basePayload)).isEmpty,
+      "a re-master must share NO content blocks with its base — " +
+        "only the energy-profile gate can catch it")
+    // novel audio (reversed-text WAVs, ids +7e6) never flags its own
+    // base — the reversed sample stream has a different profile
+    assert(streamed.filter(_._1 >= 7000000L)
+      .forall(t => t._2 != t._1 - 7000000L),
+      "novel audio must not flag its own base")
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
