@@ -712,7 +712,9 @@ object Multimodal {
   /** GENUINE gain-invariant fingerprint kernel, inside the decode
     * `mapPartitions` boundary: parses the WAV container, folds
     * per-[[gainFrame]] mean-square energies over the int16 stream
-    * (partial tail frame included, as q161), quantizes each frame
+    * (FULL frames only — the partial tail is length-parity noise
+    * that slices boilerplate populations below the stop threshold,
+    * see [[audioFpSeqOf]]), quantizes each frame
     * RELATIVE to the row's own peak frame (`⌊fe·63/emax⌋` — a uniform
     * gain change scales fe and emax together, so the profile is
     * invariant), packs [[gainShingle]] consecutive levels into one
@@ -729,16 +731,29 @@ object Multimodal {
     else {
       val body = 44
       val n = (p.length - body) / 2
+      // FULL frames only — the partial tail frame is length-parity
+      // noise, not signal, and it is a SCALE hazard: a boilerplate
+      // population of identical audio at varying lengths all shares
+      // one constant-level profile (one fp, df-pruned as stop), but
+      // the tail frame's energy encodes `length mod frame`, slicing
+      // that population into ~frame-many subgroups that each duck
+      // the corpus-relative threshold and then pair quadratically
+      // (measured on the zipf fixture: 99× pair growth across one
+      // decade through the tail split; full-frame fingerprints
+      // stop-prune the hot population to zero pairs). q161's feature
+      // kernel keeps its partial-frame semantics — features describe
+      // one row, fingerprints must bucket a corpus.
+      val nFull = (n / gainFrame) * gainFrame
       val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
       var frameSum = 0L
       var i = 0
-      while (i < n) {
+      while (i < nFull) {
         val lo = p(body + 2 * i) & 0xFF
         val hi = p(body + 2 * i + 1) & 0xFF
         val u = hi * 256 + lo
         val s = if (u >= 32768) u - 65536L else u.toLong
         frameSum += s * s
-        if ((i + 1) % gainFrame == 0 || i + 1 == n) {
+        if ((i + 1) % gainFrame == 0) {
           frames += frameSum; frameSum = 0L
         }
         i += 1
@@ -769,7 +784,7 @@ object Multimodal {
     * touched segments (E157/E163 discipline). */
   private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fps", s"$dir/documents.parquet", version = 2)(
+      s, "audio_fps", s"$dir/documents.parquet", version = 3)(
       files => {
         val sess = s
         import sess.implicits._
@@ -823,7 +838,7 @@ object Multimodal {
   private[graft] def audioFpSetsIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fp_sets", s"$dir/documents.parquet")(
+      s, "audio_fp_sets", s"$dir/documents.parquet", version = 2)(
       files => audioFpIdx(s, dir)
         .join(audioVariantIdsOf(s.read.parquet(files: _*)),
           Seq("media_id"), "left_semi")
@@ -1294,7 +1309,8 @@ object Multimodal {
   private def duckAudioFps(p: String, src: String, id: String): String =
     s"""${p}fr AS (SELECT $id, i // $gainFrame AS frame,
        |    CAST(sum(s * s) AS BIGINT) AS fe
-       |  FROM $src GROUP BY 1, 2),
+       |  FROM $src GROUP BY 1, 2
+       |  HAVING count(*) = $gainFrame),
        |${p}mx AS (SELECT $id, max(fe) AS emax FROM ${p}fr GROUP BY 1),
        |${p}lv AS (SELECT f.$id, frame,
        |    CASE WHEN emax = 0 THEN 0 ELSE fe * 63 // emax END AS l

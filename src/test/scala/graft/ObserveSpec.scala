@@ -262,8 +262,13 @@ class ObserveSpec extends SparkSuite {
     assert(fps(wav(base.take(60))).isEmpty)
     // non-WAV payloads emit nothing (T5)
     assert(fps("not audio at all, just bytes".getBytes).isEmpty)
-    // partial tail frame participates (as q161): 61 samples = 4 frames
-    assert(fps(wav(base.take(61))).nonEmpty)
+    // the partial tail frame is EXCLUDED (length-parity noise that
+    // slices boilerplate populations below the stop threshold):
+    // 61 samples = 3 full frames -> below resolution; 80 = 4 -> fps
+    assert(fps(wav(base.take(61))).isEmpty)
+    assert(fps(wav(base.take(80) ++ Seq.fill(7)(250))) ===
+      fps(wav(base.take(80))),
+      "a trailing partial frame must not change the fingerprints")
   }
 
   test("audio gain near-dup recall: every eligible planted re-master " +
