@@ -1288,6 +1288,198 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q164: perceptual raster dedup over REAL pixels (image q162) -------
+
+  /** Raster corpus WITH PLANTED RE-MASTERS — the image analog of the
+    * audio gain fixture: a HALF-BRIGHTNESS re-master (every pixel
+    * floor-halved — a -1-stop exposure change) of every doc_id % 6
+    * == 0 raster under `raster_id = doc_id + 8_000_000`. The
+    * re-master rewrites essentially every payload byte AND every
+    * resampled thumbnail byte (q159's averages halve), so neither
+    * exact hashing nor resample-byte equality can pair it — only a
+    * perceptual bit pattern relative to the image's OWN mean
+    * survives an exposure change. */
+  private[graft] def rasterVariantTableOf(docsDf: DataFrame): DataFrame = {
+    def pgm(px: String): Column = concat(
+      encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n")), "UTF-8"),
+      unhex(expr(
+        s"""array_join(transform(sequence(0, w * h - 1),
+             i -> lpad(hex($px), 2, '0')), '')""")))
+    // NOT q159's shared gradient: the fixture must carry per-image
+    // STRUCTURE (doc-dependent row/col/cross coefficients) or every
+    // raster is the same gradient family and the perceptual hashes of
+    // unrelated images legitimately collide corpus-wide (measured:
+    // 110k pairs at sf0.1 under the shared formula, 934 under this
+    // one — low-entropy imagery is a fixture realism bug, not an
+    // operator input)
+    val base = "pmod(doc_id * 31 + (i div w) * (11 + doc_id % 13)" +
+      " + (i % w) * (5 + doc_id % 11)" +
+      " + (i div w) * (i % w) * (1 + doc_id % 7), 256)"
+    docsDf
+      .withColumn("w", lit(9L) + pmod(col("doc_id"), lit(16L)))
+      .withColumn("h", lit(9L) + pmod(col("doc_id"), lit(12L)))
+      .select(explode(array(
+        struct(col("doc_id").as("raster_id"),
+          pgm(base).as("payload"), lit(true).as("keep")),
+        struct((col("doc_id") + 8000000L).as("raster_id"),
+          pgm(s"($base) div 2").as("payload"),
+          (pmod(col("doc_id"), lit(6)) === 0).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.raster_id").as("raster_id"),
+        col("v.payload").as("payload"))
+  }
+
+  private[graft] def rasterVariantTable(
+      s: SparkSession, dir: String): DataFrame =
+    rasterVariantTableOf(Tables.load(s, dir, "documents"))
+
+  /** GENUINE average-hash kernel inside the decode `mapPartitions`
+    * boundary: parses the P5 container, box-filters the REAL pixels
+    * to a fixed 8×8 grid (area-map blocks, floor-div average — the
+    * q159 kernel's math with a fixed target), and emits one bit per
+    * cell — `cell > mean of the 64 cells` — packed row-major into a
+    * 64-bit signature (bit i = cell i). The bit pattern compares each
+    * region to the image's OWN mean, so any monotone global exposure
+    * change (gain, halving) preserves it up to rounding at the mean —
+    * the invariance axis byte-level dedup cannot have. Unparseable or
+    * sub-8×8 payloads emit no signature (T5). */
+  private[graft] def rasterAHashOf(p: Array[Byte]): Option[Long] = {
+    var i = 0
+    def ws(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def int(): Long = {
+      while (i < p.length && ws(p(i))) i += 1
+      var v = 0L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    if (p.length < 2 || p(0) != 'P' || p(1) != '5') None
+    else {
+      i = 2
+      val w = int(); val h = int(); int()
+      i += 1
+      val base = i
+      if (w < 8 || h < 8 || base + w * h > p.length) None
+      else {
+        val cells = new Array[Long](64)
+        var total = 0L
+        var ty = 0
+        while (ty < 8) {
+          var tx = 0
+          while (tx < 8) {
+            val y0 = ty * h / 8; val y1 = (ty + 1) * h / 8
+            val x0 = tx * w / 8; val x1 = (tx + 1) * w / 8
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                sum += p((base + y * w + x).toInt) & 0xFF; x += 1
+              }
+              y += 1
+            }
+            val av = sum / ((y1 - y0) * (x1 - x0))
+            cells(ty * 8 + tx) = av
+            total += av
+            tx += 1
+          }
+          ty += 1
+        }
+        val mean = total / 64
+        var hash = 0L
+        var j = 0
+        while (j < 64) {
+          if (cells(j) > mean) hash |= (1L << j)
+          j += 1
+        }
+        Some(hash)
+      }
+    }
+  }
+
+  /** The (raster_id, ahash) signatures PERSISTED segmented
+    * (`raster_ahash`): parse+resample+hash paid once per raster ever;
+    * per-raster rows never span source files, so a takedown excises
+    * one segment (E157/E163 discipline). */
+  private[graft] def rasterAHashIdx(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "raster_ahash", s"$dir/documents.parquet", version = 2)(
+      files => {
+        val sess = s
+        import sess.implicits._
+        rasterVariantTableOf(s.read.parquet(files: _*)
+            .repartition(s.sparkContext.defaultParallelism))
+          .withColumnRenamed("raster_id", "doc_id")
+          .as[RasterRow]
+          .mapPartitions(rows => rows.flatMap(r =>
+            rasterAHashOf(r.payload).iterator.map(hsh => (r.doc_id, hsh))))
+          .toDF("raster_id", "ahash")
+      })
+
+  /** q164: perceptual near-dup over the REAL raster pixels — pairs
+    * whose 8×8 average-hash signatures sit within Hamming distance 1
+    * (the exposure re-master flips at most the cells that TIE the
+    * halved mean). Radius is a SCALE variable, not a tuning knob: a
+    * 64-bit perceptual hash is low-entropy on structured imagery, so
+    * the pair population at radius r carries an n²·P(d≤r) coincidence
+    * term that grows with the radius (measured at sf0.1: 934 pairs at
+    * r=1, 2,008 at r=3, recall 96% vs 100%) — wide-radius grouping
+    * belongs to the CLUSTER view (q63's connected components over the
+    * pair graph), not to pair enumeration.
+    * An exposure re-master (every pixel halved) rewrites every
+    * payload byte and every q159 thumbnail byte, so exact and
+    * resample-byte dedup provably cannot pair it; the mean-relative
+    * bit pattern survives.
+    *
+    * Scale shape is q107's EXACT Hamming-ball discipline on a new
+    * modality: 4 bands × 16 bits over the signature — the pigeonhole
+    * bound makes banding lossless at distance ≤ 3 (any pair within 3
+    * differs in at most 3 bands, so at least one band matches
+    * exactly, and a fortiori at distance ≤ 1); candidates come from
+    * the band equi-join, never all-pairs. Band buckets hotter than the corpus-relative
+    * threshold (flat/boilerplate imagery — df > max(64, n/5), stop
+    * rows ≤ 4·5 = 20 BY CONSTRUCTION since each raster carries
+    * exactly 4 band rows) are anti-joined out on both sides:
+    * boilerplate cannot name a near-dup relation (the q157/q162
+    * rule), documented as the one exactness trade. Signatures are
+    * the persisted [[rasterAHashIdx]] artifact. */
+  def rasterPerceptualDups(s: SparkSession, dir: String): DataFrame = {
+    val hashes = rasterAHashIdx(s, dir).localCheckpoint()
+    val nRasters = {
+      val cnt = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
+            .otherwise(0L)).as("n6")).head()
+      cnt.getLong(0) + cnt.getLong(1)
+    }
+    val bands = hashes.select(col("raster_id"), col("ahash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+             k -> struct(k AS b,
+               shiftright(ahash, CAST(16 * k AS INT)) & 65535 AS bh))"""))
+        .as("e"))
+      .select(col("raster_id"), col("ahash"),
+        col("e.b").as("b"), col("e.bh").as("bh"))
+    val stop = bands.groupBy(col("b"), col("bh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > math.max(64L, nRasters / 5))
+      .select(col("b"), col("bh"))
+    val rare = bands.join(broadcast(stop), Seq("b", "bh"), "left_anti")
+    rare.as("x").join(rare.as("y"), Seq("b", "bh"))
+      .filter(col("x.raster_id") < col("y.raster_id"))
+      .select(col("x.raster_id").as("raster_a"),
+        col("y.raster_id").as("raster_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 1)
+      .orderBy(col("raster_a"), col("raster_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
     "q58_frame_hashes" -> frameHashes,
@@ -1299,6 +1491,7 @@ object Multimodal {
     "q161_audio_energy" -> audioEnergy,
     "q162_audio_gain_neardup" -> audioGainNearDups,
     "q163_audio_admission" -> audioAdmissionBackfill,
+    "q164_raster_phash_dups" -> rasterPerceptualDups,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -1646,6 +1839,59 @@ object Multimodal {
          |JOIN np ON np.media_id = cm.corpus_id
          |WHERE common_fps * 1000000 // least(nin.n_in, np.nf) >= 600000
          |ORDER BY cm.in_id, cm.corpus_id""".stripMargin,
+    // q164: the perceptual raster dedup re-derived pixel by pixel —
+    // base and half-brightness pixel streams, 8x8 area-map cell
+    // averages, the mean-relative bit pack (the sign bit enters as
+    // the two's-complement constant, summing to the same BIGINT the
+    // engine's bitwise OR builds), bands, the stop filter, and the
+    // exact Hamming verify
+    "q164_raster_phash_dups" ->
+      s"""WITH g AS (SELECT doc_id, CAST(9 + doc_id % 16 AS BIGINT) AS w,
+         |    CAST(9 + doc_id % 12 AS BIGINT) AS h FROM documents),
+         |rv AS (SELECT doc_id AS raster_id, doc_id, w, h, 0 AS hv FROM g
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
+         |  WHERE doc_id % 6 = 0),
+         |cells AS (SELECT raster_id,
+         |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
+         |    CAST(sum(p) // count(*) AS BIGINT) AS cell
+         |  FROM (SELECT r.raster_id, r.w, r.h, yy.y, xx.x,
+         |      CASE WHEN hv = 0
+         |        THEN (r.doc_id * 31 + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256
+         |        ELSE ((r.doc_id * 31 + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 2
+         |        END AS p
+         |    FROM rv r,
+         |      LATERAL unnest(generate_series(0, r.h - 1)) yy(y),
+         |      LATERAL unnest(generate_series(0, r.w - 1)) xx(x))
+         |  GROUP BY 1, 2, 3),
+         |mn AS (SELECT raster_id, CAST(sum(cell) // 64 AS BIGINT) AS mean
+         |  FROM cells GROUP BY 1),
+         |hs AS (SELECT c.raster_id, CAST(sum(CASE WHEN cell > mean THEN
+         |      CASE WHEN ty * 8 + tx = 63
+         |        THEN CAST(-9223372036854775808 AS BIGINT)
+         |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells c JOIN mn USING (raster_id) GROUP BY 1),
+         |bd AS (SELECT raster_id, ahash, k.k AS b,
+         |    (ahash >> CAST(16 * k.k AS INT)) & 65535 AS bh
+         |  FROM hs, LATERAL unnest(generate_series(0, 3)) k(k)),
+         |nr AS (SELECT (SELECT count(*) FROM g)
+         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |stop AS (SELECT b, bh FROM bd GROUP BY 1, 2
+         |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
+         |rare AS (SELECT * FROM bd t WHERE NOT EXISTS (
+         |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh)),
+         |pr AS (SELECT DISTINCT x.raster_id AS raster_a,
+         |    y.raster_id AS raster_b,
+         |    CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+         |  FROM rare x JOIN rare y
+         |    ON x.b = y.b AND x.bh = y.bh AND x.raster_id < y.raster_id)
+         |SELECT raster_a, raster_b, hamming FROM pr WHERE hamming <= 1
+         |ORDER BY raster_a, raster_b""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

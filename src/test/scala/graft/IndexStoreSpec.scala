@@ -1219,6 +1219,33 @@ class IndexStoreSpec extends SparkSuite {
     assert(excised.nonEmpty)
   }
 
+  test("raster takedown: the perceptual-hash artifact excises the " +
+    "deleted batch and equals the from-scratch rebuild") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-del-ahash").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 100)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    graft.ops.Multimodal.rasterAHashIdx(s, wh).count()
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    graft.ops.Multimodal.rasterAHashIdx(s, wh).count() // delta segment
+    assert(new java.io.File(docsDir, seg2File).delete())
+    val excised = graft.ops.Multimodal.rasterAHashIdx(s, wh)
+      .collect().map(_.toString).toSet
+    IndexStore.invalidate(s, "raster_ahash")
+    val rebuilt = graft.ops.Multimodal.rasterAHashIdx(s, wh)
+      .collect().map(_.toString).toSet
+    assert(excised === rebuilt,
+      "excised perceptual hashes must equal the from-scratch rebuild")
+    assert(excised.nonEmpty)
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

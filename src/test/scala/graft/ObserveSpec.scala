@@ -339,6 +339,71 @@ class ObserveSpec extends SparkSuite {
     }
   }
 
+  test("raster average-hash kernel: mean-relative bits from real " +
+    "pixels, exact invariance under an exposure halving, and the " +
+    "resolution/garbage floors") {
+    def pgm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] =
+      (s"P5\n$w $h\n255\n").getBytes ++
+        (0 until h).flatMap(y => (0 until w).map(x => px(y, x).toByte))
+    // 16×16, left half dark (10), right half bright (200): cell means
+    // are 10/200, global mean 105 → exactly the right-half bits set
+    val split = pgm(16, 16, (_, x) => if (x < 8) 10 else 200)
+    val expected = 0xF0F0F0F0F0F0F0F0L
+    assert(Multimodal.rasterAHashOf(split) === Some(expected))
+    // a −1-stop exposure re-master (every pixel halved): 5/100,
+    // mean 52 — the SAME bits, though every payload byte changed
+    val halved = pgm(16, 16, (_, x) => if (x < 8) 5 else 100)
+    assert(Multimodal.rasterAHashOf(halved) === Some(expected))
+    // sub-8×8 rasters are below the grid's resolution; garbage is T5
+    assert(Multimodal.rasterAHashOf(pgm(7, 16, (_, _) => 9)).isEmpty)
+    assert(Multimodal.rasterAHashOf("not a raster".getBytes).isEmpty)
+  }
+
+  test("raster perceptual dedup recall: planted exposure re-masters " +
+    "pair with their base within Hamming 1 (and neither the payload " +
+    "bytes nor the q159 resample bytes could)") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val corpus = Multimodal.rasterVariantTable(s, sf)
+      .withColumnRenamed("raster_id", "doc_id")
+      .as[Multimodal.RasterRow].collect()
+      .map(r => r.doc_id -> r.payload).toMap
+    val hashOf = corpus.flatMap { case (id, p) =>
+      Multimodal.rasterAHashOf(p).map(id -> _)
+    }
+    val variants = hashOf.keys.filter(_ >= 8000000L).toSeq
+    assert(variants.nonEmpty, "fixture must plant exposure re-masters")
+    val pairs = Multimodal.rasterPerceptualDups(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground-truth expectation: variant pairs with its base iff the
+    // two hashes sit within Hamming 1 (banding is lossless there by
+    // the pigeonhole bound, and the fixture plants no stop buckets)
+    variants.foreach { v =>
+      val d = java.lang.Long.bitCount(hashOf(v) ^ hashOf(v - 8000000L))
+      if (d <= 1)
+        assert(pairs.contains((v - 8000000L, v)),
+          s"planted exposure pair (${v - 8000000L}, $v) at d=$d missed")
+    }
+    val recalled = variants.count(v =>
+      pairs.contains((v - 8000000L, v)))
+    assert(recalled * 100 >= variants.size * 90,
+      s"fixture-pinned recall regressed: $recalled/${variants.size}")
+    // the counterfactual, BYTE level: the re-master shares essentially
+    // no payload bytes, and even the q159 box-filter output differs
+    // (the averages halve) — only the mean-relative bit pattern pairs
+    val v0 = variants.find(v =>
+      pairs.contains((v - 8000000L, v))).get
+    val b0 = v0 - 8000000L
+    assert(!java.util.Arrays.equals(corpus(v0), corpus(b0)))
+    def thumb(id: Long): String =
+      Multimodal.rasterDecode(Iterator(
+        Multimodal.RasterRow(id, corpus(id)))).next().thumb_hex
+    assert(thumb(v0) !== thumb(b0),
+      "the resample bytes must differ — resample-byte equality " +
+        "provably cannot pair an exposure re-master")
+  }
+
   test("observed write: metrics harvested from the write's single pass") {
     val out = Files.createTempDirectory("graft_obs").toString + "/us"
     val m = graft.observe.Metrics.observedWrite(spark, sf, out)
