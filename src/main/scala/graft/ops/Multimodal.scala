@@ -1480,6 +1480,130 @@ object Multimodal {
       .orderBy(col("raster_a"), col("raster_b"))
   }
 
+  // ---- q165: raster admission gate (the admission trio's image leg) ------
+
+  /** One incoming raster row of [[rasterAdmission]]'s typed decode
+    * stage. */
+  case class InRasterRow(raster_id: Long, payload: Array[Byte],
+      arr_ts: java.sql.Timestamp)
+
+  /** Raster near-dup ADMISSION CONTROL — the image leg of the
+    * admission trio (media blocks q160, audio fingerprints q163):
+    * an incoming raster average-hashes MAP-SIDE (the q164 kernel —
+    * an exposure re-master at the crawler rewrites every byte, so
+    * byte-level gates provably cannot catch it), its 4 bands collide
+    * stream-static against the persisted [[rasterAHashIdx]] band
+    * relation (pigeonhole-lossless at Hamming ≤ 1), candidates dedup
+    * within a watermark, and the verify is IN-ROW `bit_count(xor)` —
+    * the corpus hash rides the posting, so this gate needs no set
+    * artifact at all. Stop buckets (≤ 20 rows BY CONSTRUCTION, the
+    * E176 bound) are anti-joined on both sides. Emits
+    * (in_id, corpus_id, hamming ≤ 1); same plan batch (q165) and
+    * `readStream`. */
+  def rasterAdmission(s: SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    import s.implicits._
+    val fed = (if (incoming.columns.contains("arr_ts")) incoming
+      else incoming.withColumn("arr_ts", current_timestamp()))
+      .select(col("raster_id").cast("long").as("raster_id"),
+        col("payload"), col("arr_ts"))
+    val dec = fed.as[InRasterRow].mapPartitions(rows =>
+      rows.flatMap(r => rasterAHashOf(r.payload).iterator.map(hsh =>
+        (r.raster_id, r.arr_ts, hsh))))
+      .toDF("in_id", "arr_ts", "in_hash")
+    val hashes = rasterAHashIdx(s, dir)
+    val nRasters = {
+      val cnt = Tables.load(s, dir, "documents")
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
+            .otherwise(0L)).as("n6")).head()
+      cnt.getLong(0) + cnt.getLong(1)
+    }
+    def bandsOf(df: DataFrame, idc: String, hc: String): DataFrame =
+      df.select(col("*"), explode(expr(
+        s"""transform(sequence(0, 3),
+             k -> struct(k AS b,
+               shiftright($hc, CAST(16 * k AS INT)) & 65535 AS bh))"""))
+        .as("e"))
+        .select(col(idc), col(hc), col("e.b").as("b"), col("e.bh").as("bh"))
+    val corpusBands = bandsOf(
+      hashes.withColumnRenamed("raster_id", "corpus_id")
+        .withColumnRenamed("ahash", "corpus_hash"),
+      "corpus_id", "corpus_hash")
+    val stop = corpusBands.groupBy(col("b"), col("bh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > math.max(64L, nRasters / 5))
+      .select(col("b"), col("bh"))
+      .localCheckpoint() // pinned: never re-folded per trigger (E174)
+    val corpusRare = corpusBands
+      .join(broadcast(stop), Seq("b", "bh"), "left_anti")
+    val inBands = dec.select(col("in_id"), col("arr_ts"), col("in_hash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+             k -> struct(k AS b,
+               shiftright(in_hash, CAST(16 * k AS INT)) & 65535 AS bh))"""))
+        .as("e"))
+      .select(col("in_id"), col("arr_ts"), col("in_hash"),
+        col("e.b").as("b"), col("e.bh").as("bh"))
+      .join(broadcast(stop), Seq("b", "bh"), "left_anti")
+    val cand0 = inBands.join(corpusRare, Seq("b", "bh"))
+      .select(col("in_id"), col("arr_ts"), col("in_hash"),
+        col("corpus_id"), col("corpus_hash"))
+    val cand =
+      if (incoming.isStreaming)
+        cand0.withWatermark("arr_ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
+      else cand0.dropDuplicates("in_id", "corpus_id")
+    cand
+      .withColumn("hamming",
+        bit_count(col("in_hash").bitwiseXOR(col("corpus_hash")))
+          .cast("bigint"))
+      .filter(col("hamming") <= 1)
+      .select(col("in_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Deterministic incoming-raster fixture for [[rasterAdmission]]'s
+    * batch face (q165): for doc_id % 9 == 0, a QUARTER-brightness
+    * re-master of the base raster under a new id (monotone exposure
+    * change — must flag its base); for doc_id % 9 == 1, NOVEL imagery
+    * (a different structural family: swapped row/col coefficients and
+    * a different cross term). Both re-derivable in SQL from
+    * arithmetic alone. */
+  private[graft] def rasterIncomingFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    def pgm(px: String): Column = concat(
+      encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
+        col("h").cast("string"), lit("\n255\n")), "UTF-8"),
+      unhex(expr(
+        s"""array_join(transform(sequence(0, w * h - 1),
+             i -> lpad(hex($px), 2, '0')), '')""")))
+    val base = "pmod(doc_id * 31 + (i div w) * (11 + doc_id % 13)" +
+      " + (i % w) * (5 + doc_id % 11)" +
+      " + (i div w) * (i % w) * (1 + doc_id % 7), 256)"
+    val novel = "pmod(doc_id * 47 + (i div w) * (5 + doc_id % 11)" +
+      " + (i % w) * (11 + doc_id % 13)" +
+      " + (i div w) * (i % w) * (2 + doc_id % 5), 256)"
+    Tables.load(s, dir, "documents")
+      .withColumn("w", lit(9L) + pmod(col("doc_id"), lit(16L)))
+      .withColumn("h", lit(9L) + pmod(col("doc_id"), lit(12L)))
+      .select(explode(array(
+        struct((col("doc_id") + 9000000L).as("raster_id"),
+          pgm(s"($base) div 4").as("payload"),
+          (pmod(col("doc_id"), lit(9)) === 0).as("keep")),
+        struct((col("doc_id") + 9500000L).as("raster_id"),
+          pgm(novel).as("payload"),
+          (pmod(col("doc_id"), lit(9)) === 1).as("keep")))).as("v"))
+      .filter(col("v.keep"))
+      .select(col("v.raster_id").as("raster_id"),
+        col("v.payload").as("payload"))
+  }
+
+  /** q165: the raster gate's batch-backfill face over the
+    * deterministic incoming fixture. */
+  def rasterAdmissionBackfill(s: SparkSession, dir: String): DataFrame =
+    rasterAdmission(s, dir, rasterIncomingFixture(s, dir))
+      .orderBy(col("in_id"), col("corpus_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_multimodal_meta" -> mediaMeta,
     "q58_frame_hashes" -> frameHashes,
@@ -1492,6 +1616,7 @@ object Multimodal {
     "q162_audio_gain_neardup" -> audioGainNearDups,
     "q163_audio_admission" -> audioAdmissionBackfill,
     "q164_raster_phash_dups" -> rasterPerceptualDups,
+    "q165_raster_admission" -> rasterAdmissionBackfill,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -1892,6 +2017,75 @@ object Multimodal {
          |    ON x.b = y.b AND x.bh = y.bh AND x.raster_id < y.raster_id)
          |SELECT raster_a, raster_b, hamming FROM pr WHERE hamming <= 1
          |ORDER BY raster_a, raster_b""".stripMargin,
+    // q165: the raster gate's batch face — corpus and incoming
+    // hashes (quarter-brightness re-masters + a different structural
+    // family as the novel arm), bands, the stop filter, and the
+    // in-row Hamming verify, all from arithmetic alone
+    "q165_raster_admission" ->
+      s"""WITH g AS (SELECT doc_id, CAST(9 + doc_id % 16 AS BIGINT) AS w,
+         |    CAST(9 + doc_id % 12 AS BIGINT) AS h FROM documents),
+         |rv AS (SELECT doc_id AS rid, doc_id, w, h, 0 AS hv FROM g
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
+         |  WHERE doc_id % 6 = 0),
+         |iv AS (SELECT doc_id + 9000000 AS rid, doc_id, w, h, 2 AS hv
+         |  FROM g WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 9500000, doc_id, w, h, 3 FROM g
+         |  WHERE doc_id % 9 = 1),
+         |allr AS (SELECT * FROM rv UNION ALL SELECT * FROM iv),
+         |cells AS (SELECT rid,
+         |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
+         |    CAST(sum(p) // count(*) AS BIGINT) AS cell
+         |  FROM (SELECT r.rid, r.w, r.h, yy.y, xx.x,
+         |      CASE
+         |        WHEN hv = 0 THEN (r.doc_id * 31
+         |          + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256
+         |        WHEN hv = 1 THEN ((r.doc_id * 31
+         |          + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 2
+         |        WHEN hv = 2 THEN ((r.doc_id * 31
+         |          + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 4
+         |        ELSE (r.doc_id * 47
+         |          + yy.y * (5 + r.doc_id % 11)
+         |          + xx.x * (11 + r.doc_id % 13)
+         |          + yy.y * xx.x * (2 + r.doc_id % 5)) % 256
+         |        END AS p
+         |    FROM allr r,
+         |      LATERAL unnest(generate_series(0, r.h - 1)) yy(y),
+         |      LATERAL unnest(generate_series(0, r.w - 1)) xx(x))
+         |  GROUP BY 1, 2, 3),
+         |mn AS (SELECT rid, CAST(sum(cell) // 64 AS BIGINT) AS mean
+         |  FROM cells GROUP BY 1),
+         |hs AS (SELECT c.rid, CAST(sum(CASE WHEN cell > mean THEN
+         |      CASE WHEN ty * 8 + tx = 63
+         |        THEN CAST(-9223372036854775808 AS BIGINT)
+         |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells c JOIN mn USING (rid) GROUP BY 1),
+         |bd AS (SELECT rid, ahash, k.k AS b,
+         |    (ahash >> CAST(16 * k.k AS INT)) & 65535 AS bh
+         |  FROM hs, LATERAL unnest(generate_series(0, 3)) k(k)),
+         |cbd AS (SELECT * FROM bd WHERE rid < 9000000),
+         |ibd AS (SELECT * FROM bd WHERE rid >= 9000000),
+         |nr AS (SELECT (SELECT count(*) FROM g)
+         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |stop AS (SELECT b, bh FROM cbd GROUP BY 1, 2
+         |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
+         |crare AS (SELECT * FROM cbd t WHERE NOT EXISTS (
+         |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh)),
+         |irare AS (SELECT * FROM ibd t WHERE NOT EXISTS (
+         |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh))
+         |SELECT DISTINCT i.rid AS in_id, c.rid AS corpus_id,
+         |  CAST(bit_count(xor(i.ahash, c.ahash)) AS BIGINT) AS hamming
+         |FROM irare i JOIN crare c ON i.b = c.b AND i.bh = c.bh
+         |WHERE bit_count(xor(i.ahash, c.ahash)) <= 1
+         |ORDER BY in_id, corpus_id""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

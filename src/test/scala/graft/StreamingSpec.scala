@@ -877,6 +877,65 @@ class StreamingSpec extends SparkSuite {
       "novel audio must not flag its own base")
   }
 
+  test("raster admission: a streamed image feed gated against the " +
+    "persisted perceptual hashes equals the batch plan; exposure " +
+    "re-masters flag their base, novel imagery never flags its own " +
+    "base") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions._
+    val feed = graft.ops.Multimodal.rasterIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    assert(feed.exists(_._1 >= 9500000L), "fixture must carry novel imagery")
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.ops.Multimodal.rasterAdmission(s, sf,
+      in.toDF().toDF("raster_id", "payload"))
+      .writeStream.format("memory").queryName("raster_adm_out")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val streamed = withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      // artifact lookups only: no documents rescan, no per-trigger
+      // static-side fold (the stop list is localCheckpoint-pinned,
+      // the hash relation is the persisted artifact)
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(microPlan.contains("graft-index"),
+        "the raster gate must read the persisted hash artifact")
+      assert(!microPlan.contains("documents.parquet"),
+        "the raster gate must not rescan the documents table per batch")
+      s.table("raster_adm_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val batch = graft.ops.Multimodal
+      .rasterAdmissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      s"streamed flags must equal the batch plan " +
+        s"(missing=${(batch -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batch).take(3)})")
+    // quarter-brightness re-masters that flag anything flag their base
+    val vsBase = streamed.filter(t => t._2 == t._1 - 9000000L)
+    assert(vsBase.nonEmpty,
+      "the planted exposure re-masters must flag their base")
+    // the counterfactual: the re-master shares no payload bytes
+    val (someIn, someBase) = (vsBase.head._1, vsBase.head._2)
+    val inP = feed.toMap.apply(someIn)
+    val baseP = graft.ops.Multimodal.rasterVariantTable(s, sf)
+      .filter(col("raster_id") === someBase)
+      .collect().head.getAs[Array[Byte]]("payload")
+    assert(!java.util.Arrays.equals(inP, baseP),
+      "a re-master must rewrite the payload bytes")
+    // novel imagery (a different structural family) never flags its
+    // own base
+    assert(streamed.filter(_._1 >= 9500000L)
+      .forall(t => t._2 != t._1 - 9500000L),
+      "novel imagery must not flag its own base")
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
