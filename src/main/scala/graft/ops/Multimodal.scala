@@ -603,16 +603,22 @@ object Multimodal {
     * fixture's short clips still yield a shingle-able profile. */
   private[graft] val gainFrame = 20
 
-  /** Energy-profile quantization ceiling: levels are 0..63 (6 bits),
-    * so a [[gainShingle]]-gram packs into 24 bits. The universe width
-    * is a SCALE variable, not a tuning knob: a 4-bit/16-level first
-    * cut saturated its 65,536-value universe at sf0.1 already — with
-    * every natural profile colliding, document frequencies grow
-    * linearly with the corpus and the candidate self-join Σdf²
-    * quadratically (measured 253k candidate rows from 11k postings).
-    * At 24 bits, chance collisions of independent profiles are
-    * negligible and df stays at true-similarity levels, the same
-    * reason q157's block universe (MD5) keeps ITS self-join linear. */
+  /** Energy-profile quantization ceiling: levels are 0..63. The level
+    * tuple itself is NEVER the bucketing key — each
+    * [[gainShingle]]-gram is digested through MD5 ([[gainFpOf]])
+    * before the min-cap, so the fingerprint universe is the digest's
+    * (2¹²⁸), collision-free at any corpus size. The history that
+    * forced this: a 4-bit/16-level FIXED-width pack saturated its
+    * 65,536-value universe at sf0.1 already (every natural profile
+    * colliding, df growing linearly with the corpus, the candidate
+    * self-join Σdf² quadratic — measured 253k candidate rows from 11k
+    * postings), and a 24-bit pack only pushed the same wall out one
+    * decade — worse, keeping the numerically SMALLEST packed values
+    * concentrated the kept fps in the quiet-frame region, shrinking
+    * the effective universe further. Digesting BEFORE the cap makes
+    * the ≤[[audioFpCap]]-smallest selection a uniform bottom-k
+    * MinHash-style sample of the row's shingles (the q157 block-MD5
+    * property), so df sits at true-similarity levels forever. */
   private val gainLevels = 63L
 
   /** Consecutive frames per fingerprint shingle. */
@@ -627,9 +633,9 @@ object Multimodal {
   /** Stop-fingerprint df threshold, corpus-RELATIVE (the E161
     * discipline): total fp rows ≤ nAudio × [[audioFpCap]], so fps with
     * df > nAudio/5 number ≤ 5 × audioFpCap — a constant at any corpus
-    * size, broadcast-safe by construction. Floored low (16) because
-    * the fingerprint universe is small (16-bit) and boilerplate
-    * profiles (e.g. near-silence) saturate quickly. */
+    * size, broadcast-safe by construction. Floored low (16) so tiny
+    * fixtures still prune boilerplate profiles (e.g. near-silence)
+    * whose identical shingles digest to identical fingerprints. */
   private[graft] def audioFpDfThreshold(nAudio: Long): Long =
     math.max(16L, nAudio / 5)
 
@@ -717,13 +723,39 @@ object Multimodal {
     * see [[audioFpSeqOf]]), quantizes each frame
     * RELATIVE to the row's own peak frame (`⌊fe·63/emax⌋` — a uniform
     * gain change scales fe and emax together, so the profile is
-    * invariant), packs [[gainShingle]] consecutive levels into one
-    * 24-bit fingerprint, and keeps the [[audioFpCap]] smallest
-    * distinct values. Rows shorter than [[gainShingle]] frames are
+    * invariant), digests each [[gainShingle]]-level tuple through MD5
+    * ([[gainFpOf]] — the universe is collision-free, so the min-cap
+    * below is a UNIFORM bottom-k sample, never a quiet-region one),
+    * and keeps the [[audioFpCap]] lexicographically smallest distinct
+    * digests. Rows shorter than [[gainShingle]] frames are
     * below the fingerprint's resolution and emit nothing — the
     * documented floor, like q157's blockCap. Non-WAV payloads emit
     * nothing (T5). */
-  private[graft] def audioFpSeqOf(p: Array[Byte]): Seq[Long] = {
+  /** Cross-engine fingerprint digest of one packed level tuple:
+    * lowercase-hex MD5 of the packed value's DECIMAL string — exactly
+    * `md5(CAST(packed AS VARCHAR))` in the DuckDB oracle. Equal level
+    * tuples ⇒ equal digests (pair semantics unchanged); distinct
+    * tuples land uniformly in a 2¹²⁸ universe, so the bottom-k cap in
+    * [[audioFpSeqOf]] is a uniform MinHash-style sample and natural
+    * df never grows with the corpus (the fix for the 16-bit → 24-bit
+    * fixed-pack saturation class). */
+  private[graft] def gainFpOf(md: java.security.MessageDigest,
+      packed: Long): String = {
+    val hexL = "0123456789abcdef"
+    val d = md.digest(java.lang.Long.toString(packed)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = d(i) & 0xFF
+      out(2 * i) = hexL(v >>> 4)
+      out(2 * i + 1) = hexL(v & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private[graft] def audioFpSeqOf(p: Array[Byte]): Seq[String] = {
     def ascii(i: Int, sTag: String): Boolean =
       i + sTag.length <= p.length &&
         sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
@@ -763,16 +795,17 @@ object Multimodal {
         val emax = frames.max
         val lv = frames.map(f =>
           if (emax == 0L) 0L else f * gainLevels / emax)
+        val md = java.security.MessageDigest.getInstance("MD5")
         (0 to lv.length - gainShingle)
-          .map(j => ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64
-            + lv(j + 3))
+          .map(j => gainFpOf(md,
+            ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64 + lv(j + 3)))
           .distinct.sorted.take(audioFpCap)
       }
     }
   }
 
   private[graft] def audioFpsOf(
-      rows: Iterator[MediaRow]): Iterator[(Long, Long)] =
+      rows: Iterator[MediaRow]): Iterator[(Long, String)] =
     rows.flatMap(r => audioFpSeqOf(r.payload).iterator.map(fp =>
       (r.doc_id, fp)))
 
@@ -784,7 +817,7 @@ object Multimodal {
     * touched segments (E157/E163 discipline). */
   private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fps", s"$dir/documents.parquet", version = 3)(
+      s, "audio_fps", s"$dir/documents.parquet", version = 4)(
       files => {
         val sess = s
         import sess.implicits._
@@ -838,7 +871,7 @@ object Multimodal {
   private[graft] def audioFpSetsIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fp_sets", s"$dir/documents.parquet", version = 2)(
+      s, "audio_fp_sets", s"$dir/documents.parquet", version = 3)(
       files => audioFpIdx(s, dir)
         .join(audioVariantIdsOf(s.read.parquet(files: _*)),
           Seq("media_id"), "left_semi")
@@ -848,13 +881,13 @@ object Multimodal {
   /** The corpus-relative stop-fingerprint list, COLLECTED: bounded
     * ≤ 5 × [[audioFpCap]] rows by [[audioFpDfThreshold]]'s
     * construction at any corpus size (the E161 bound). */
-  private def audioStopFps(s: SparkSession, dir: String): Seq[Long] = {
+  private def audioStopFps(s: SparkSession, dir: String): Seq[String] = {
     val sess = s
     import sess.implicits._
     audioFpIdx(s, dir)
       .groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > audioFpDfThreshold(nAudioCorpus(s, dir)))
-      .select(col("fp")).as[Long].collect().toSeq.sorted
+      .select(col("fp")).as[String].collect().toSeq.sorted
   }
 
   /** Audio near-dup ADMISSION CONTROL — the E36/E41 discipline for
@@ -1216,63 +1249,89 @@ object Multimodal {
     * filter. Unparseable payloads decode to zeros (T5). Map-only,
     * zero shuffles; at 100 TB this IS the thumbnail pipeline's kernel
     * shape, with the codec swap confined to the same boundary. */
+  /** Hostile-input-safe P5 header parse → (width, height, pixel
+    * offset), or None for anything implausible. Dimension digits
+    * accumulate CLAMPED (never wrapping a Long) and each edge must
+    * sit in (0, 2²⁰] BEFORE the w·h bound check, so a crafted header
+    * whose product overflows to negative can never pass
+    * `base + w*h ≤ length` and then index out of bounds inside a
+    * streaming gate's mapPartitions — the T5 contract is "emit
+    * nothing", never "crash the query" (r10 ADVICE). The 2²⁰ edge cap
+    * makes w·h ≤ 2⁴⁰, overflow-free by construction. */
+  private[graft] def pgmHeaderOf(p: Array[Byte]): Option[(Long, Long, Int)] = {
+    var i = 0
+    def ws(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def int(): Long = {
+      while (i < p.length && ws(p(i))) i += 1
+      var v = 0L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = math.min(v * 10 + (p(i) - '0'), 1L << 26); i += 1
+      }
+      v
+    }
+    if (p.length < 2 || p(0) != 'P' || p(1) != '5') None
+    else {
+      i = 2
+      val w = int(); val h = int(); int() // maxval (255) — parsed, unused
+      i += 1 // the single whitespace byte terminating the header
+      val base = i
+      if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20) ||
+          base.toLong + w * h > p.length) None
+      else Some((w, h, base))
+    }
+  }
+
+  /** The 8×8-law box-filter core over a row-major grayscale buffer
+    * (pixel (y, x) at `pix(base + y·w + x)`): fits the geometry with
+    * the q155 no-upscale law (both target edges ≤ their source edges,
+    * so every block holds ≥ 1 pixel and the average can never divide
+    * by zero) and floor-div-averages each source block — the standard
+    * area-map box filter. Returns (thumb_w, thumb_h, thumb pixel
+    * bytes as uppercase hex). ONE implementation shared by the PGM
+    * (q159) and PNG (q166) thumbnail kernels: the codec varies at the
+    * `mapPartitions` boundary, the resample math does not. */
+  private def boxThumb8(pix: Array[Byte], base: Int, w: Long,
+      h: Long): (Long, Long, String) = {
+    val hexU = "0123456789ABCDEF"
+    val tw = if (w <= 8 && h <= 8) w
+      else if (w >= h) 8L else math.max(1L, w * 8 / h)
+    val th = if (w <= 8 && h <= 8) h
+      else if (w >= h) math.max(1L, h * 8 / w) else 8L
+    val sb = new java.lang.StringBuilder((tw * th * 2).toInt)
+    var ty = 0L
+    while (ty < th) {
+      var tx = 0L
+      while (tx < tw) {
+        val y0 = ty * h / th; val y1 = (ty + 1) * h / th
+        val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            sum += pix((base + y * w + x).toInt) & 0xFF; x += 1
+          }
+          y += 1
+        }
+        val av = sum / ((y1 - y0) * (x1 - x0))
+        sb.append(hexU((av >> 4).toInt)).append(hexU((av & 0xF).toInt))
+        tx += 1
+      }
+      ty += 1
+    }
+    (tw, th, sb.toString)
+  }
+
   private[graft] def rasterDecode(
       rows: Iterator[RasterRow]): Iterator[RasterThumb] = {
-    val hexU = "0123456789ABCDEF"
     rows.map { r =>
       val p = r.payload
-      var i = 0
-      def ws(b: Byte): Boolean =
-        b == ' ' || b == '\n' || b == '\r' || b == '\t'
-      def int(): Long = {
-        while (i < p.length && ws(p(i))) i += 1
-        var v = 0L
-        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-          v = v * 10 + (p(i) - '0'); i += 1
-        }
-        v
-      }
-      if (p.length < 2 || p(0) != 'P' || p(1) != '5')
-        RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
-      else {
-        i = 2
-        val w = int(); val h = int(); int() // maxval (255) — parsed, unused
-        i += 1 // the single whitespace byte terminating the header
-        val base = i
-        if (w <= 0 || h <= 0 || base + w * h > p.length)
-          RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
-        else {
-          // q155's no-upscale law keeps the kernel TOTAL: with both
-          // target edges ≤ their source edges every block holds ≥ 1
-          // pixel, so the average can never divide by zero
-          val tw = if (w <= 8 && h <= 8) w
-            else if (w >= h) 8L else math.max(1L, w * 8 / h)
-          val th = if (w <= 8 && h <= 8) h
-            else if (w >= h) math.max(1L, h * 8 / w) else 8L
-          val sb = new java.lang.StringBuilder((tw * th * 2).toInt)
-          var ty = 0L
-          while (ty < th) {
-            var tx = 0L
-            while (tx < tw) {
-              val y0 = ty * h / th; val y1 = (ty + 1) * h / th
-              val x0 = tx * w / tw; val x1 = (tx + 1) * w / tw
-              var sum = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  sum += p((base + y * w + x).toInt) & 0xFF; x += 1
-                }
-                y += 1
-              }
-              val av = sum / ((y1 - y0) * (x1 - x0))
-              sb.append(hexU((av >> 4).toInt)).append(hexU((av & 0xF).toInt))
-              tx += 1
-            }
-            ty += 1
-          }
-          RasterThumb(r.doc_id, w, h, tw, th, sb.toString)
-        }
+      pgmHeaderOf(p) match {
+        case None => RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
+        case Some((w, h, base)) =>
+          val (tw, th, hex) = boxThumb8(p, base, w, h)
+          RasterThumb(r.doc_id, w, h, tw, th, hex)
       }
     }
   }
@@ -1284,6 +1343,225 @@ object Multimodal {
     import s.implicits._
     rasterTable(s, dir).as[RasterRow]
       .mapPartitions(rasterDecode _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q166: REAL PNG decode (JDK Inflater) + resample --------------------
+
+  /** Paeth predictor (the PNG filter-4 reference function). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** REAL PNG encoder for the q166 fixture: a genuine non-interlaced
+    * 8-bit grayscale PNG — signature, IHDR, a zlib-deflated IDAT
+    * (java.util.zip.Deflater — SPLIT across two IDAT chunks so the
+    * decoder's multi-chunk concatenation is exercised), IEND, every
+    * chunk with its real CRC32. Scanline filters CYCLE through all
+    * five PNG filter types (`y mod 5`: None/Sub/Up/Average/Paeth), so
+    * the decoder's every unfilter arm decodes real data on every
+    * image taller than 5 rows. The fixture pays this synthesis once,
+    * inside the decode test path — at 100 TB real PNGs arrive as real
+    * bytes. */
+  private[graft] def pngOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    // filtered scanline stream: 1 filter byte + w filtered bytes/row
+    val raw = new Array[Byte](h * (w + 1))
+    var y = 0
+    while (y < h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(y, x) & 0xFF
+        val left = if (x > 0) px(y, x - 1) & 0xFF else 0
+        val up = if (y > 0) px(y - 1, x) & 0xFF else 0
+        val ul = if (x > 0 && y > 0) px(y - 1, x - 1) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xFF
+          case 2 => (cur - up) & 0xFF
+          case 3 => (cur - (left + up) / 2) & 0xFF
+          case _ => (cur - paeth(left, up, ul)) & 0xFF
+        }
+        raw(y * (w + 1) + 1 + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp); zBuf.write(tmp, 0, n)
+    }
+    defl.end()
+    val z = zBuf.toByteArray
+    def be32(v: Long): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length.toLong) ++ tag.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue)
+    }
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0) // bit depth 8, grayscale, no interlace
+    val (z1, z2) = z.splitAt(math.max(z.length / 2, 1))
+    pngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++
+      (if (z2.nonEmpty) chunk("IDAT", z2) else Array.empty[Byte]) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** REAL PNG grayscale decoder inside the decode `mapPartitions`
+    * boundary — the r10 verdict's task 4, retiring the compressed-
+    * codec boundary for the PNG container (JPEG remains the one
+    * documented boundary; its entropy decode has no JDK-built-in):
+    * walks the chunk stream bounds-checked (length + type + data +
+    * CRC), requires an IHDR declaring 8-bit grayscale (color type 0),
+    * non-interlaced, with both edges in (0, 2²⁰] and the w·h product
+    * overflow-free (the [[pgmHeaderOf]] hostile-header discipline),
+    * CONCATENATES every IDAT chunk, inflates through
+    * `java.util.zip.Inflater` demanding EXACTLY h·(w+1) filtered
+    * bytes, and unfilters each scanline through all five PNG filter
+    * types (None/Sub/Up/Average/Paeth). Returns the row-major pixel
+    * buffer, or None for anything implausible, truncated, or
+    * non-grayscale — the T5 contract is "emit nothing", never "crash
+    * the query". */
+  private[graft] def pngGrayOf(p: Array[Byte]): Option[(Long, Long, Array[Byte])] = {
+    if (p.length < 8 + 25 || !pngSig.indices.forall(i => p(i) == pngSig(i)))
+      None
+    else {
+      def be32(i: Int): Long = ((p(i) & 0xFFL) << 24) |
+        ((p(i + 1) & 0xFFL) << 16) | ((p(i + 2) & 0xFFL) << 8) |
+        (p(i + 3) & 0xFFL)
+      var i = 8
+      var w = 0L; var h = 0L
+      var sawIhdr = false; var ok = true; var done = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (ok && !done && i + 8 <= p.length) {
+        val len = be32(i)
+        val tag = new String(p, i + 4, 4, "US-ASCII")
+        val dataAt = i + 8
+        if (len > Int.MaxValue - 12 || dataAt + len + 4 > p.length) ok = false
+        else {
+          tag match {
+            case "IHDR" =>
+              if (sawIhdr || len != 13) ok = false
+              else {
+                w = be32(dataAt); h = be32(dataAt + 4)
+                val depth = p(dataAt + 8) & 0xFF
+                val color = p(dataAt + 9) & 0xFF
+                val interlace = p(dataAt + 12) & 0xFF
+                sawIhdr = true
+                if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20) ||
+                    depth != 8 || color != 0 || interlace != 0) ok = false
+              }
+            case "IDAT" =>
+              if (!sawIhdr) ok = false
+              else idat.write(p, dataAt, len.toInt)
+            case "IEND" => done = true
+            case _ => () // ancillary chunks skip silently
+          }
+          i = dataAt + len.toInt + 4
+        }
+      }
+      if (!ok || !sawIhdr || !done) None
+      else {
+        val want = (h * (w + 1)).toInt
+        val raw = new Array[Byte](want)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        try {
+          var got = 0
+          var stalled = false
+          while (got < want && !inf.finished() && !stalled) {
+            val n = inf.inflate(raw, got, want - got)
+            if (n == 0 && (inf.finished() || inf.needsInput())) stalled = true
+            got += n
+          }
+          if (got != want) None
+          else {
+            // unfilter in place, row by row (left/up refer to the
+            // already-reconstructed bytes)
+            val pix = new Array[Byte]((w * h).toInt)
+            var y = 0
+            while (y < h) {
+              val f = raw(y * (w + 1).toInt) & 0xFF
+              if (f > 4) return None
+              var x = 0
+              while (x < w) {
+                val v = raw(y * (w + 1).toInt + 1 + x) & 0xFF
+                val left = if (x > 0) pix((y * w + x - 1).toInt) & 0xFF else 0
+                val up = if (y > 0) pix(((y - 1) * w + x).toInt) & 0xFF else 0
+                val ul = if (x > 0 && y > 0)
+                  pix(((y - 1) * w + x - 1).toInt) & 0xFF else 0
+                val r = f match {
+                  case 0 => v
+                  case 1 => (v + left) & 0xFF
+                  case 2 => (v + up) & 0xFF
+                  case 3 => (v + (left + up) / 2) & 0xFF
+                  case _ => (v + paeth(left, up, ul)) & 0xFF
+                }
+                pix((y * w + x).toInt) = r.toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, pix))
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => None
+        } finally inf.end()
+      }
+    }
+  }
+
+  /** PNG fixture: each document contributes a REAL zlib-compressed
+    * grayscale PNG (built by [[pngOf]] — genuine IHDR/IDAT/IEND with
+    * CRCs, scanline filters cycling through all five types) whose
+    * pixel at (y, x) is `(doc_id·37 + y·13 + x·5 + y·x·(2 + doc_id
+    * mod 5)) mod 256` — fully re-derivable by the oracle from
+    * arithmetic alone, so the decode + resample output is
+    * byte-verified end to end THROUGH the compression. Synthesis runs
+    * in the same `mapPartitions` boundary the decoder lives in. */
+  private[graft] def pngTable(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(9L) + pmod(col("doc_id"), lit(20L))).as("w"),
+        (lit(9L) + pmod(col("doc_id"), lit(14L))).as("h"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(rows => rows.map { case (id, w, h) =>
+        (id, pngOf(w.toInt, h.toInt, (y, x) =>
+          ((id * 37 + y * 13 + x * 5 + y.toLong * x * (2 + id % 5))
+            % 256).toInt))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** q166: the PNG thumbnail relation — real compressed container
+    * bytes in, real resampled pixel bytes out ([[pngGrayOf]] →
+    * [[boxThumb8]], the q159 law), every byte re-derived by the
+    * DuckDB oracle from the planted pixel formula. Map-only, zero
+    * shuffles — at 100 TB this IS the compressed-image thumbnail
+    * pipeline's kernel shape. */
+  def pngThumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).as[RasterRow]
+      .mapPartitions(rows => rows.map { r =>
+        pngGrayOf(r.payload) match {
+          case None => RasterThumb(r.doc_id, 0L, 0L, 0L, 0L, "")
+          case Some((w, h, pix)) =>
+            val (tw, th, hex) = boxThumb8(pix, 0, w, h)
+            RasterThumb(r.doc_id, w, h, tw, th, hex)
+        }
+      })
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -1345,25 +1623,11 @@ object Multimodal {
     * the invariance axis byte-level dedup cannot have. Unparseable or
     * sub-8×8 payloads emit no signature (T5). */
   private[graft] def rasterAHashOf(p: Array[Byte]): Option[Long] = {
-    var i = 0
-    def ws(b: Byte): Boolean =
-      b == ' ' || b == '\n' || b == '\r' || b == '\t'
-    def int(): Long = {
-      while (i < p.length && ws(p(i))) i += 1
-      var v = 0L
-      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-        v = v * 10 + (p(i) - '0'); i += 1
-      }
-      v
-    }
-    if (p.length < 2 || p(0) != 'P' || p(1) != '5') None
-    else {
-      i = 2
-      val w = int(); val h = int(); int()
-      i += 1
-      val base = i
-      if (w < 8 || h < 8 || base + w * h > p.length) None
-      else {
+    pgmHeaderOf(p) match {
+      case None => None
+      case Some((w, h, base)) if w < 8 || h < 8 => None
+      case Some((w, h, base)) =>
+      {
         val cells = new Array[Long](64)
         var total = 0L
         var ty = 0
@@ -1420,6 +1684,19 @@ object Multimodal {
           .toDF("raster_id", "ahash")
       })
 
+  /** The 2 × 32-bit band decomposition of a 64-bit signature as a SQL
+    * transform expression (an array of (b, bh) structs) — band k is
+    * bits [32k, 32k+32). Two bands are pigeonhole-exact at Hamming
+    * ≤ 1, and the 32-bit band universe (4.3×10⁹) keeps chance band
+    * collisions of UNRELATED signatures negligible past 10⁹ rasters —
+    * the E176 fix: a 16-bit band universe (65,536) saturates on
+    * low-entropy structured imagery and its coincidence candidates
+    * grow linearly with n. */
+  private def rasterBandExpr(hc: String): String =
+    s"""transform(sequence(0, 1),
+         k -> struct(k AS b,
+           shiftright($hc, CAST(32 * k AS INT)) & 4294967295 AS bh))"""
+
   /** q164: perceptual near-dup over the REAL raster pixels — pairs
     * whose 8×8 average-hash signatures sit within Hamming distance 1
     * (the exposure re-master flips at most the cells that TIE the
@@ -1436,14 +1713,20 @@ object Multimodal {
     * bit pattern survives.
     *
     * Scale shape is q107's EXACT Hamming-ball discipline on a new
-    * modality: 4 bands × 16 bits over the signature — the pigeonhole
-    * bound makes banding lossless at distance ≤ 3 (any pair within 3
-    * differs in at most 3 bands, so at least one band matches
-    * exactly, and a fortiori at distance ≤ 1); candidates come from
-    * the band equi-join, never all-pairs. Band buckets hotter than the corpus-relative
+    * modality: 2 bands × 32 bits over the signature — the pigeonhole
+    * bound needs exactly r+1 bands at radius r (a pair within
+    * Hamming 1 differs in at most 1 band, so at least one band
+    * matches exactly), and band WIDTH is the coincidence-term dial:
+    * unrelated images band-collide at rate ~n²/universe per band, so
+    * the 32-bit universe (4.3×10⁹) pushes chance candidates out past
+    * 10⁹ rasters where a 16-bit universe (65,536 — low-entropy
+    * perceptual hashes saturate it on structured imagery) grows them
+    * linearly with n. A 4×16 layout returns ONLY with a radius-3
+    * variant, where pigeonhole genuinely needs 4 bands. Candidates
+    * come from the band equi-join, never all-pairs. Band buckets hotter than the corpus-relative
     * threshold (flat/boilerplate imagery — df > max(64, n/5), stop
-    * rows ≤ 4·5 = 20 BY CONSTRUCTION since each raster carries
-    * exactly 4 band rows) are anti-joined out on both sides:
+    * rows ≤ 2·5 = 10 BY CONSTRUCTION since each raster carries
+    * exactly 2 band rows) are anti-joined out on both sides:
     * boilerplate cannot name a near-dup relation (the q157/q162
     * rule), documented as the one exactness trade. Signatures are
     * the persisted [[rasterAHashIdx]] artifact. */
@@ -1457,11 +1740,7 @@ object Multimodal {
       cnt.getLong(0) + cnt.getLong(1)
     }
     val bands = hashes.select(col("raster_id"), col("ahash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-             k -> struct(k AS b,
-               shiftright(ahash, CAST(16 * k AS INT)) & 65535 AS bh))"""))
-        .as("e"))
+      explode(expr(rasterBandExpr("ahash"))).as("e"))
       .select(col("raster_id"), col("ahash"),
         col("e.b").as("b"), col("e.bh").as("bh"))
     val stop = bands.groupBy(col("b"), col("bh"))
@@ -1491,12 +1770,13 @@ object Multimodal {
     * admission trio (media blocks q160, audio fingerprints q163):
     * an incoming raster average-hashes MAP-SIDE (the q164 kernel —
     * an exposure re-master at the crawler rewrites every byte, so
-    * byte-level gates provably cannot catch it), its 4 bands collide
-    * stream-static against the persisted [[rasterAHashIdx]] band
-    * relation (pigeonhole-lossless at Hamming ≤ 1), candidates dedup
+    * byte-level gates provably cannot catch it), its 2 × 32-bit bands
+    * collide stream-static against the persisted [[rasterAHashIdx]]
+    * band relation (pigeonhole-lossless at Hamming ≤ 1, chance band
+    * collisions negligible — [[rasterBandExpr]]), candidates dedup
     * within a watermark, and the verify is IN-ROW `bit_count(xor)` —
     * the corpus hash rides the posting, so this gate needs no set
-    * artifact at all. Stop buckets (≤ 20 rows BY CONSTRUCTION, the
+    * artifact at all. Stop buckets (≤ 10 rows BY CONSTRUCTION, the
     * E176 bound) are anti-joined on both sides. Emits
     * (in_id, corpus_id, hamming ≤ 1); same plan batch (q165) and
     * `readStream`. */
@@ -1520,11 +1800,7 @@ object Multimodal {
       cnt.getLong(0) + cnt.getLong(1)
     }
     def bandsOf(df: DataFrame, idc: String, hc: String): DataFrame =
-      df.select(col("*"), explode(expr(
-        s"""transform(sequence(0, 3),
-             k -> struct(k AS b,
-               shiftright($hc, CAST(16 * k AS INT)) & 65535 AS bh))"""))
-        .as("e"))
+      df.select(col("*"), explode(expr(rasterBandExpr(hc))).as("e"))
         .select(col(idc), col(hc), col("e.b").as("b"), col("e.bh").as("bh"))
     val corpusBands = bandsOf(
       hashes.withColumnRenamed("raster_id", "corpus_id")
@@ -1538,11 +1814,7 @@ object Multimodal {
     val corpusRare = corpusBands
       .join(broadcast(stop), Seq("b", "bh"), "left_anti")
     val inBands = dec.select(col("in_id"), col("arr_ts"), col("in_hash"),
-      explode(expr(
-        """transform(sequence(0, 3),
-             k -> struct(k AS b,
-               shiftright(in_hash, CAST(16 * k AS INT)) & 65535 AS bh))"""))
-        .as("e"))
+      explode(expr(rasterBandExpr("in_hash"))).as("e"))
       .select(col("in_id"), col("arr_ts"), col("in_hash"),
         col("e.b").as("b"), col("e.bh").as("bh"))
       .join(broadcast(stop), Seq("b", "bh"), "left_anti")
@@ -1617,6 +1889,7 @@ object Multimodal {
     "q163_audio_admission" -> audioAdmissionBackfill,
     "q164_raster_phash_dups" -> rasterPerceptualDups,
     "q165_raster_admission" -> rasterAdmissionBackfill,
+    "q166_png_thumbnail" -> pngThumbnail,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -1638,7 +1911,8 @@ object Multimodal {
        |    lead(l, 3) OVER w AS l3
        |  FROM ${p}lv WINDOW w AS (PARTITION BY $id ORDER BY frame)),
        |${p}shd AS (SELECT DISTINCT $id,
-       |    CAST(((l * 64 + l1) * 64 + l2) * 64 + l3 AS BIGINT) AS fp
+       |    md5(CAST(CAST(((l * 64 + l1) * 64 + l2) * 64 + l3 AS BIGINT)
+       |      AS VARCHAR)) AS fp
        |  FROM ${p}sh0 WHERE l3 IS NOT NULL),
        |${p}fps AS (SELECT $id, fp FROM (
        |    SELECT $id, fp, row_number() OVER (
@@ -1836,8 +2110,9 @@ object Multimodal {
          |ORDER BY au.doc_id""".stripMargin,
     // q162: the gain near-dup re-derived sample by sample — base,
     // polarity-inverted, and half-gain sample streams; frame
-    // energies; the peak-relative 0..15 profile; shingle packing;
-    // the corpus-relative stop filter; candidate pairs; containment
+    // energies; the peak-relative 0..63 profile; per-shingle MD5
+    // digests; the corpus-relative stop filter; candidate pairs;
+    // containment
     "q162_audio_gain_neardup" ->
       s"""WITH au AS (SELECT doc_id, hex(encode(text)) AS bh,
          |    CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n
@@ -2002,8 +2277,8 @@ object Multimodal {
          |      ELSE 0 END) AS BIGINT) AS ahash
          |  FROM cells c JOIN mn USING (raster_id) GROUP BY 1),
          |bd AS (SELECT raster_id, ahash, k.k AS b,
-         |    (ahash >> CAST(16 * k.k AS INT)) & 65535 AS bh
-         |  FROM hs, LATERAL unnest(generate_series(0, 3)) k(k)),
+         |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
+         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
          |nr AS (SELECT (SELECT count(*) FROM g)
          |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
          |stop AS (SELECT b, bh FROM bd GROUP BY 1, 2
@@ -2020,7 +2295,12 @@ object Multimodal {
     // q165: the raster gate's batch face — corpus and incoming
     // hashes (quarter-brightness re-masters + a different structural
     // family as the novel arm), bands, the stop filter, and the
-    // in-row Hamming verify, all from arithmetic alone
+    // in-row Hamming verify, all from arithmetic alone. Corpus vs
+    // incoming is tagged by the explicit variant column hv (0/1 =
+    // corpus arms, 2/3 = incoming arms), NEVER by id windows — an
+    // id-range classifier would silently misroute arms once doc_ids
+    // grow into the fixture offsets
+
     "q165_raster_admission" ->
       s"""WITH g AS (SELECT doc_id, CAST(9 + doc_id % 16 AS BIGINT) AS w,
          |    CAST(9 + doc_id % 12 AS BIGINT) AS h FROM documents),
@@ -2034,10 +2314,10 @@ object Multimodal {
          |  SELECT doc_id + 9500000, doc_id, w, h, 3 FROM g
          |  WHERE doc_id % 9 = 1),
          |allr AS (SELECT * FROM rv UNION ALL SELECT * FROM iv),
-         |cells AS (SELECT rid,
+         |cells AS (SELECT rid, hv,
          |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
          |    CAST(sum(p) // count(*) AS BIGINT) AS cell
-         |  FROM (SELECT r.rid, r.w, r.h, yy.y, xx.x,
+         |  FROM (SELECT r.rid, r.hv, r.w, r.h, yy.y, xx.x,
          |      CASE
          |        WHEN hv = 0 THEN (r.doc_id * 31
          |          + yy.y * (11 + r.doc_id % 13)
@@ -2059,20 +2339,20 @@ object Multimodal {
          |    FROM allr r,
          |      LATERAL unnest(generate_series(0, r.h - 1)) yy(y),
          |      LATERAL unnest(generate_series(0, r.w - 1)) xx(x))
-         |  GROUP BY 1, 2, 3),
-         |mn AS (SELECT rid, CAST(sum(cell) // 64 AS BIGINT) AS mean
-         |  FROM cells GROUP BY 1),
-         |hs AS (SELECT c.rid, CAST(sum(CASE WHEN cell > mean THEN
+         |  GROUP BY 1, 2, 3, 4),
+         |mn AS (SELECT rid, hv, CAST(sum(cell) // 64 AS BIGINT) AS mean
+         |  FROM cells GROUP BY 1, 2),
+         |hs AS (SELECT c.rid, c.hv, CAST(sum(CASE WHEN cell > mean THEN
          |      CASE WHEN ty * 8 + tx = 63
          |        THEN CAST(-9223372036854775808 AS BIGINT)
          |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
          |      ELSE 0 END) AS BIGINT) AS ahash
-         |  FROM cells c JOIN mn USING (rid) GROUP BY 1),
-         |bd AS (SELECT rid, ahash, k.k AS b,
-         |    (ahash >> CAST(16 * k.k AS INT)) & 65535 AS bh
-         |  FROM hs, LATERAL unnest(generate_series(0, 3)) k(k)),
-         |cbd AS (SELECT * FROM bd WHERE rid < 9000000),
-         |ibd AS (SELECT * FROM bd WHERE rid >= 9000000),
+         |  FROM cells c JOIN mn USING (rid, hv) GROUP BY 1, 2),
+         |bd AS (SELECT rid, hv, ahash, k.k AS b,
+         |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
+         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
+         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv <= 1),
+         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv >= 2),
          |nr AS (SELECT (SELECT count(*) FROM g)
          |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
          |stop AS (SELECT b, bh FROM cbd GROUP BY 1, 2
@@ -2159,6 +2439,48 @@ object Multimodal {
          |    LATERAL unnest(generate_series(0, tw - 1)) tx(i)),
          |bp AS (SELECT doc_id, ty, tx,
          |    (doc_id * 31 + y.i * 17 + x.i * 7) % 256 AS v
+         |  FROM c,
+         |    LATERAL unnest(generate_series(ty * h // th,
+         |      (ty + 1) * h // th - 1)) y(i),
+         |    LATERAL unnest(generate_series(tx * w // tw,
+         |      (tx + 1) * w // tw - 1)) x(i)),
+         |cell AS (SELECT doc_id, ty, tx,
+         |    CAST(sum(v) // count(*) AS BIGINT) AS av
+         |  FROM bp GROUP BY 1, 2, 3),
+         |hx AS (SELECT doc_id,
+         |    string_agg(lpad(hex(av), 2, '0'), '' ORDER BY ty, tx)
+         |      AS thumb_hex
+         |  FROM cell GROUP BY 1)
+         |SELECT t.doc_id, w AS width, h AS height, tw AS thumb_w,
+         |  th AS thumb_h, thumb_hex
+         |FROM t JOIN hx ON hx.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    // q166: the PNG decode + resample re-derived pixel by pixel from
+    // the planted formula — the engine INFLATES a genuine zlib IDAT
+    // stream and unfilters all five PNG filter types to recover the
+    // pixels; the oracle recomputes the identical thumb bytes from
+    // arithmetic alone, so a decoder, unfilter, or kernel drift breaks
+    // the hash at the first pixel THROUGH the compression boundary
+    "q166_png_thumbnail" ->
+      s"""WITH g AS (SELECT doc_id,
+         |    CAST(9 + doc_id % 20 AS BIGINT) AS w,
+         |    CAST(9 + doc_id % 14 AS BIGINT) AS h
+         |  FROM documents),
+         |t AS (SELECT *,
+         |    CAST(CASE WHEN w <= 8 AND h <= 8 THEN w
+         |         WHEN w >= h THEN 8
+         |         ELSE greatest(1, w * 8 // h) END AS BIGINT) AS tw,
+         |    CAST(CASE WHEN w <= 8 AND h <= 8 THEN h
+         |         WHEN w >= h THEN greatest(1, h * 8 // w)
+         |         ELSE 8 END AS BIGINT) AS th
+         |  FROM g),
+         |c AS (SELECT doc_id, w, h, tw, th, ty.i AS ty, tx.i AS tx
+         |  FROM t,
+         |    LATERAL unnest(generate_series(0, th - 1)) ty(i),
+         |    LATERAL unnest(generate_series(0, tw - 1)) tx(i)),
+         |bp AS (SELECT doc_id, ty, tx,
+         |    (doc_id * 37 + y.i * 13 + x.i * 5
+         |      + y.i * x.i * (2 + doc_id % 5)) % 256 AS v
          |  FROM c,
          |    LATERAL unnest(generate_series(ty * h // th,
          |      (ty + 1) * h // th - 1)) y(i),

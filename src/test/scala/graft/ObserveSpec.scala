@@ -246,14 +246,22 @@ class ObserveSpec extends SparkSuite {
       b.put("data".getBytes).putInt(body.length).put(body)
       b.array()
     }
-    def fps(p: Array[Byte]): Seq[Long] =
+    def fps(p: Array[Byte]): Seq[String] =
       Multimodal.audioFpsOf(Iterator(
         Multimodal.MediaRow(1L, "audio", p))).map(_._2).toSeq
     // four 20-sample frames at amplitudes 100/200/300/400: energies
-    // 200k/800k/1.8M/3.2M, levels ⌊fe·63/3.2M⌋ = 3/15/35/63, one shingle
+    // 200k/800k/1.8M/3.2M, levels ⌊fe·63/3.2M⌋ = 3/15/35/63, one
+    // shingle, packed (3·64+15)·64+35)·64+63 = 850175 then digested —
+    // the fingerprint is md5('850175'), never the raw pack (the
+    // fixed-universe saturation fix)
     val base = Seq.fill(20)(100) ++ Seq.fill(20)(200) ++
       Seq.fill(20)(300) ++ Seq.fill(20)(400)
-    assert(fps(wav(base)) === Seq(((3L * 64 + 15) * 64 + 35) * 64 + 63))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(fps(wav(base)) === Seq(Multimodal.gainFpOf(md,
+      ((3L * 64 + 15) * 64 + 35) * 64 + 63)))
+    assert(fps(wav(base)).head ===
+      md.digest("850175".getBytes).map("%02x".format(_)).mkString,
+      "the digest must be md5 of the DECIMAL string (the oracle twin)")
     // polarity inversion: energies are exactly invariant
     assert(fps(wav(base.map(-_))) === fps(wav(base)))
     // a uniform EXACT gain change (×3, no clipping) is also invariant
@@ -284,7 +292,7 @@ class ObserveSpec extends SparkSuite {
       .withColumn("modality", lit("audio"))
       .as[Multimodal.MediaRow].mapPartitions(Multimodal.audioFpsOf _)
       .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-      .withDefaultValue(Set.empty[Long])
+      .withDefaultValue(Set.empty[String])
     // the exact invariance claim, kernel-level: a polarity flip keeps
     // the ENTIRE fingerprint set (energies are exactly invariant)
     val inverted = fpsOf.keys.filter(id =>
@@ -299,7 +307,7 @@ class ObserveSpec extends SparkSuite {
     val thr = Multimodal.audioFpDfThreshold(nCorpus)
     val df = fpsOf.values.toSeq.flatten.groupBy(identity)
       .map { case (fp, v) => fp -> v.size.toLong }
-    def rare(id: Long): Set[Long] = fpsOf(id).filter(df(_) <= thr)
+    def rare(id: Long): Set[String] = fpsOf(id).filter(df(_) <= thr)
     def expectPair(b: Long, v: Long): Boolean = {
       val common = (rare(b) & rare(v)).size.toLong
       val least = math.min(fpsOf(b).size, fpsOf(v).size).toLong
@@ -357,6 +365,70 @@ class ObserveSpec extends SparkSuite {
     // sub-8×8 rasters are below the grid's resolution; garbage is T5
     assert(Multimodal.rasterAHashOf(pgm(7, 16, (_, _) => 9)).isEmpty)
     assert(Multimodal.rasterAHashOf("not a raster".getBytes).isEmpty)
+    // HOSTILE headers must emit nothing, never crash or index out of
+    // bounds (r10 ADVICE): dims whose product wraps a Long negative,
+    // a digit run long enough to overflow the accumulator itself,
+    // zero edges, and edges past the 2^20 plausibility cap
+    assert(Multimodal.rasterAHashOf(
+      "P5\n3037000500 3037000500\n255\n".getBytes ++
+        Array.fill[Byte](64)(1)).isEmpty,
+      "w*h Long-overflow header must be rejected")
+    assert(Multimodal.rasterAHashOf(
+      ("P5\n99999999999999999999999999 16\n255\n").getBytes ++
+        Array.fill[Byte](64)(1)).isEmpty,
+      "digit-run accumulator overflow must be rejected")
+    assert(Multimodal.rasterAHashOf(
+      "P5\n0 16\n255\n".getBytes ++ Array.fill[Byte](64)(1)).isEmpty)
+    assert(Multimodal.rasterAHashOf(
+      s"P5\n${1 << 21} 16\n255\n".getBytes ++
+        Array.fill[Byte](64)(1)).isEmpty,
+      "edges past the 2^20 cap must be rejected before the w*h bound")
+    // the same guard protects the q159 thumbnail kernel
+    val hostile = Multimodal.rasterDecode(Iterator(
+      Multimodal.RasterRow(1L,
+        "P5\n3037000500 3037000500\n255\n".getBytes ++
+          Array.fill[Byte](64)(1)))).toSeq
+    assert(hostile.head.width === 0L && hostile.head.thumb_hex === "")
+  }
+
+  test("png codec: a real zlib/filtered roundtrip recovers every " +
+    "pixel through all five filter types, and hostile containers " +
+    "emit nothing") {
+    val px = (y: Int, x: Int) => (y * 31 + x * 7 + 3) % 256
+    // 11×7: rows exercise filters 0,1,2,3,4,0,1
+    val p = Multimodal.pngOf(11, 7, px)
+    // the container is genuinely compressed and chunked: two IDATs
+    assert(new String(p, 12, 4, "US-ASCII") === "IHDR")
+    val decoded = Multimodal.pngGrayOf(p)
+    assert(decoded.isDefined, "a real PNG must decode")
+    val (w, h, pix) = decoded.get
+    assert((w, h) === ((11L, 7L)))
+    for (y <- 0 until 7; x <- 0 until 11)
+      assert((pix(y * 11 + x) & 0xFF) === px(y, x),
+        s"pixel ($y, $x) must survive the filter/deflate roundtrip")
+    // single-row and single-column edges still roundtrip
+    val thin = Multimodal.pngOf(1, 9, (y, _) => (y * 40) % 256)
+    assert(Multimodal.pngGrayOf(thin).exists(_._3.length === 9))
+    // hostile arms, each must emit nothing rather than crash (T5):
+    assert(Multimodal.pngGrayOf("not a png".getBytes).isEmpty)
+    // truncated mid-IDAT (the inflate cannot fill h*(w+1) bytes)
+    assert(Multimodal.pngGrayOf(p.take(p.length - 20)).isEmpty)
+    // a color-type-2 (RGB) IHDR must be rejected, not mis-decoded
+    val rgb = p.clone(); rgb(8 + 8 + 9) = 2
+    assert(Multimodal.pngGrayOf(rgb).isEmpty)
+    // implausible dims: w forged past the 2^20 cap
+    val big = p.clone()
+    big(16) = 0x7F.toByte // IHDR width high byte
+    assert(Multimodal.pngGrayOf(big).isEmpty)
+    // the q166 kernel thumb equals the q159 kernel thumb for the
+    // same pixels — ONE box-filter implementation behind two codecs
+    val viaPgm = Multimodal.rasterDecode(Iterator(Multimodal.RasterRow(
+      7L, ("P5\n11 7\n255\n").getBytes ++
+        (0 until 7).flatMap(y => (0 until 11).map(x =>
+          px(y, x).toByte))))).next()
+    val viaPng = Multimodal.pngGrayOf(p).map { case (pw, ph, pp) =>
+      (pw, ph, pp) }.get
+    assert((viaPng._1, viaPng._2) === ((viaPgm.width, viaPgm.height)))
   }
 
   test("raster perceptual dedup recall: planted exposure re-masters " +
