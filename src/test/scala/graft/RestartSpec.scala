@@ -366,7 +366,7 @@ class RestartSpec extends SparkSuite {
   test("curated admission survives restart: BOTH state planes — the " +
     "dedup hashes and the per-source running totals — recover from " +
     "the checkpoint, and the ledger across the restart equals the " +
-    "persisted q154 curated shards") {
+    "persisted q154 curated shards") { withRocksDBStateStore {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
@@ -400,6 +400,105 @@ class RestartSpec extends SparkSuite {
       s"restarted composed ledger must equal the q154 shards " +
         s"(missing=${(shards -- got).take(3)}, " +
         s"extra=${(got -- shards).take(3)})")
+  } }
+
+  /** Shared restart proof for the three multimodal admission gates
+    * (media q160, audio q163, raster q165): run part of the incoming
+    * fixture, clean-stop, resume from the same checkpoint with the
+    * first FLAGGED candidate REDELIVERED across the crash boundary,
+    * and assert (a) emissions across the restart equal an
+    * uninterrupted control run of the identical feed and (b) the
+    * redelivered candidate flags each corpus row exactly once — i.e.
+    * the `dropDuplicatesWithinWatermark` candidate-dedup state
+    * recovered from the checkpoint (the E136 test shape applied to
+    * the media modalities). Rows are compared as (in_id, corpus_id,
+    * full-row JSON), so every output column participates. */
+  private def gateSurvivesRestart(tag: String, idCol: String,
+      gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      fixture: org.apache.spark.sql.DataFrame,
+      flaggedInIds: Set[Long]): Unit = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val feedAll = fixture.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).sortBy(_._1)
+    val flagger = feedAll.find(t => flaggedInIds.contains(t._1))
+      .getOrElse(fail(s"$tag: fixture must contain a flagged candidate"))
+    val rest = feedAll.filter(_._1 != flagger._1).take(5).toSeq
+    val b1 = (flagger._1, flagger._2, ts(10)) +:
+      rest.take(2).zipWithIndex.map { case ((id, p), k) =>
+        (id, p, ts(20 + k)) }
+    // the restart boundary REDELIVERS the flagger (same id + payload,
+    // later event time INSIDE the watermark) — recovered dedup state
+    // must suppress the duplicate candidates, not re-flag them
+    val b2 = (flagger._1, flagger._2, ts(60)) +:
+      rest.drop(2).zipWithIndex.map { case ((id, p), k) =>
+        (id, p, ts(70 + k)) }
+    def gated(in: MemoryStream[(Long, Array[Byte], Timestamp)]) = {
+      val df = gate(in.toDF().toDF(idCol, "payload", "arr_ts"))
+      df.select(col("in_id"), col("corpus_id"),
+        to_json(struct(df.columns.map(col): _*)).as("row"))
+        .as[(Long, Long, String)]
+    }
+    val inC = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val bufC = scala.collection.mutable.Buffer.empty[(Long, Long, String)]
+    val qc = collectTo(gated(inC), Some(ckpt(s"${tag}_c")), bufC)
+    withQuery(qc) {
+      inC.addData(b1: _*); qc.processAllAvailable()
+      inC.addData(b2: _*); qc.processAllAvailable()
+    }
+    val cp = ckpt(tag)
+    val inR = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val bufR = scala.collection.mutable.Buffer.empty[(Long, Long, String)]
+    val q1 = collectTo(gated(inR), Some(cp), bufR)
+    withQuery(q1) { inR.addData(b1: _*); q1.processAllAvailable() }
+    inR.addData(b2: _*)
+    val q2 = collectTo(gated(inR), Some(cp), bufR)
+    withQuery(q2) { q2.processAllAvailable() }
+    assert(bufR.toSet === bufC.toSet,
+      s"$tag: emissions across the restart must equal the single run")
+    val redelivered = bufR.filter(_._1 == flagger._1)
+    assert(redelivered.nonEmpty,
+      s"$tag: the redelivered candidate ${flagger._1} must flag")
+    redelivered.groupBy(_._2).foreach { case (cid, hits) =>
+      assert(hits.size === 1,
+        s"$tag: redelivered ${flagger._1} must flag corpus $cid exactly " +
+          s"once across the restart — got ${hits.size}")
+    }
+  }
+
+  test("media admission gate survives restart: the watermarked " +
+    "candidate-dedup state recovers and a re-encode redelivered " +
+    "across the crash boundary does not re-flag") {
+    val s = spark
+    val flagged = graft.ops.Multimodal.mediaAdmissionBackfill(s, sf)
+      .collect().map(_.getLong(0)).toSet
+    gateSurvivesRestart("media_gate", "media_id",
+      graft.ops.Multimodal.mediaAdmission(s, sf, _),
+      graft.ops.Multimodal.mediaIncomingFixture(s, sf), flagged)
+  }
+
+  test("audio admission gate survives restart: the watermarked " +
+    "candidate-dedup state recovers and a polarity re-master " +
+    "redelivered across the crash boundary does not re-flag") {
+    val s = spark
+    val flagged = graft.ops.Multimodal.audioAdmissionBackfill(s, sf)
+      .collect().map(_.getLong(0)).toSet
+    gateSurvivesRestart("audio_gate", "media_id",
+      graft.ops.Multimodal.audioAdmission(s, sf, _),
+      graft.ops.Multimodal.audioIncomingFixture(s, sf), flagged)
+  }
+
+  test("raster admission gate survives restart: the watermarked " +
+    "candidate-dedup state recovers and an exposure re-master " +
+    "redelivered across the crash boundary does not re-flag") {
+    val s = spark
+    val flagged = graft.ops.Multimodal.rasterAdmissionBackfill(s, sf)
+      .collect().map(_.getLong(0)).toSet
+    gateSurvivesRestart("raster_gate", "raster_id",
+      graft.ops.Multimodal.rasterAdmission(s, sf, _),
+      graft.ops.Multimodal.rasterIncomingFixture(s, sf), flagged)
   }
 
   test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +

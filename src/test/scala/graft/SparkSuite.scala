@@ -9,6 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
   def sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` under the RocksDB state store provider (required by
+    * `transformWithState` operators — the watchdog and the curated
+    * admission dedup plane), restoring the previous provider after. */
+  def withRocksDBStateStore[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
 
 object SparkSuite {

@@ -644,7 +644,7 @@ class StreamingSpec extends SparkSuite {
   test("curated admission: quality gates + exact dedup + curated mix " +
     "admission composed under ONE stream — the ledger across " +
     "micro-batches EQUALS the persisted q154 curated shards, and the " +
-    "batch face agrees") {
+    "batch face agrees") { withRocksDBStateStore {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -684,12 +684,12 @@ class StreamingSpec extends SparkSuite {
       feed.toSeq.toDF("doc_id", "source", "text", "n_chars"))
       .collect().map(r => (r.source, r.doc_id, r.n_tok, r.cum)).toSet
     assert(batch === shards)
-  }
+  } }
 
   test("curated admission dedup state is BOUNDED: already-ingested " +
     "documents drop via the stream-static text-hash artifact with " +
     "zero state growth, and in-flight hashes evict as the watermark " +
-    "passes — state rows track the window, never the fed history") {
+    "passes — state rows track the window, never the fed history") { withRocksDBStateStore {
     val s = spark
     import s.implicits._
     implicit val ctx = s.sqlContext
@@ -713,9 +713,12 @@ class StreamingSpec extends SparkSuite {
       seenCorpus = Some(seenDir))
       .writeStream.format("memory").queryName("curated_adm_bounded")
       .outputMode("append").start()
+    // the dedup plane is the transformWithState operator (the gate is
+    // the flatMapGroupsWithState one — its per-source scalars are not
+    // under test here)
     def dedupRows: Long = Option(q.lastProgress).toSeq
       .flatMap(_.stateOperators.toSeq)
-      .filter(_.operatorName.toLowerCase.contains("dedupe"))
+      .filter(_.operatorName.toLowerCase.contains("transformwithstate"))
       .map(_.numRowsTotal).sum
     def filler(id: Long, sec: Long) = {
       // a filler must PASS the quality gates to reach the watermark
@@ -757,7 +760,49 @@ class StreamingSpec extends SparkSuite {
         s"batch B's ${afterB} hashes must evict once the watermark " +
           s"passes — state is the window, not the history (got $afterD)")
     }
-  }
+  } }
+
+  test("curated admission ENFORCES the representative rule: a " +
+    "cross-source duplicate arriving big-id-first quarantines the " +
+    "smaller-id arrival loudly — quarantine row + observedMetrics " +
+    "counter — instead of silently flipping the ledger vs the batch " +
+    "face's min_by representative") { withRocksDBStateStore {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // one text, two sources: the batch face keeps min_by(doc_id) =
+    // 900003 (src2); the stream sees 900009 (src1) FIRST. 900009 is
+    // in the train bucket (knuth 37 < 80); 900003 is NOT (83) — the
+    // violation must surface anyway (quarantine bypasses the split)
+    val text = (1 to 60).map(i => s"dupenforce$i word$i").mkString(" ")
+    val in = MemoryStream[(Long, String, String, Long, Timestamp)]
+    val q = graft.ops.Llm.curatedAdmission(s, sf,
+      in.toDF().toDF("doc_id", "source", "text", "n_chars", "arr_ts"))
+      .writeStream.format("memory").queryName("curated_adm_viol")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData((900009L, "src1", text, text.length.toLong, ts(10)))
+      q.processAllAvailable()
+      in.addData((900003L, "src2", text, text.length.toLong, ts(20)))
+      q.processAllAvailable()
+      val rows = s.table("curated_adm_viol").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(4)))
+      assert(rows.exists(t => t._2 == 900009L && t._3 == "admit"),
+        s"the first arrival must admit under the big id (got " +
+          s"${rows.toSeq})")
+      assert(rows.exists(t =>
+        t._1 == "src2" && t._2 == 900003L && t._3 == "quarantine"),
+        "the smaller-id cross-source duplicate — the batch face's " +
+          s"representative — must quarantine loudly (got ${rows.toSeq})")
+      // and the monitoring plane saw it without scanning the output
+      val sawCounter = q.recentProgress.exists { p =>
+        Option(p.observedMetrics.get("curated_gate"))
+          .exists(_.getAs[Long]("quarantined") >= 1L)
+      }
+      assert(sawCounter,
+        "the curated_gate observedMetrics must count the violation")
+    }
+  } }
 
   test("media admission: a streamed media feed gated against the " +
     "persisted block-postings artifact equals the batch plan; " +
