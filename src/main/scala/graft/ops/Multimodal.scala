@@ -908,49 +908,18 @@ object Multimodal {
     * StreamingSpec proves the two emit identical flags. */
   def audioAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
-    import s.implicits._
-    val fed = (if (incoming.columns.contains("arr_ts")) incoming
-      else incoming.withColumn("arr_ts", current_timestamp()))
-      .select(col("media_id").cast("long").as("media_id"),
-        col("payload"), col("arr_ts"))
-    val dec = fed.as[InMediaRow].mapPartitions(rows =>
-      rows.map(r => (r.media_id, r.arr_ts, audioFpSeqOf(r.payload))))
-      .toDF("in_id", "arr_ts", "in_all")
     val stop = audioStopFps(s, dir)
     val stopCol = typedLit(stop)
-    val inR = dec
-      .withColumn("n_in", size(col("in_all")).cast("bigint"))
-      .withColumn("in_fps", array_except(col("in_all"), stopCol))
-    val posts = audioFpIdx(s, dir)
-      .select(col("fp"), col("media_id").as("corpus_id"))
-    val postsRare =
-      if (stop.isEmpty) posts
-      else posts.filter(!col("fp").isin(stop: _*))
-    val corpusSets = audioFpSetsIdx(s, dir)
-      .select(col("media_id").as("corpus_id"),
-        size(col("corpus_fps")).cast("bigint").as("n_corpus"),
-        array_except(col("corpus_fps"), stopCol).as("corpus_rare"))
-    val cand0 = inR
-      .select(col("in_id"), col("arr_ts"), col("in_fps"), col("n_in"),
-        explode(col("in_fps")).as("fp"))
-      .join(postsRare, "fp")
-      .select(col("in_id"), col("arr_ts"), col("in_fps"), col("n_in"),
-        col("corpus_id"))
-    val cand =
-      if (incoming.isStreaming)
-        cand0.withWatermark("arr_ts", "10 minutes")
-          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
-      else cand0.dropDuplicates("in_id", "corpus_id")
-    cand
-      .join(corpusSets, "corpus_id")
-      .withColumn("common_fps",
-        size(array_intersect(col("in_fps"), col("corpus_rare")))
-          .cast("bigint"))
-      .withColumn("containment_micro",
-        expr("common_fps * 1000000L div least(n_in, n_corpus)"))
-      .filter(col("containment_micro") >= 600000L)
-      .select(col("in_id"), col("corpus_id"), col("common_fps"),
-        col("n_in"), col("n_corpus"), col("containment_micro"))
+    containmentGate(s, incoming,
+      sigsOf = audioFpSeqOf _,
+      stop = stop,
+      posts = audioFpIdx(s, dir)
+        .select(col("fp").as("sig"), col("media_id").as("corpus_id")),
+      corpusSets = audioFpSetsIdx(s, dir)
+        .select(col("media_id").as("corpus_id"),
+          size(col("corpus_fps")).cast("bigint").as("n_corpus"),
+          array_except(col("corpus_fps"), stopCol).as("corpus_rare")),
+      commonCol = "common_fps", thresholdMicro = 600000L)
   }
 
   /** Deterministic incoming-audio fixture for [[audioAdmission]]'s
@@ -1038,6 +1007,84 @@ object Multimodal {
   case class InMediaRow(media_id: Long, payload: Array[Byte],
       arr_ts: java.sql.Timestamp)
 
+  // ---- the shared admission-gate core (r10 verdict task 7) ---------------
+  //
+  // All three multimodal gates (media blocks q160, audio fingerprints
+  // q163, raster perceptual bands q165) are ONE shape: map-side
+  // signature extraction, bounded-stop-list prune on both sides,
+  // stream-static collide against a persisted artifact, watermark
+  // candidate dedup, in-row verify, observe-able quarantine. The shape
+  // lives here ONCE; each modality contributes its signature kernel,
+  // its artifacts, and its verify — so the E173/E174 static-side
+  // discipline (persisted or pinned folds, never per-trigger) is
+  // structural for the next modality, not re-audited prose.
+
+  /** Normalize an incoming gate feed: default the `arr_ts` ingest
+    * clock (batch backfills carry none) and slim to (id, payload,
+    * arr_ts). */
+  private def gateFeed(incoming: DataFrame, idCol: String): DataFrame =
+    (if (incoming.columns.contains("arr_ts")) incoming
+    else incoming.withColumn("arr_ts", current_timestamp()))
+      .select(col(idCol).cast("long").as(idCol),
+        col("payload"), col("arr_ts"))
+
+  /** The candidate-dedup stage shared by every gate: a (in_id,
+    * corpus_id) pair flags once — within the watermark window on the
+    * streaming face (bounded state, RestartSpec-proven recovery),
+    * exactly on the batch face. */
+  private def gateDedup(streaming: Boolean, cand0: DataFrame): DataFrame =
+    if (streaming)
+      cand0.withWatermark("arr_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("in_id", "corpus_id")
+    else cand0.dropDuplicates("in_id", "corpus_id")
+
+  /** The set-containment admission core (media q160, audio q163; the
+    * raster gate q165 shares [[gateFeed]]/[[gateDedup]] but verifies
+    * with an in-row Hamming distance): incoming payloads decode
+    * MAP-SIDE to signature arrays via `sigsOf`, the collected bounded
+    * stop list prunes both sides, surviving signatures collide
+    * stream-static against `posts` (the persisted posting artifact,
+    * normalized to (sig, corpus_id)), candidates dedup, and the
+    * verify is an in-row `array_intersect` against `corpusSets` (the
+    * persisted per-media signature sets, normalized to (corpus_id,
+    * n_corpus, corpus_rare) — per trigger a columnar artifact scan
+    * plus map-only array ops, never a re-fold). Emits (in_id,
+    * corpus_id, <commonCol>, n_in, n_corpus, containment_micro ≥
+    * threshold). */
+  private def containmentGate(s: SparkSession, incoming: DataFrame,
+      sigsOf: Array[Byte] => Seq[String], stop: Seq[String],
+      posts: DataFrame, corpusSets: DataFrame,
+      commonCol: String, thresholdMicro: Long): DataFrame = {
+    import s.implicits._
+    val dec = gateFeed(incoming, "media_id").as[InMediaRow]
+      .mapPartitions(rows =>
+        rows.map(r => (r.media_id, r.arr_ts, sigsOf(r.payload))))
+      .toDF("in_id", "arr_ts", "in_all")
+    val stopCol = typedLit(stop)
+    val inR = dec
+      .withColumn("n_in", size(col("in_all")).cast("bigint"))
+      .withColumn("in_sigs", array_except(col("in_all"), stopCol))
+    val postsRare =
+      if (stop.isEmpty) posts
+      else posts.filter(!col("sig").isin(stop: _*))
+    val cand0 = inR
+      .select(col("in_id"), col("arr_ts"), col("in_sigs"), col("n_in"),
+        explode(col("in_sigs")).as("sig"))
+      .join(postsRare, "sig")
+      .select(col("in_id"), col("arr_ts"), col("in_sigs"), col("n_in"),
+        col("corpus_id"))
+    gateDedup(incoming.isStreaming, cand0)
+      .join(corpusSets, "corpus_id")
+      .withColumn(commonCol,
+        size(array_intersect(col("in_sigs"), col("corpus_rare")))
+          .cast("bigint"))
+      .withColumn("containment_micro",
+        expr(s"$commonCol * 1000000L div least(n_in, n_corpus)"))
+      .filter(col("containment_micro") >= thresholdMicro)
+      .select(col("in_id"), col("corpus_id"), col(commonCol),
+        col("n_in"), col("n_corpus"), col("containment_micro"))
+  }
+
   /** The corpus-relative stop-block list, COLLECTED: ≤ 5 × blockCap =
     * 80 rows by the threshold's construction at any corpus size (the
     * E161 bound) — the engine's model-sized-collect discipline, same
@@ -1109,57 +1156,25 @@ object Multimodal {
     * and no per-micro-batch re-fold of the chain). */
   def mediaAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
-    import s.implicits._
-    val fed = (if (incoming.columns.contains("arr_ts")) incoming
-      else incoming.withColumn("arr_ts", current_timestamp()))
-      .select(col("media_id").cast("long").as("media_id"),
-        col("payload"), col("arr_ts"))
-    val dec = fed.as[InMediaRow].mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val bodyStart = parseContainer(r.payload)._4
-        (r.media_id, r.arr_ts,
-          blockSigsOf(md, r.payload, bodyStart).distinct)
-      }
-    }.toDF("in_id", "arr_ts", "in_all")
     val stop = mediaStopBlocks(s, dir)
     val stopCol = typedLit(stop)
-    val inR = dec
-      .withColumn("n_in", size(col("in_all")).cast("bigint"))
-      .withColumn("in_blocks", array_except(col("in_all"), stopCol))
-    val posts = mediaBlockPostingsIdx(s, dir)
-      .select(col("block_hash"), col("media_id").as("corpus_id"))
-    val postsRare =
-      if (stop.isEmpty) posts
-      else posts.filter(!col("block_hash").isin(stop: _*))
-    // the corpus-side sets come from the PERSISTED fold — per
-    // micro-batch this static side is a columnar artifact scan plus
-    // map-only array ops, never a re-fold of the postings chain
-    val corpusSets = mediaBlockSetsIdx(s, dir)
-      .select(col("media_id").as("corpus_id"),
-        size(col("corpus_blocks")).cast("bigint").as("n_corpus"),
-        array_except(col("corpus_blocks"), stopCol).as("corpus_rare"))
-    val cand0 = inR
-      .select(col("in_id"), col("arr_ts"), col("in_blocks"), col("n_in"),
-        explode(col("in_blocks")).as("block_hash"))
-      .join(postsRare, "block_hash")
-      .select(col("in_id"), col("arr_ts"), col("in_blocks"), col("n_in"),
-        col("corpus_id"))
-    val cand =
-      if (incoming.isStreaming)
-        cand0.withWatermark("arr_ts", "10 minutes")
-          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
-      else cand0.dropDuplicates("in_id", "corpus_id")
-    cand
-      .join(corpusSets, "corpus_id")
-      .withColumn("common_blocks",
-        size(array_intersect(col("in_blocks"), col("corpus_rare")))
-          .cast("bigint"))
-      .withColumn("containment_micro",
-        expr("common_blocks * 1000000L div least(n_in, n_corpus)"))
-      .filter(col("containment_micro") >= 800000L)
-      .select(col("in_id"), col("corpus_id"), col("common_blocks"),
-        col("n_in"), col("n_corpus"), col("containment_micro"))
+    containmentGate(s, incoming,
+      sigsOf = p => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        blockSigsOf(md, p, parseContainer(p)._4).distinct
+      },
+      stop = stop,
+      posts = mediaBlockPostingsIdx(s, dir)
+        .select(col("block_hash").as("sig"),
+          col("media_id").as("corpus_id")),
+      // the corpus-side sets come from the PERSISTED fold — per
+      // micro-batch this static side is a columnar artifact scan plus
+      // map-only array ops, never a re-fold of the postings chain
+      corpusSets = mediaBlockSetsIdx(s, dir)
+        .select(col("media_id").as("corpus_id"),
+          size(col("corpus_blocks")).cast("bigint").as("n_corpus"),
+          array_except(col("corpus_blocks"), stopCol).as("corpus_rare")),
+      commonCol = "common_blocks", thresholdMicro = 800000L)
   }
 
   /** Deterministic incoming-media fixture for [[mediaAdmission]]'s
@@ -1783,13 +1798,10 @@ object Multimodal {
   def rasterAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
     import s.implicits._
-    val fed = (if (incoming.columns.contains("arr_ts")) incoming
-      else incoming.withColumn("arr_ts", current_timestamp()))
-      .select(col("raster_id").cast("long").as("raster_id"),
-        col("payload"), col("arr_ts"))
-    val dec = fed.as[InRasterRow].mapPartitions(rows =>
-      rows.flatMap(r => rasterAHashOf(r.payload).iterator.map(hsh =>
-        (r.raster_id, r.arr_ts, hsh))))
+    val dec = gateFeed(incoming, "raster_id").as[InRasterRow]
+      .mapPartitions(rows =>
+        rows.flatMap(r => rasterAHashOf(r.payload).iterator.map(hsh =>
+          (r.raster_id, r.arr_ts, hsh))))
       .toDF("in_id", "arr_ts", "in_hash")
     val hashes = rasterAHashIdx(s, dir)
     val nRasters = {
@@ -1821,12 +1833,7 @@ object Multimodal {
     val cand0 = inBands.join(corpusRare, Seq("b", "bh"))
       .select(col("in_id"), col("arr_ts"), col("in_hash"),
         col("corpus_id"), col("corpus_hash"))
-    val cand =
-      if (incoming.isStreaming)
-        cand0.withWatermark("arr_ts", "10 minutes")
-          .dropDuplicatesWithinWatermark("in_id", "corpus_id")
-      else cand0.dropDuplicates("in_id", "corpus_id")
-    cand
+    gateDedup(incoming.isStreaming, cand0)
       .withColumn("hamming",
         bit_count(col("in_hash").bitwiseXOR(col("corpus_hash")))
           .cast("bigint"))
