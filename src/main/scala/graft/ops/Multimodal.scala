@@ -890,22 +890,15 @@ object Multimodal {
       .select(col("fp")).as[String].collect().toSeq.sorted
   }
 
-  /** Audio near-dup ADMISSION CONTROL — the E36/E41 discipline for
-    * the audio modality, completing the admission family (text bands
-    * E36, exact-Jaccard E136, winnowing, vectors E97, media blocks
-    * E170): an incoming WAV decodes MAP-SIDE into its gain-invariant
-    * energy-profile fingerprints (the q162 kernel — a polarity flip
-    * or exact gain change at the crawler cannot evade the gate, and
-    * byte-level gates provably cannot catch it), collides against the
-    * PERSISTED fingerprint postings stream-static, prunes boilerplate
-    * profiles on both sides via the collected bounded stop list,
-    * dedups candidates within a watermark, and verifies containment
-    * in-row against the persisted per-media fingerprint sets
-    * ([[audioFpSetsIdx]] — per trigger a columnar scan plus map-only
-    * array ops, never a re-fold). Emits (in_id, corpus_id,
-    * common_fps, n_in, n_corpus, containment_micro ≥ 0.6). The SAME
-    * plan serves the batch backfill (q163) and a `readStream` gate;
-    * StreamingSpec proves the two emit identical flags. */
+  /** Audio near-dup ADMISSION CONTROL — [[containmentGate]] over the
+    * q162 fingerprint discipline: gain-invariant energy-profile
+    * fingerprints map-side (a polarity flip or exact gain change at
+    * the crawler cannot evade the gate, and byte-level gates provably
+    * cannot catch it), the persisted [[audioFpIdx]]/[[audioFpSetsIdx]]
+    * artifacts, the ≤ 5×256-row relative-threshold stop list, and
+    * containment ≥ 0.6. The SAME plan serves the q163 batch backfill
+    * and a `readStream` gate (StreamingSpec proves identical flags,
+    * RestartSpec proves recovery). */
   def audioAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
     val stop = audioStopFps(s, dir)
@@ -1128,32 +1121,15 @@ object Multimodal {
             .as("corpus_blocks"))
       })
 
-  /** Media NEAR-DUP ADMISSION CONTROL — the q157 containment
-    * discipline as a crawler gate, completing the admission family
-    * (text bands E36, exact-Jaccard E136, winnowing, vectors E97)
-    * for the media modality: an incoming media payload decodes
-    * MAP-SIDE into its content-defined block signatures (same
-    * partition-level digest and container parse as the batch decode),
-    * collides against the PERSISTED block-postings artifact
-    * (stream-static equi-join on the block hash — never a corpus
-    * re-decode per micro-batch), and verifies containment in-row
-    * against the corpus media's full block set. Emits
-    * (in_id, corpus_id, common_blocks, n_in, n_corpus,
-    * containment_micro ≥ 0.8). The SAME plan serves a batch backfill
-    * (q160) and a `readStream` gate; StreamingSpec proves the two
-    * emit identical flags.
-    *
-    * Scale shape: incoming work is map-only; stop blocks are pruned
-    * on BOTH sides via the collected ≤ 80-row relative-threshold list
-    * (a candidate can never come from boilerplate); candidate volume
-    * per incoming media is ≤ blockCap × df-threshold by construction;
-    * candidate-dedup state is watermark-bounded
-    * (`dropDuplicatesWithinWatermark` — a pair only repeats within
-    * the micro-batches that carry the media). The corpus-side block
-    * SETS are the persisted [[mediaBlockSetsIdx]] artifact (derived
-    * from the postings chain once per source state — the E123
-    * one-derivation rule; no second decode of any corpus byte, ever,
-    * and no per-micro-batch re-fold of the chain). */
+  /** Media NEAR-DUP ADMISSION CONTROL — [[containmentGate]] over the
+    * q157 block discipline: content-defined block signatures (the
+    * same digest and container parse as the batch decode), the
+    * persisted [[mediaBlockPostingsIdx]]/[[mediaBlockSetsIdx]]
+    * artifacts, the ≤ 80-row relative-threshold stop list, and
+    * containment ≥ 0.8. Candidate volume per incoming media is
+    * ≤ blockCap × df-threshold by construction; the SAME plan serves
+    * the q160 batch backfill and a `readStream` gate (StreamingSpec
+    * proves identical flags, RestartSpec proves recovery). */
   def mediaAdmission(s: SparkSession, dir: String,
       incoming: DataFrame): DataFrame = {
     val stop = mediaStopBlocks(s, dir)
