@@ -847,7 +847,7 @@ object Multimodal {
   /** Audio corpus size for the relative threshold — ONE doc_id-column
     * aggregate (base + planted variant counts), shared by q162 and
     * the admission gate. */
-  private def nAudioCorpus(s: SparkSession, dir: String): Long = {
+  private[graft] def nAudioCorpus(s: SparkSession, dir: String): Long = {
     val cnt = Tables.load(s, dir, "documents")
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .agg(count(lit(1)).as("n"),
@@ -1683,10 +1683,21 @@ object Multimodal {
     * the E176 fix: a 16-bit band universe (65,536) saturates on
     * low-entropy structured imagery and its coincidence candidates
     * grow linearly with n. */
-  private def rasterBandExpr(hc: String): String =
+  private[graft] def rasterBandExpr(hc: String): String =
     s"""transform(sequence(0, 1),
          k -> struct(k AS b,
            shiftright($hc, CAST(32 * k AS INT)) & 4294967295 AS bh))"""
+
+  /** Raster corpus size for the relative band-stop threshold — base
+    * rows plus the planted %6 exposure re-masters, ONE doc_id-column
+    * aggregate (shared by q164, the q165 gate, and the df probe). */
+  private[graft] def nRasterCorpus(s: SparkSession, dir: String): Long = {
+    val cnt = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n"),
+        sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
+          .otherwise(0L)).as("n6")).head()
+    cnt.getLong(0) + cnt.getLong(1)
+  }
 
   /** q164: perceptual near-dup over the REAL raster pixels — pairs
     * whose 8×8 average-hash signatures sit within Hamming distance 1
@@ -1723,13 +1734,7 @@ object Multimodal {
     * the persisted [[rasterAHashIdx]] artifact. */
   def rasterPerceptualDups(s: SparkSession, dir: String): DataFrame = {
     val hashes = rasterAHashIdx(s, dir).localCheckpoint()
-    val nRasters = {
-      val cnt = Tables.load(s, dir, "documents")
-        .agg(count(lit(1)).as("n"),
-          sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
-            .otherwise(0L)).as("n6")).head()
-      cnt.getLong(0) + cnt.getLong(1)
-    }
+    val nRasters = nRasterCorpus(s, dir)
     val bands = hashes.select(col("raster_id"), col("ahash"),
       explode(expr(rasterBandExpr("ahash"))).as("e"))
       .select(col("raster_id"), col("ahash"),
@@ -1780,13 +1785,7 @@ object Multimodal {
           (r.raster_id, r.arr_ts, hsh))))
       .toDF("in_id", "arr_ts", "in_hash")
     val hashes = rasterAHashIdx(s, dir)
-    val nRasters = {
-      val cnt = Tables.load(s, dir, "documents")
-        .agg(count(lit(1)).as("n"),
-          sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
-            .otherwise(0L)).as("n6")).head()
-      cnt.getLong(0) + cnt.getLong(1)
-    }
+    val nRasters = nRasterCorpus(s, dir)
     def bandsOf(df: DataFrame, idc: String, hc: String): DataFrame =
       df.select(col("*"), explode(expr(rasterBandExpr(hc))).as("e"))
         .select(col(idc), col(hc), col("e.b").as("b"), col("e.bh").as("bh"))
