@@ -279,6 +279,64 @@ class ObserveSpec extends SparkSuite {
       "a trailing partial frame must not change the fingerprints")
   }
 
+  test("audio fingerprint min-cap is a UNIFORM sample (the fixed-pack " +
+    "saturation class, pinned): on a long clip the kept 256 digests " +
+    "select tuples spanning the row's full level range, where the " +
+    "r10 numeric-smallest pack kept only the quiet-region corner") {
+    // a long pseudo-random clip: > 256 shingles so the cap BINDS
+    // (fixture clips are short — the cap never binds there, which is
+    // exactly why this property needs a kernel-level pin)
+    val rnd = new scala.util.Random(42)
+    // a per-frame amplitude envelope spanning ~2 orders of magnitude —
+    // real program audio has quiet and loud passages; a constant-power
+    // clip would quantize to one tight level band and hide the bias
+    val samples = (0 until 600).flatMap { _ =>
+      val amp = math.pow(10.0, 2.0 + rnd.nextDouble() * 2.0).toInt
+      Seq.fill(20)(rnd.nextInt(2 * amp) - amp)
+    }
+    def wav(ss: Seq[Int]): Array[Byte] = {
+      val body = ss.flatMap { v =>
+        val u = v & 0xFFFF
+        Seq((u % 256).toByte, (u / 256).toByte)
+      }.toArray
+      val b = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + body.length)
+      b.put("WAVEfmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(body.length).put(body)
+      b.array()
+    }
+    val kept = Multimodal.audioFpSeqOf(wav(samples))
+    assert(kept.length === 256, "the cap must bind on a 600-frame clip")
+    // recompute every tuple + its digest in-test (the kernel's math),
+    // then invert the kept digests back to their tuples
+    val frames = samples.grouped(20).map(f =>
+      f.map(s => s.toLong * s).sum).toSeq
+    val emax = frames.max
+    val lv = frames.map(f => if (emax == 0L) 0L else f * 63L / emax)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val tuples = (0 to lv.length - 4)
+      .map(j => ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64 + lv(j + 3))
+      .distinct
+    val byDigest = tuples.map(t => Multimodal.gainFpOf(md, t) -> t).toMap
+    assert(kept.toSet === byDigest.keys.toSeq.sorted.take(256).toSet,
+      "kept = the 256 lexicographically smallest digests of ALL tuples")
+    val keptTuples = kept.map(byDigest)
+    // the digest's sample is UNIFORM over the row's tuples: its kept
+    // leading levels span (nearly) the same range as the full set...
+    def lead(t: Long) = t >> 18
+    assert(lead(keptTuples.max) >= lead(tuples.max) * 8 / 10,
+      "a uniform sample must reach into the loud-tuple region")
+    // ...where the r10 keying (256 NUMERICALLY smallest packed values)
+    // kept ONLY the quiet corner — the biased effective universe whose
+    // cross-row concentration made df grow with the corpus
+    val packKept = tuples.sorted.take(256)
+    assert(lead(packKept.max) < lead(tuples.max) / 2,
+      "the numeric pack's cap is a quiet-corner slice, not a sample " +
+        "(this is the saturation class E178 retires)")
+  }
+
   test("audio gain near-dup recall: every eligible planted re-master " +
     "pairs with its base via energy fingerprints (and the byte-block " +
     "path provably CANNOT pair them)") {
