@@ -487,6 +487,17 @@ class ObserveSpec extends SparkSuite {
     val viaPng = Multimodal.pngGrayOf(p).map { case (pw, ph, pp) =>
       (pw, ph, pp) }.get
     assert((viaPng._1, viaPng._2) === ((viaPgm.width, viaPgm.height)))
+    // container-agnostic signature (q167's kernel claim): the SAME
+    // pixels produce the SAME average hash whether they arrive as a
+    // raw P5 or as a zlib PNG — a re-container cannot evade the gate
+    // (16×16: above the 8×8 signature floor)
+    val px16 = (y: Int, x: Int) => (y * 13 + x * 29 + 5) % 256
+    val png16 = Multimodal.pngOf(16, 16, px16)
+    val pgm16 = ("P5\n16 16\n255\n").getBytes ++
+      (0 until 16).flatMap(y => (0 until 16).map(x => px16(y, x).toByte))
+    assert(Multimodal.rasterAHashAnyOf(png16).isDefined)
+    assert(Multimodal.rasterAHashAnyOf(png16) ===
+      Multimodal.rasterAHashAnyOf(pgm16))
   }
 
   test("raster perceptual dedup recall: planted exposure re-masters " +
