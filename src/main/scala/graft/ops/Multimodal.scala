@@ -1568,6 +1568,125 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ---- q168: REAL JPEG decode (JDK ImageIO) — the last codec boundary ----
+
+  /** REAL baseline-JPEG encoder for the q168 fixture — the JDK's own
+    * `javax.imageio` writer (headless-safe), quality 0.95, grayscale:
+    * genuine DCT + quantization + Huffman entropy coding, no external
+    * dependency. */
+  private[graft] def jpegOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, px(y, x) & 0xFF); x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try {
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+      wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally wr.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL JPEG grayscale decode inside the decode `mapPartitions`
+    * boundary — the LAST codec boundary retired (q159 PGM, q166 PNG,
+    * now JPEG): the JDK's `javax.imageio` JPEG reader performs the
+    * genuine Huffman entropy decode + dequantize + IDCT. Hostile or
+    * truncated payloads return None (`ImageIO.read` yields null or
+    * throws — both are T5's "emit nothing"); decoded dims are capped
+    * by the E180 plausibility rule. JPEG is LOSSY, so unlike
+    * q159/q166 the recovered pixels are near-equal, not byte-equal,
+    * to the source — the honesty split q168 encodes: dims verify
+    * EXACTLY against the oracle's arithmetic; pixel fidelity verifies
+    * as a bounded reconstruction error, and the decoder itself is
+    * pinned by the ObserveSpec roundtrip (encoder and decoder are
+    * independent library paths). */
+  private[graft] def jpegGrayOf(p: Array[Byte]): Option[(Long, Long, Array[Byte])] = {
+    if (p.length < 3 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val w = img.getWidth.toLong; val h = img.getHeight.toLong
+        if (w <= 0 || h <= 0 || w > (1L << 20) || h > (1L << 20)) None
+        else {
+          val r = img.getRaster
+          val bands = r.getNumBands
+          val pix = new Array[Byte]((w * h).toInt)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // gray = band 0 for grayscale JPEGs; average for color
+              val v =
+                if (bands == 1) r.getSample(x, y.toInt, 0)
+                else {
+                  var s = 0; var b = 0
+                  while (b < bands) { s += r.getSample(x, y.toInt, b); b += 1 }
+                  s / bands
+                }
+              pix((y * w + x).toInt) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, pix))
+        }
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** q168: the JPEG decode relation — each document contributes a
+    * REAL baseline JPEG ([[jpegOf]] — genuine DCT/Huffman bytes)
+    * whose SOURCE pixels derive from arithmetic; the kernel decodes
+    * through the JDK's entropy decoder and emits the parsed geometry
+    * plus `within_tol` = max per-pixel reconstruction error ≤ 24
+    * (quality-0.95 grayscale stays far inside; a decoder that parsed
+    * the wrong scanlines or dims blows the bound immediately). The
+    * oracle re-derives dims and pixel count from arithmetic and pins
+    * `within_tol` = true for every row. Map-only, zero shuffles. */
+  def jpegDecode(s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(16L) + pmod(col("doc_id"), lit(16L))).as("w"),
+        (lit(16L) + pmod(col("doc_id"), lit(12L))).as("h"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(rows => rows.map { case (id, w, h) =>
+        def px(y: Int, x: Int): Int =
+          ((id * 31 + y.toLong * 5 + x.toLong * 3) % 256).toInt
+        val enc = jpegOf(w.toInt, h.toInt, px)
+        jpegGrayOf(enc) match {
+          case None => (id, 0L, 0L, 0L, false)
+          case Some((dw, dh, pix)) =>
+            var maxErr = 0
+            var y = 0
+            while (y < dh) {
+              var x = 0
+              while (x < dw) {
+                val e = math.abs((pix((y * dw + x).toInt) & 0xFF) - px(y, x.toInt))
+                if (e > maxErr) maxErr = e
+                x += 1
+              }
+              y += 1
+            }
+            (id, dw, dh, dw * dh, maxErr <= 24)
+        }
+      })
+      .toDF("doc_id", "width", "height", "n_pixels", "within_tol")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- q164: perceptual raster dedup over REAL pixels (image q162) -------
 
   /** Raster corpus WITH PLANTED RE-MASTERS — the image analog of the
@@ -1957,6 +2076,7 @@ object Multimodal {
     "q165_raster_admission" -> rasterAdmissionBackfill,
     "q166_png_thumbnail" -> pngThumbnail,
     "q167_png_cross_container" -> pngCrossContainerAdmission,
+    "q168_jpeg_decode" -> jpegDecode,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -2501,6 +2621,21 @@ object Multimodal {
          |FROM irare i JOIN crare c ON i.b = c.b AND i.bh = c.bh
          |WHERE bit_count(xor(i.ahash, c.ahash)) <= 1
          |ORDER BY in_id, corpus_id""".stripMargin,
+    // q168: JPEG is LOSSY, so the oracle verifies what arithmetic CAN
+    // verify — the decoded geometry and pixel count re-derived from
+    // the dims law, and the bounded-reconstruction flag pinned true
+    // for EVERY row (a decoder that mis-parsed scanlines or dims
+    // blows the bound); byte-level pixel fidelity is pinned by the
+    // ObserveSpec roundtrip instead (lossless codecs q159/q166 keep
+    // their byte-exact oracles)
+    "q168_jpeg_decode" ->
+      s"""SELECT doc_id,
+         |  CAST(16 + doc_id % 16 AS BIGINT) AS width,
+         |  CAST(16 + doc_id % 12 AS BIGINT) AS height,
+         |  CAST((16 + doc_id % 16) * (16 + doc_id % 12) AS BIGINT)
+         |    AS n_pixels,
+         |  true AS within_tol
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // q160: the admission gate's batch face — incoming blocks, the
     // corpus-relative stop filter, candidate pairs, and containment
     // all re-derived from independently reconstructed bytes

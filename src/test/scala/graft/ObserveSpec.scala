@@ -500,6 +500,33 @@ class ObserveSpec extends SparkSuite {
       Multimodal.rasterAHashAnyOf(pgm16))
   }
 
+  test("jpeg codec: the JDK ImageIO roundtrip recovers every pixel " +
+    "within a tight bound through a REAL DCT/Huffman encode, dims " +
+    "exactly, and hostile containers emit nothing") {
+    val px = (y: Int, x: Int) => (y * 5 + x * 3 + 7) % 256
+    val p = Multimodal.jpegOf(24, 17, px)
+    assert((p(0) & 0xFF) === 0xFF && (p(1) & 0xFF) === 0xD8,
+      "the fixture must be a genuine JPEG container")
+    val (w, h, pix) = Multimodal.jpegGrayOf(p).get
+    assert((w, h) === ((24L, 17L)), "dims must parse exactly")
+    // lossy but BOUNDED: encoder and decoder are independent library
+    // paths, so a near-identity roundtrip pins the real decode
+    var maxErr = 0
+    for (y <- 0 until 17; x <- 0 until 24)
+      maxErr = math.max(maxErr,
+        math.abs((pix(y * 24 + x) & 0xFF) - px(y, x)))
+    assert(maxErr <= 24, s"reconstruction error $maxErr exceeds q168's bound")
+    assert(maxErr > 0,
+      "a zero-error roundtrip would mean the codec was bypassed — " +
+        "JPEG quantization is real")
+    // hostile arms (T5): garbage, truncation mid-entropy-stream, and
+    // a forged non-JPEG signature all emit nothing
+    assert(Multimodal.jpegGrayOf("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegGrayOf(p.take(p.length / 2)).isEmpty)
+    val forged = p.clone(); forged(0) = 0x00
+    assert(Multimodal.jpegGrayOf(forged).isEmpty)
+  }
+
   test("raster perceptual dedup recall: planted exposure re-masters " +
     "pair with their base within Hamming 1 (and neither the payload " +
     "bytes nor the q159 resample bytes could)") {
