@@ -1473,6 +1473,13 @@ object Multimodal {
         }
       }
       if (!ok || !sawIhdr || !done) None
+      // the inflate TARGET is attacker-controlled through the IHDR
+      // dims while the payload stays tiny (the zip-bomb shape): cap
+      // the decoded pixel budget BEFORE allocating — 2²⁶ filtered
+      // bytes (64 MiB) is far above any plausible raster and far
+      // below a bomb; without this, h·(w+1) up to 2⁴⁰ would wrap the
+      // Int allocation negative or OOM the executor (E180 class)
+      else if (h * (w + 1) > (1L << 26)) None
       else {
         val want = (h * (w + 1)).toInt
         val raw = new Array[Byte](want)
@@ -1613,7 +1620,21 @@ object Multimodal {
   private[graft] def jpegGrayOf(p: Array[Byte]): Option[(Long, Long, Array[Byte])] = {
     if (p.length < 3 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) None
     else try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      // dims gate BEFORE the pixel decode: `ImageIO.read` allocates
+      // the full raster up front, so a forged 65k×65k header would
+      // OOM the executor before any cap ran — read the header only,
+      // bound the pixel budget, then decode (E180 class)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      val img = try {
+        reader.setInput(iis)
+        val hw = reader.getWidth(0).toLong; val hh = reader.getHeight(0).toLong
+        if (hw <= 0 || hh <= 0 || hw * hh > (1L << 26)) null
+        else reader.read(0)
+      } finally { reader.dispose(); iis.close() }
       if (img == null) None
       else {
         val w = img.getWidth.toLong; val h = img.getHeight.toLong
@@ -1642,7 +1663,9 @@ object Multimodal {
           Some((w, h, pix))
         }
       }
-    } catch { case _: java.io.IOException => None }
+      // hostile containers can fail anywhere inside the codec — any
+      // non-fatal failure is T5's "emit nothing", never a crash
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** q168: the JPEG decode relation — each document contributes a

@@ -478,6 +478,15 @@ class ObserveSpec extends SparkSuite {
     val big = p.clone()
     big(16) = 0x7F.toByte // IHDR width high byte
     assert(Multimodal.pngGrayOf(big).isEmpty)
+    // the ZIP-BOMB shape: in-cap edges whose decoded budget (h·(w+1))
+    // dwarfs the tiny payload must be rejected BEFORE the inflate
+    // target allocates (2^19 × 2^19 ≈ 2^38 filtered bytes from a
+    // <1 KB container)
+    val bomb = p.clone()
+    bomb(17) = 0x08.toByte; bomb(18) = 0x00.toByte; bomb(19) = 0x00.toByte
+    bomb(21) = 0x08.toByte; bomb(22) = 0x00.toByte; bomb(23) = 0x00.toByte
+    assert(Multimodal.pngGrayOf(bomb).isEmpty,
+      "a zip-bomb IHDR must emit nothing, not allocate the target")
     // the q166 kernel thumb equals the q159 kernel thumb for the
     // same pixels — ONE box-filter implementation behind two codecs
     val viaPgm = Multimodal.rasterDecode(Iterator(Multimodal.RasterRow(
@@ -525,6 +534,16 @@ class ObserveSpec extends SparkSuite {
     assert(Multimodal.jpegGrayOf(p.take(p.length / 2)).isEmpty)
     val forged = p.clone(); forged(0) = 0x00
     assert(Multimodal.jpegGrayOf(forged).isEmpty)
+    // forged 65500×65500 SOF dims (4.3G pixels from a 500-byte
+    // container): the header-only dims gate must reject BEFORE
+    // ImageIO allocates the raster
+    val sof = (0 until p.length - 1).find(i =>
+      (p(i) & 0xFF) == 0xFF && (p(i + 1) & 0xFF) == 0xC0).get
+    val bombJ = p.clone()
+    bombJ(sof + 5) = 0xFF.toByte; bombJ(sof + 6) = 0xDC.toByte // h
+    bombJ(sof + 7) = 0xFF.toByte; bombJ(sof + 8) = 0xDC.toByte // w
+    assert(Multimodal.jpegGrayOf(bombJ).isEmpty,
+      "forged giant SOF dims must emit nothing, not allocate 4.3G px")
   }
 
   test("raster perceptual dedup recall: planted exposure re-masters " +
