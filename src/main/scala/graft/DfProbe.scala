@@ -32,6 +32,84 @@ object DfProbe {
   private case class Fam(name: String, posts: DataFrame,
       keyCols: Seq[String], threshold: Long)
 
+  /** One family's natural-df snapshot at one corpus state. */
+  case class DfStat(family: String, keys: Long, postings: Long,
+      maxDf: Long, p99Df: Long, stopRows: Long, threshold: Long)
+
+  /** The natural-df stats of ONE posting relation under its
+    * corpus-relative stop threshold — the probe kernel, callable on
+    * any family (including a test-planted one). */
+  def statsOf(name: String, posts: DataFrame, keyCols: Seq[String],
+      threshold: Long): DfStat = {
+    val df = posts
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+    val stopRows =
+      if (threshold == Long.MaxValue) 0L
+      else df.filter(col("df") > threshold).count()
+    val nat = df.filter(col("df") <= threshold)
+      .agg(count(lit(1)).as("keys"), max(col("df")).as("max_df"),
+        expr("approx_percentile(df, 0.99)").as("p99_df"),
+        sum(col("df")).as("postings"))
+      .head()
+    def nz(i: Int): Long = if (nat.isNullAt(i)) 0L else nat.getLong(i)
+    DfStat(name, nz(0), nz(3), nz(1), nz(2), stopRows, threshold)
+  }
+
+  /** All five fingerprint families' stats over one fixture dir. */
+  def probe(spark: SparkSession, dir: String): Seq[DfStat] = {
+    import graft.ops.{Llm, Multimodal}
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    val fams = Seq(
+      Fam("media_blocks",
+        Multimodal.mediaBlockPostingsIdx(spark, dir),
+        Seq("block_hash"),
+        Multimodal.mediaBlockDfThreshold(
+          Multimodal.mediaCorpus(spark, dir).count())),
+      Fam("audio_fps",
+        Multimodal.audioFpIdx(spark, dir),
+        Seq("fp"),
+        Multimodal.audioFpDfThreshold(
+          Multimodal.nAudioCorpus(spark, dir))),
+      Fam("raster_bands",
+        Multimodal.rasterAHashIdx(spark, dir)
+          .select(explode(expr(
+            Multimodal.rasterBandExpr("ahash"))).as("e"))
+          .select(col("e.b").as("b"), col("e.bh").as("bh")),
+        Seq("b", "bh"),
+        math.max(64L, Multimodal.nRasterCorpus(spark, dir) / 5)),
+      Fam("winnow_fps",
+        Llm.winnowFpsIdx(spark, dir),
+        Seq("fp"),
+        math.min(Llm.stopDfThreshold(nDocs), Llm.winnowDfCap)),
+      Fam("minhash_bands",
+        Llm.minhashBandsIdx(spark, dir),
+        Seq("b", "bh"),
+        Long.MaxValue))
+    fams.map(f => statsOf(f.name, f.posts, f.keyCols, f.threshold))
+  }
+
+  /** The SATURATION GUARD (r11 missing #3 — the probe as a gate, not
+    * a manual runMain): given the same families probed at consecutive
+    * corpus decades, the violations — families whose natural p99 df
+    * GREW more than `cap`× across the decade. A healthy fingerprint
+    * universe keeps natural df at true-similarity levels at any n
+    * (flat p99); a saturating one (too few possible keys — the 16-bit
+    * and 24-bit audio packs) shows p99 tracking n. Tiny dfs
+    * (p99 ≤ `floor`) are ignored: at small corpora a p99 of 1 → 3 is
+    * healthy variance, not saturation. */
+  def saturationViolations(prev: Seq[DfStat], cur: Seq[DfStat],
+      cap: Double = 4.0, floor: Long = 8L): Seq[String] = {
+    val prevBy = prev.map(s => s.family -> s).toMap
+    cur.flatMap { c =>
+      prevBy.get(c.family).collect {
+        case p if c.p99Df > floor && c.p99Df > p.p99Df * cap =>
+          s"${c.family}: natural p99 df ${p.p99Df} -> ${c.p99Df} " +
+            s"(> ${cap}x across one decade — a saturating universe)"
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: DfProbe <dir1,dir2,..>")
     val dirs = args(0).split(",").toSeq
@@ -44,57 +122,13 @@ object DfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.ops.{Llm, Multimodal}
-    for (dir <- dirs) {
-      val nDocs = Tables.load(spark, dir, "documents").count()
-      val fams = Seq(
-        Fam("media_blocks",
-          Multimodal.mediaBlockPostingsIdx(spark, dir),
-          Seq("block_hash"),
-          Multimodal.mediaBlockDfThreshold(
-            Multimodal.mediaCorpus(spark, dir).count())),
-        Fam("audio_fps",
-          Multimodal.audioFpIdx(spark, dir),
-          Seq("fp"),
-          Multimodal.audioFpDfThreshold(
-            Multimodal.nAudioCorpus(spark, dir))),
-        Fam("raster_bands",
-          Multimodal.rasterAHashIdx(spark, dir)
-            .select(explode(expr(
-              Multimodal.rasterBandExpr("ahash"))).as("e"))
-            .select(col("e.b").as("b"), col("e.bh").as("bh")),
-          Seq("b", "bh"),
-          math.max(64L, Multimodal.nRasterCorpus(spark, dir) / 5)),
-        Fam("winnow_fps",
-          Llm.winnowFpsIdx(spark, dir),
-          Seq("fp"),
-          math.min(Llm.stopDfThreshold(nDocs), Llm.winnowDfCap)),
-        Fam("minhash_bands",
-          Llm.minhashBandsIdx(spark, dir),
-          Seq("b", "bh"),
-          Long.MaxValue))
-      for (f <- fams) {
-        val df = f.posts
-          .groupBy(f.keyCols.map(col): _*)
-          .agg(count(lit(1)).as("df"))
-        val stopRows =
-          if (f.threshold == Long.MaxValue) 0L
-          else df.filter(col("df") > f.threshold).count()
-        val nat = df.filter(col("df") <= f.threshold)
-          .agg(count(lit(1)).as("keys"), max(col("df")).as("max_df"),
-            expr("approx_percentile(df, 0.99)").as("p99_df"),
-            sum(col("df")).as("postings"))
-          .head()
-        val keys = nat.getLong(0)
-        val maxDf = if (nat.isNullAt(1)) 0L else nat.getLong(1)
-        val p99 = if (nat.isNullAt(2)) 0L else nat.getLong(2)
-        val postings = if (nat.isNullAt(3)) 0L else nat.getLong(3)
-        println(s"""{"probe":"df","family":"${f.name}","dir":"$dir",""" +
-          s""""keys":$keys,"postings":$postings,"max_df":$maxDf,""" +
-          s""""p99_df":$p99,"stop_rows":$stopRows,""" +
-          s""""threshold":${if (f.threshold == Long.MaxValue) -1
-          else f.threshold}}""")
-      }
+    for (dir <- dirs; s <- probe(spark, dir)) {
+      println(s"""{"probe":"df","family":"${s.family}","dir":"$dir",""" +
+        s""""keys":${s.keys},"postings":${s.postings},""" +
+        s""""max_df":${s.maxDf},"p99_df":${s.p99Df},""" +
+        s""""stop_rows":${s.stopRows},""" +
+        s""""threshold":${if (s.threshold == Long.MaxValue) -1
+        else s.threshold}}""")
     }
     spark.stop()
   }

@@ -487,6 +487,35 @@ class ObserveSpec extends SparkSuite {
     bomb(21) = 0x08.toByte; bomb(22) = 0x00.toByte; bomb(23) = 0x00.toByte
     assert(Multimodal.pngGrayOf(bomb).isEmpty,
       "a zip-bomb IHDR must emit nothing, not allocate the target")
+    // the FDICT stall (ADVICE r11, high): a zlib header with the
+    // preset-dictionary bit set makes Inflater return 0 forever with
+    // finished()==false and needsInput()==false — the decode must
+    // treat needsDictionary() as a stall and reject, not spin the
+    // executor. CMF=0x78 FLG=0x20 keeps (CMF·256+FLG) % 31 == 0 so
+    // the header itself is VALID zlib — only the dictionary demand
+    // (illegal in PNG streams) distinguishes it.
+    val fdict = p.clone()
+    var ci = 8
+    var patched = false
+    while (!patched && ci + 8 <= fdict.length) {
+      val len = ((fdict(ci) & 0xFF) << 24) | ((fdict(ci + 1) & 0xFF) << 16) |
+        ((fdict(ci + 2) & 0xFF) << 8) | (fdict(ci + 3) & 0xFF)
+      if (new String(fdict, ci + 4, 4, "US-ASCII") == "IDAT") {
+        fdict(ci + 8) = 0x78.toByte; fdict(ci + 9) = 0x20.toByte
+        patched = true
+      } else ci += 8 + len + 4
+    }
+    assert(patched, "fixture must contain an IDAT to patch")
+    // run on a daemon thread with a timed join: a regression here is
+    // an INFINITE inflate loop no interrupt can break, so the test
+    // must fail by timeout instead of hanging the suite
+    @volatile var fdictRes: Option[Option[(Long, Long, Array[Byte])]] = None
+    val fdictT = new Thread(() => {
+      fdictRes = Some(Multimodal.pngGrayOf(fdict))
+    })
+    fdictT.setDaemon(true); fdictT.start(); fdictT.join(30000)
+    assert(fdictRes.contains(None),
+      "an FDICT zlib header must reject as a stall, never hang")
     // the q166 kernel thumb equals the q159 kernel thumb for the
     // same pixels — ONE box-filter implementation behind two codecs
     val viaPgm = Multimodal.rasterDecode(Iterator(Multimodal.RasterRow(
@@ -544,6 +573,61 @@ class ObserveSpec extends SparkSuite {
     bombJ(sof + 7) = 0xFF.toByte; bombJ(sof + 8) = 0xDC.toByte // w
     assert(Multimodal.jpegGrayOf(bombJ).isEmpty,
       "forged giant SOF dims must emit nothing, not allocate 4.3G px")
+  }
+
+  test("jpeg codec runs with NO disk cache: decode and encode work " +
+    "even when ImageIO's file cache is globally enabled and pointed " +
+    "at a dangling directory (the r11 weak item — per-row temp files " +
+    "in a mapPartitions hot path, and a hard failure on a full or " +
+    "read-only tmpdir)") {
+    import javax.imageio.ImageIO
+    val px = (y: Int, x: Int) => (y * 5 + x * 3 + 7) % 256
+    val prevUse = ImageIO.getUseCache
+    val prevDir = ImageIO.getCacheDirectory
+    // a directory that VALIDATES at set time then stops existing: any
+    // code path that touches FileCacheImageInputStream/OutputStream
+    // throws on temp-file creation (permission bits can't carry this
+    // arm — the suite runs as root, which bypasses them)
+    val gone = Files.createTempDirectory("graft-imageio-gone").toFile
+    try {
+      ImageIO.setUseCache(true)
+      ImageIO.setCacheDirectory(gone)
+      assert(gone.delete(), "the cache dir must be dangling for the arm")
+      val p = Multimodal.jpegOf(24, 17, px)
+      val decoded = Multimodal.jpegGrayOf(p)
+      assert(decoded.isDefined,
+        "the kernel must decode through a MEMORY-cached stream — a " +
+          "FileCache stream would throw here and T5 would silently " +
+          "drop a VALID image")
+      assert(decoded.get._1 === 24L && decoded.get._2 === 17L)
+    } finally {
+      ImageIO.setUseCache(prevUse)
+      ImageIO.setCacheDirectory(prevDir)
+      gone.delete()
+    }
+  }
+
+  test("container-agnostic signature across all THREE codecs: the " +
+    "same robust pixels produce the same average hash as raw P5, " +
+    "zlib PNG, and lossy JPEG — no re-container evades the gate") {
+    // per-cell rails (220/30) with exact 5×5 cells at 40×40: the
+    // margins dwarf the JPEG codec's measured error, so even the
+    // LOSSY arm reproduces the hash exactly (the q169 determinism
+    // contract)
+    val bits = 0x5A3C96E1D2B4780FL
+    val px = (y: Int, x: Int) =>
+      if ((bits & (1L << ((y / 5) * 8 + (x / 5)))) != 0L) 220 else 30
+    val pgm = ("P5\n40 40\n255\n").getBytes ++
+      (0 until 40).flatMap(y => (0 until 40).map(x => px(y, x).toByte))
+    val png = Multimodal.pngOf(40, 40, px)
+    val jpg = Multimodal.jpegOf(40, 40, px)
+    val viaPgm = Multimodal.rasterAHashAnyOf(pgm)
+    assert(viaPgm.contains(bits),
+      "the per-cell rail image's ahash must BE the planted word")
+    assert(Multimodal.rasterAHashAnyOf(png) === viaPgm)
+    assert(Multimodal.rasterAHashAnyOf(jpg) === viaPgm,
+      "a lossy re-container must produce the identical perceptual " +
+        "hash on margin-robust pixels")
   }
 
   test("raster perceptual dedup recall: planted exposure re-masters " +

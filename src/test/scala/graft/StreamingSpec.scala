@@ -981,6 +981,91 @@ class StreamingSpec extends SparkSuite {
       "novel imagery must not flag its own base")
   }
 
+  test("raster admission DECISION face: ONE row per incoming item " +
+    "(flag + best evidence) — the stream equals the batch plan with " +
+    "exactly one stateful operator, and groups close on the " +
+    "decode-adjacent watermark even when a trigger is all-novel") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val feed = graft.ops.Multimodal.rasterIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q = graft.ops.Multimodal.rasterAdmission(s, sf,
+      in.toDF().toDF("raster_id", "payload", "arr_ts"), decision = true)
+      .writeStream.format("memory").queryName("raster_dec_out")
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    val streamed = withQuery(q) {
+      // event times start ABOVE the initial watermark (epoch 0): a
+      // first chunk at exactly t=0 would be dropped as late data
+      feed.grouped(third).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map(c => (c._1, c._2, ts((i + 1) * 3600L))): _*)
+        q.processAllAvailable()
+      }
+      // append-mode groups only emit once the watermark passes their
+      // event time: a far-future sentinel that is a VALID raster but
+      // flags NOTHING closes every open group — proving the watermark
+      // is declared decode-adjacent (a watermark declared after the
+      // verify filter would never advance on an all-novel trigger and
+      // the decisions would stall forever)
+      val pgm = ("P5\n16 16\n255\n").getBytes ++
+        (0 until 256).map(i => ((i * 97 + 13) % 256).toByte)
+      in.addData((999999999L, pgm, ts(10000000L)))
+      q.processAllAvailable()
+      // exactly ONE stateful operator on the micro-batch plan: the
+      // decision aggregation itself (the pair-dedup stage is skipped —
+      // min_by is duplicate-insensitive)
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(!microPlan.contains("DropDuplicates"),
+        "the decision face must not chain a dedup stateful operator")
+      s.table("raster_dec_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val batch = graft.ops.Multimodal.rasterAdmission(s, sf,
+      graft.ops.Multimodal.rasterIncomingFixture(s, sf), decision = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch,
+      s"streamed decisions must equal the batch plan " +
+        s"(missing=${(batch -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batch).take(3)})")
+    assert(streamed.nonEmpty, "the planted re-masters must decide")
+    // O(incoming): one decision row per flagged incoming item
+    assert(streamed.map(_._1).size === streamed.size,
+      "the decision face must emit exactly one row per in_id")
+    // the decision IS the argmin over the audit-face pairs: smallest
+    // Hamming, ties to the smallest corpus_id
+    val pairs = graft.ops.Multimodal.rasterAdmissionBackfill(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val best = pairs.groupBy(_._1).map { case (inId, ps) =>
+      val w = ps.minBy(p => (p._3, p._2)); (inId, w._2, w._3) }.toSet
+    assert(streamed === best,
+      "each decision must be the best-evidence row of the audit face")
+  }
+
+  test("audio + media admission DECISION faces (batch): one row per " +
+    "incoming item, and it is the argmax-containment row of the " +
+    "audit face with ties to the smallest corpus_id") {
+    val s = spark
+    def check(decision: => Array[org.apache.spark.sql.Row],
+        audit: => Array[org.apache.spark.sql.Row]): Unit = {
+      val dec = decision.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(5))).toSet
+      val pairs = audit.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(5)))
+      val best = pairs.groupBy(_._1).map { case (inId, ps) =>
+        val w = ps.minBy(p => (-p._3, p._2)); (inId, w._2, w._3) }.toSet
+      assert(dec === best)
+      assert(dec.nonEmpty)
+      assert(dec.map(_._1).size === dec.size)
+    }
+    check(graft.ops.Multimodal.audioAdmissionDecision(s, sf).collect(),
+      graft.ops.Multimodal.audioAdmissionBackfill(s, sf).collect())
+    check(graft.ops.Multimodal.mediaAdmissionDecision(s, sf).collect(),
+      graft.ops.Multimodal.mediaAdmissionBackfill(s, sf).collect())
+  }
+
   test("exact-Jaccard admission: a streamed feed gated against the " +
     "persisted prefix index equals the batch plan; exact copies flag " +
     "at J=1, novel docs pass — zero recall loss, unlike the banded gate") {
