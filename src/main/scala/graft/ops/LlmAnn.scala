@@ -404,18 +404,37 @@ trait LlmAnnOps {
     * the 12-band MinHash gate, a vector has exactly ONE bucket, so a
     * (incoming, corpus) pair can collide at most once — no dedup
     * state, no watermark, zero streaming state at all. */
-  def vectorAdmission(s: SparkSession, dir: String, incoming: DataFrame): DataFrame = {
+  def vectorAdmission(s: SparkSession, dir: String, incoming: DataFrame,
+      decision: Boolean = false): DataFrame = {
     val nPlanes = hyperplaneCount(Llm.embs(s, dir).count())
-    val inV = incoming
-      .select(col("vec_id").as("in_id"),
-        col("embedding").cast("array<double>").as("iv"))
+    // the decision face needs an ingest clock for its event-time
+    // aggregation; the audit face is stateless and carries none
+    val fed =
+      if (!decision) incoming
+      else {
+        val f0 = if (incoming.columns.contains("arr_ts")) incoming
+          else incoming.withColumn("arr_ts", current_timestamp())
+        if (incoming.isStreaming) f0.withWatermark("arr_ts", "10 minutes")
+        else f0
+      }
+    val keep = if (decision) Seq(col("arr_ts")) else Nil
+    val inV = fed
+      .select(Seq(col("vec_id").as("in_id"),
+        col("embedding").cast("array<double>").as("iv")) ++ keep: _*)
       .withColumn("inrm", sqrt(dot(col("iv"), col("iv"))))
       .withColumn("bucket", hyperplaneBucket(hyperplanes(nPlanes), col("iv")))
-    inV.join(hyperplaneBucketsIdx(s, dir), "bucket")
+    val flags = inV.join(hyperplaneBucketsIdx(s, dir), "bucket")
       .withColumn("cos", dot(col("iv"), col("v")) / (col("inrm") * col("nrm")))
       .filter(col("cos") >= 0.4)
-      .select(col("in_id"), col("vec_id").as("corpus_id"),
-        round(col("cos"), 6).as("cos"))
+      .select(Seq(col("in_id")) ++ keep ++ Seq(
+        col("vec_id").as("corpus_id"), round(col("cos"), 6).as("cos")): _*)
+    if (decision)
+      Multimodal.gateDecision(incoming.isStreaming, flags,
+        // highest cosine wins; ties break to the smallest corpus_id
+        ordering = struct((col("cos") * -1.0d).as("neg_c"),
+          col("corpus_id")),
+        outCols = Seq("corpus_id", "cos"))
+    else flags
   }
 
   /** Batch-backfill face of [[vectorAdmission]] (the q49 pattern for
@@ -428,6 +447,17 @@ trait LlmAnnOps {
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     vectorAdmission(s, dir, incoming)
       .orderBy(col("in_id"), col("corpus_id"))
+  }
+
+  /** q174: the vector gate's DECISION face (the E193 plane on the
+    * embedding modality) — per incoming vector, its best corpus match
+    * (highest cosine, ties to the smallest corpus_id); O(incoming)
+    * output. */
+  def vectorAdmissionDecision(s: SparkSession, dir: String): DataFrame = {
+    val incoming = Llm.embs(s, dir).filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    vectorAdmission(s, dir, incoming, decision = true)
+      .orderBy(col("in_id"))
   }
 
   /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li,

@@ -1066,6 +1066,17 @@ object Multimodal {
     * wins — negate score columns for max semantics); `outCols` are
     * carried from the winning row.
     *
+    * DELIVERY SEMANTICS: the streaming face decides per DELIVERY —
+    * a redelivered item (same id, later arrival inside the watermark)
+    * opens a fresh (arr_ts, in_id) group and gets a fresh decision,
+    * which is CONTENT-IDENTICAL against unchanged corpus artifacts
+    * (RestartSpec pins both properties), so a crawler loop keyed on
+    * in_id upserts idempotently. The batch face is per-ITEM — a batch
+    * frame has no delivery axis. Suppressing redeliveries entirely
+    * would re-introduce the dedup stateful operator this face exists
+    * to avoid; the audit faces carry that dedup where it pays for
+    * itself.
+    *
     * The streaming caller must have declared the watermark UPSTREAM,
     * right after the decode stage — not here: candidates that verify
     * below threshold are filtered out before this aggregation, and a
@@ -1073,7 +1084,7 @@ object Multimodal {
     * trigger of all-novel rows, stalling every open group. Decoded
     * rows reach the decode-adjacent watermark node whether or not
     * they ever become candidates. */
-  private def gateDecision(streaming: Boolean, flags: DataFrame,
+  private[ops] def gateDecision(streaming: Boolean, flags: DataFrame,
       ordering: Column, outCols: Seq[String]): DataFrame = {
     val best = min_by(struct(outCols.map(col): _*), ordering).as("best")
     val agg =

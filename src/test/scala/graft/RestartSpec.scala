@@ -501,6 +501,68 @@ class RestartSpec extends SparkSuite {
       graft.ops.Multimodal.rasterIncomingFixture(s, sf), flagged)
   }
 
+  test("raster admission DECISION face survives restart: open decision " +
+    "groups recover from the checkpoint, and a redelivered item " +
+    "RE-DECIDES identically (decisions are per-DELIVERY — the batch " +
+    "face is per-item because a batch frame has no delivery axis)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = s.sqlContext
+    val flagged = graft.ops.Multimodal.rasterAdmissionDecision(s, sf)
+      .collect().map(_.getLong(0)).toSet
+    val feedAll = graft.ops.Multimodal.rasterIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val flagger = feedAll.find(t => flagged.contains(t._1))
+      .getOrElse(fail("fixture must contain a flagged candidate"))
+    val rest = feedAll.filter(_._1 != flagger._1).take(4).toSeq
+    val b1 = (flagger._1, flagger._2, ts(10)) +:
+      rest.take(2).zipWithIndex.map { case ((id, p), k) =>
+        (id, p, ts(20 + k)) }
+    // redelivery INSIDE the watermark at a later arrival time: the
+    // decision face keys groups by (arr_ts, in_id), so a redelivered
+    // item gets a FRESH decision — and it must be content-identical
+    // (same corpus artifacts ⇒ same best evidence)
+    val b2 = (flagger._1, flagger._2, ts(60)) +:
+      rest.drop(2).zipWithIndex.map { case ((id, p), k) =>
+        (id, p, ts(70 + k)) }
+    // a flag-nothing but DECODABLE sentinel far in the future closes
+    // every open group (decode-adjacent watermark)
+    val sentinelPgm = ("P5\n16 16\n255\n").getBytes ++
+      (0 until 256).map(i => ((i * 97 + 13) % 256).toByte)
+    val b3 = Seq((999999999L, sentinelPgm, ts(5000)))
+    def gated(in: MemoryStream[(Long, Array[Byte], Timestamp)]) =
+      graft.ops.Multimodal.rasterAdmission(s, sf,
+        in.toDF().toDF("raster_id", "payload", "arr_ts"), decision = true)
+        .as[(Long, Long, Long)]
+    val inC = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val bufC = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    val qc = collectTo(gated(inC), Some(ckpt("raster_dec_c")), bufC)
+    withQuery(qc) {
+      inC.addData(b1: _*); qc.processAllAvailable()
+      inC.addData(b2: _*); qc.processAllAvailable()
+      inC.addData(b3: _*); qc.processAllAvailable()
+    }
+    val cp = ckpt("raster_dec_r")
+    val inR = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val bufR = scala.collection.mutable.Buffer.empty[(Long, Long, Long)]
+    val q1 = collectTo(gated(inR), Some(cp), bufR)
+    // kill between b1 and b2: b1's groups are OPEN state (the
+    // watermark has not passed them) and must recover, not vanish
+    withQuery(q1) { inR.addData(b1: _*); q1.processAllAvailable() }
+    inR.addData(b2: _*); inR.addData(b3: _*)
+    val q2 = collectTo(gated(inR), Some(cp), bufR)
+    withQuery(q2) { q2.processAllAvailable() }
+    assert(bufR.sorted === bufC.sorted,
+      "decisions across the restart must equal the single run")
+    val redelivered = bufR.filter(_._1 == flagger._1)
+    assert(redelivered.size === 2,
+      "each DELIVERY of the flagged item gets a decision")
+    assert(redelivered.toSet.size === 1,
+      "redeliveries must re-decide IDENTICALLY (same best evidence)")
+  }
+
   test("watchdog alerts are unaffected by a CONCURRENT batch writer: " +
     "materializations append to the watched events table between " +
     "micro-batches and every file-stream read is a consistent snapshot") {

@@ -1044,6 +1044,72 @@ class StreamingSpec extends SparkSuite {
       "each decision must be the best-evidence row of the audit face")
   }
 
+  test("text admission DECISION face: the stream equals the batch " +
+    "plan (one stateful operator, shingle-adjacent watermark), and " +
+    "each decision is the argmax-Jaccard row of the audit face") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val feed = s.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.ops.Llm.nearDupAdmission(s, sf,
+      in.toDF().toDF("doc_id", "text", "arr_ts"), decision = true)
+      .writeStream.format("memory").queryName("text_dec_out")
+      .outputMode("append").start()
+    val half = math.max(feed.length / 2, 1)
+    val streamed = withQuery(q) {
+      feed.grouped(half).zipWithIndex.foreach { case (chunk, i) =>
+        in.addData(chunk.map(c => (c._1, c._2, ts((i + 1) * 3600L))): _*)
+        q.processAllAvailable()
+      }
+      // novel far-future sentinel closes every open group (the
+      // watermark is shingle-adjacent, so a flag-nothing doc advances it)
+      in.addData((999999999L,
+        "zzqx wvvk pplm zzqx wvvk pplm unique sentinel words only",
+        ts(10000000L)))
+      q.processAllAvailable()
+      val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
+      assert(!microPlan.contains("DropDuplicates"),
+        "the decision face must not chain a dedup stateful operator")
+      s.table("text_dec_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val batch = graft.ops.Llm.textAdmissionDecision(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed === batch,
+      s"streamed decisions must equal the batch plan " +
+        s"(missing=${(batch -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batch).take(3)})")
+    assert(streamed.nonEmpty, "replayed corpus docs must decide")
+    assert(streamed.map(_._1).size === streamed.size,
+      "one decision row per in_id")
+    // decision ≡ argmax over the audit face (max jaccard, ties to the
+    // smallest corpus_id)
+    val pairs = graft.ops.Llm.admissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val best = pairs.groupBy(_._1).map { case (inId, ps) =>
+      val w = ps.minBy(p => (-p._3, p._2)); (inId, w._2, w._3) }.toSet
+    assert(streamed === best)
+  }
+
+  test("vector admission DECISION face (batch): one row per incoming " +
+    "vector, the argmax-cosine row of the audit face") {
+    val s = spark
+    val dec = graft.ops.Llm.vectorAdmissionDecision(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairs = graft.ops.Llm.vectorAdmissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val best = pairs.groupBy(_._1).map { case (inId, ps) =>
+      val w = ps.minBy(p => (-p._3, p._2)); (inId, w._2, w._3) }.toSet
+    assert(dec === best)
+    assert(dec.nonEmpty && dec.map(_._1).size === dec.size)
+  }
+
   test("audio + media admission DECISION faces (batch): one row per " +
     "incoming item, and it is the argmax-containment row of the " +
     "audit face with ties to the smallest corpus_id") {
