@@ -1138,12 +1138,17 @@ object Multimodal {
       .select(col("in_id"), col("arr_ts"), col("in_sigs"), col("n_in"),
         col("corpus_id"))
     // the all-pairs face dedups candidates BEFORE the set join (the
-    // dedup trims the join fan-in); the decision face skips the dedup
-    // entirely — min_by is duplicate-insensitive, the multi-sig
-    // fan-in is bounded by the per-item signature cap, and skipping
-    // it keeps the streaming decision plan at ONE stateful operator
+    // dedup trims the join fan-in). The decision face skips the dedup
+    // ONLY where it must — the streaming plan, where a second
+    // stateful operator is the cost (min_by is duplicate-insensitive,
+    // and the multi-sig fan-in is bounded by the per-item signature
+    // cap); the batch decision keeps the dedup, because there it is a
+    // plain exchange that pays for itself against the corpus-set join
+    // it feeds
     val cand =
-      if (decision) cand0 else gateDedup(incoming.isStreaming, cand0)
+      if (!decision) gateDedup(incoming.isStreaming, cand0)
+      else if (incoming.isStreaming) cand0
+      else cand0.dropDuplicates("in_id", "corpus_id")
     val verified = cand
       .join(corpusSets, "corpus_id")
       .withColumn(commonCol,

@@ -1020,6 +1020,8 @@ class StreamingSpec extends SparkSuite {
       val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
       assert(!microPlan.contains("DropDuplicates"),
         "the decision face must not chain a dedup stateful operator")
+      assert(q.lastProgress.stateOperators.length === 1,
+        "the decision plan must run EXACTLY one stateful operator")
       s.table("raster_dec_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     }
@@ -1075,6 +1077,8 @@ class StreamingSpec extends SparkSuite {
       val microPlan = org.apache.spark.sql.GraftBridge.lastExecutedPlan(q)
       assert(!microPlan.contains("DropDuplicates"),
         "the decision face must not chain a dedup stateful operator")
+      assert(q.lastProgress.stateOperators.length === 1,
+        "the decision plan must run EXACTLY one stateful operator")
       s.table("text_dec_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     }
