@@ -428,13 +428,16 @@ trait LlmAnnOps {
       .filter(col("cos") >= 0.4)
       .select(Seq(col("in_id")) ++ keep ++ Seq(
         col("vec_id").as("corpus_id"), round(col("cos"), 6).as("cos")): _*)
+    // gate observability: the E167 counters (see Multimodal's
+    // containmentGate)
     if (decision)
       Multimodal.gateDecision(incoming.isStreaming, flags,
         // highest cosine wins; ties break to the smallest corpus_id
         ordering = struct((col("cos") * -1.0d).as("neg_c"),
           col("corpus_id")),
         outCols = Seq("corpus_id", "cos"))
-    else flags
+        .observe("vector_gate_decisions", count(lit(1)).as("decisions"))
+    else flags.observe("vector_gate", count(lit(1)).as("flags"))
   }
 
   /** Batch-backfill face of [[vectorAdmission]] (the q49 pattern for

@@ -922,6 +922,7 @@ object Multimodal {
     val stop = audioStopFps(s, dir)
     val stopCol = typedLit(stop)
     containmentGate(s, incoming, decision = decision,
+      metricsName = "audio_gate",
       sigsOf = audioFpSeqOf _,
       stop = stop,
       posts = audioFpIdx(s, dir)
@@ -1111,7 +1112,8 @@ object Multimodal {
       sigsOf: Array[Byte] => Seq[String], stop: Seq[String],
       posts: DataFrame, corpusSets: DataFrame,
       commonCol: String, thresholdMicro: Long,
-      decision: Boolean = false): DataFrame = {
+      decision: Boolean = false,
+      metricsName: String = "media_gate"): DataFrame = {
     import s.implicits._
     val dec0 = gateFeed(incoming, "media_id").as[InMediaRow]
       .mapPartitions(rows =>
@@ -1157,6 +1159,12 @@ object Multimodal {
       .withColumn("containment_micro",
         expr(s"$commonCol * 1000000L div least(n_in, n_corpus)"))
       .filter(col("containment_micro") >= thresholdMicro)
+    // GATE OBSERVABILITY (the E167 discipline, extended from the mix
+    // gates to every admission gate): per-micro-batch flag/decision
+    // counters ride the query's own observedMetrics (a CollectMetrics
+    // node — map-side accumulators, zero extra pass), so a corpus
+    // under duplicate attack shows on the monitoring plane the moment
+    // the batch commits, without anyone scanning the flag output.
     if (decision)
       gateDecision(incoming.isStreaming, verified,
         // highest containment wins; ties break to the smallest
@@ -1165,9 +1173,12 @@ object Multimodal {
           .as("neg_cm"), col("corpus_id")),
         outCols = Seq("corpus_id", commonCol, "n_in", "n_corpus",
           "containment_micro"))
+        .observe(s"${metricsName}_decisions",
+          count(lit(1)).as("decisions"))
     else verified
       .select(col("in_id"), col("corpus_id"), col(commonCol),
         col("n_in"), col("n_corpus"), col("containment_micro"))
+      .observe(metricsName, count(lit(1)).as("flags"))
   }
 
   /** The corpus-relative stop-block list, COLLECTED: ≤ 5 × blockCap =
@@ -2136,12 +2147,15 @@ object Multimodal {
         bit_count(col("in_hash").bitwiseXOR(col("corpus_hash")))
           .cast("bigint"))
       .filter(col("hamming") <= 1)
+    // gate observability: the E167 counters (see containmentGate)
     if (decision)
       gateDecision(incoming.isStreaming, verified,
         // smallest Hamming wins; ties break to the smallest corpus_id
         ordering = struct(col("hamming"), col("corpus_id")),
         outCols = Seq("corpus_id", "hamming"))
+        .observe("raster_gate_decisions", count(lit(1)).as("decisions"))
     else verified.select(col("in_id"), col("corpus_id"), col("hamming"))
+      .observe("raster_gate", count(lit(1)).as("flags"))
   }
 
   /** Deterministic incoming-raster fixture for [[rasterAdmission]]'s

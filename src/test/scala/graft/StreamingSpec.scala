@@ -952,8 +952,18 @@ class StreamingSpec extends SparkSuite {
         "the raster gate must read the persisted hash artifact")
       assert(!microPlan.contains("documents.parquet"),
         "the raster gate must not rescan the documents table per batch")
-      s.table("raster_adm_out").collect()
+      val out = s.table("raster_adm_out").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // gate observability (the E167 counters on the admission plane):
+      // per-batch flag counts ride observedMetrics and sum to the
+      // ledger — a duplicate attack is visible the moment its batch
+      // commits, without scanning the flag output
+      val flagsSeen = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("raster_gate")))
+        .map(_.getLong(0)).sum
+      assert(flagsSeen === out.size,
+        "per-batch observedMetrics flag counts must sum to the ledger")
+      out
     }
     val batch = graft.ops.Multimodal
       .rasterAdmissionBackfill(s, sf).collect()
