@@ -43,6 +43,27 @@ object Bench {
     } yield (r1, sp, c)
   }
 
+  /** The adjudication RECORD (r12 verdict task 6) as headline JSON
+    * fragments: `snapshot_ref` says WHICH snapshot the contention
+    * verdict was judged against (the fingerprint-keyed detail file's
+    * r1 total, spread, and its own contended flag) and `r1_clean` is
+    * the clean comparison basis — so a reader can trust/contest the
+    * headline's `contended` flag from the committed artifact alone,
+    * without hunting down the keyed detail files. */
+  private[graft] def adjudicationJson(keyedName: String,
+      snapshot: Option[(Double, Double, Boolean)]): (String, String) = {
+    val ref = snapshot match {
+      case Some((r1s, sp, c)) =>
+        s"""{"file":"$keyedName","total_r1":$r1s,""" +
+          s""""median_spread":$sp,"contended":$c}"""
+      case None => "null"
+    }
+    val clean = snapshot.collect {
+      case (r1s, _, false) => r1s.toString
+    }.getOrElse("null")
+    (ref, clean)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -184,6 +205,8 @@ object Bench {
         .toOption.flatMap(parseSnapshot)
     val contended =
       contendedVerdict(medianSpread, preLoad, stealPct, totalR1, snapshot)
+    val (snapshotRef, r1Clean) =
+      adjudicationJson(keyedPath.getFileName.toString, snapshot)
     // Compact per-query map (qNNN key prefix, integer milliseconds of
     // the count-pass min) sized to SURVIVE the driver's ~2000-char
     // stdout-tail capture: the full-name map up front loses ~110 of
@@ -218,7 +241,7 @@ object Bench {
     val detailLine =
       s"""{"detail":"materialized","fixture_fp":"$fixtureFp","sf":"$sfDir","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread,"pre_load":$preLoad,"steal_pct":$stealPct}"""
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","queries_ms":$qsMs,"total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","queries_ms":$qsMs,"total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"snapshot_ref":$snapshotRef,"r1_clean":$r1Clean,"value":$total}"""
     // Durability: the driver's stdout capture truncates to the last
     // ~2,000 chars, which historically ate most per-query entries; the
     // FULL detail also lands in a file, so cross-round attribution

@@ -49,7 +49,12 @@ object DfProbe {
       else df.filter(col("df") > threshold).count()
     val nat = df.filter(col("df") <= threshold)
       .agg(count(lit(1)).as("keys"), max(col("df")).as("max_df"),
-        expr("approx_percentile(df, 0.99)").as("p99_df"),
+        // EXACT percentile, not approx_percentile: the df relation is
+        // tiny after grouping (one row per distinct key), and the
+        // saturation guard (DfGuardSpec's 4x gate) must not flake on a
+        // sketch's nondeterministic error for a family sitting near
+        // the cap
+        expr("CAST(percentile(df, 0.99) AS BIGINT)").as("p99_df"),
         sum(col("df")).as("postings"))
       .head()
     def nz(i: Int): Long = if (nat.isNullAt(i)) 0L else nat.getLong(i)

@@ -59,6 +59,42 @@ object LowMemRun {
         s"sec=${(System.nanoTime() - t0) / 1e9}")
       require(drained > 0, "gate drained nothing")
     }
+    // Streaming DECISION-face leg (r12 missing #3): drain a large
+    // duplicate-heavy raster feed through the admission gate's
+    // decision face in the tiny heap. The face's memory claim —
+    // exactly ONE stateful operator whose state is one small min_by
+    // struct per OPEN (arr_ts, in_id) group, bounded by the watermark
+    // window, never O(candidate pairs) — is plan-asserted in
+    // StreamingSpec; this leg falsifies it under pressure: an
+    // implementation that buffered candidate pairs per group (or
+    // re-introduced the dedup operator's state) dies at 512m.
+    if (args.length > 2) {
+      val rasterFeed = args(2)
+      val t0 = System.nanoTime()
+      val feed = spark.readStream
+        .schema(spark.read.parquet(rasterFeed).schema)
+        .parquet(rasterFeed)
+      val q = graft.ops.Multimodal
+        .rasterAdmission(spark, dir, feed, decision = true)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val progress = q.recentProgress
+      val drained = progress.map(_.numInputRows).sum
+      val stateOps = progress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten)
+      val maxOps = progress.map(p =>
+        Option(p.stateOperators).map(_.length).getOrElse(0))
+        .foldLeft(0)(math.max)
+      val maxState = stateOps.map(_.numRowsTotal).foldLeft(0L)(math.max)
+      println(s"[lowmem] decision drained=$drained stateOps=$maxOps " +
+        s"stateRowsMax=$maxState sec=${(System.nanoTime() - t0) / 1e9}")
+      require(drained > 0, "decision face drained nothing")
+      require(maxOps <= 1,
+        s"decision face must run exactly ONE stateful operator, saw $maxOps")
+    }
     println("[lowmem] OK")
     spark.stop()
   }

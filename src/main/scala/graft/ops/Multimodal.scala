@@ -542,7 +542,14 @@ object Multimodal {
       def ascii(i: Int, sTag: String): Boolean =
         i + sTag.length <= p.length &&
           sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE")))
+      // canonical PCM only: wFormatTag == 1 and 16-bit samples. A
+      // RIFF container can legally wrap COMPRESSED codecs (MP3 is
+      // wFormatTag 0x55) — without the tag check those bytes would
+      // "decode" as garbage PCM instead of routing through T5, the
+      // same silent-wrong-answer class the raster kernels gate with
+      // magic bytes per codec.
+      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+          p(20) == 1 && p(21) == 0 && p(34) == 16 && p(35) == 0))
         AudioFeatures(r.doc_id, 0L, 0L, 0L, 0L, 0L, 0L)
       else {
         def le32(i: Int): Long =
@@ -764,7 +771,8 @@ object Multimodal {
     def ascii(i: Int, sTag: String): Boolean =
       i + sTag.length <= p.length &&
         sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-    if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE"))) Nil
+    if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
+        p(20) == 1 && p(21) == 0 && p(34) == 16 && p(35) == 0)) Nil
     else {
       val body = 44
       val n = (p.length - body) / 2
@@ -801,6 +809,11 @@ object Multimodal {
         val lv = frames.map(f =>
           if (emax == 0L) 0L else f * gainLevels / emax)
         val md = md5Local.get()
+        // defensive reset at acquisition: the hoist's invariant is
+        // "every prior digest() completed"; an exception between
+        // update() and digest() anywhere on this thread would
+        // otherwise leak residual state into THIS row's fingerprints
+        md.reset()
         (0 to lv.length - gainShingle)
           .map(j => gainFpOf(md,
             ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64 + lv(j + 3)))
@@ -1757,8 +1770,19 @@ object Multimodal {
       // already in memory; no cache belongs here at all.
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(p))
-      if (jpegReaderSpi.isEmpty) { iis.close(); return None }
-      val reader = jpegReaderSpi.get.createReaderInstance()
+      // A reader registered WITHOUT an SPI makes getOriginatingProvider
+      // null — jpegReaderSpi would then be None on this JVM forever.
+      // Falling back to the per-row registry walk keeps valid JPEGs
+      // decoding (slower, but correct) instead of silently T5-dropping
+      // every image; only a registry with NO jpeg reader at all yields
+      // None here, and that is a genuine "cannot decode".
+      val reader = jpegReaderSpi match {
+        case Some(spi) => spi.createReaderInstance()
+        case None =>
+          val it = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!it.hasNext) { iis.close(); return None }
+          it.next()
+      }
       val img = try {
         reader.setInput(iis)
         val hw = reader.getWidth(0).toLong; val hh = reader.getHeight(0).toLong
@@ -1859,7 +1883,20 @@ object Multimodal {
     * resampled thumbnail byte (q159's averages halve), so neither
     * exact hashing nor resample-byte equality can pair it — only a
     * perceptual bit pattern relative to the image's OWN mean
-    * survives an exposure change. */
+    * survives an exposure change.
+    *
+    * The corpus is CONTAINER-MIXED (the r12 weak item): on the real
+    * web canonical images are overwhelmingly PNG/JPEG, not raw
+    * rasters, so a P5-only corpus fixture lets a P5-only index arm
+    * pass every gate test while silently never flagging duplicates
+    * of PNG/JPEG originals. Two arms plant exactly that population:
+    * doc_id % 9 == 6 → a REAL zlib PNG ([[pngOf]]) of a distinct
+    * structural family (`raster_id = doc_id + 8_100_000`);
+    * doc_id % 9 == 7 → a REAL baseline JPEG ([[jpegOf]]) at 40×40
+    * whose 5×5-aligned cells rail at 220/30 per [[jpegCorpusWord]]
+    * (`+ 8_200_000`) — the q169 lossy-determinism contract (popcount
+    * ∈ [8, 56] on both engine and oracle sides), so its decoded
+    * ahash IS the word exactly. */
   private[graft] def rasterVariantTableOf(docsDf: DataFrame): DataFrame = {
     def pgm(px: String): Column = concat(
       encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
@@ -1877,7 +1914,7 @@ object Multimodal {
     val base = "pmod(doc_id * 31 + (i div w) * (11 + doc_id % 13)" +
       " + (i % w) * (5 + doc_id % 11)" +
       " + (i div w) * (i % w) * (1 + doc_id % 7), 256)"
-    docsDf
+    val p5 = docsDf
       .withColumn("w", lit(9L) + pmod(col("doc_id"), lit(16L)))
       .withColumn("h", lit(9L) + pmod(col("doc_id"), lit(12L)))
       .select(explode(array(
@@ -1889,6 +1926,39 @@ object Multimodal {
       .filter(col("v.keep"))
       .select(col("v.raster_id").as("raster_id"),
         col("v.payload").as("payload"))
+    val sess = docsDf.sparkSession
+    import sess.implicits._
+    val mixed = docsDf
+      .filter(pmod(col("doc_id"), lit(9)) === 6 ||
+        pmod(col("doc_id"), lit(9)) === 7)
+      .select(col("doc_id"),
+        (lit(9L) + pmod(col("doc_id"), lit(16L))).as("w"),
+        (lit(9L) + pmod(col("doc_id"), lit(12L))).as("h"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(rows => rows.flatMap { case (id, w, h) =>
+        if (id % 9 == 6) {
+          // family-C pixels, coefficients disjoint from the base
+          // (*31) and novel (*47) families so corpus containers carry
+          // their OWN imagery, not a re-master of an existing arm
+          val px: (Int, Int) => Int = (y, x) =>
+            ((id * 53 + y.toLong * (7 + id % 8) + x.toLong * (13 + id % 7)
+              + y.toLong * x * (3 + id % 5)) % 256).toInt
+          Iterator.single((id + 8100000L, pngOf(w.toInt, h.toInt, px)))
+        } else {
+          val bits = jpegCorpusWord(id)
+          val pc = java.lang.Long.bitCount(bits)
+          // the determinism contract: words too close to all-0/all-1
+          // could rail the mean against a cell average — skipped on
+          // BOTH sides (fixture and oracle), same as q169's incoming
+          if (pc < 8 || pc > 56) Iterator.empty
+          else Iterator.single((id + 8200000L, jpegOf(40, 40, (y, x) => {
+            val cell = (y / 5) * 8 + (x / 5)
+            if ((bits & (1L << cell)) != 0L) 220 else 30
+          })))
+        }
+      })
+      .toDF("raster_id", "payload")
+    p5.unionByName(mixed)
   }
 
   private[graft] def rasterVariantTable(
@@ -1973,11 +2043,18 @@ object Multimodal {
   /** The (raster_id, ahash) signatures PERSISTED segmented
     * (`raster_ahash`): parse+resample+hash paid once per raster ever;
     * per-raster rows never span source files, so a takedown excises
-    * one segment (E157/E163 discipline). */
+    * one segment (E157/E163 discipline). The CORPUS side hashes with
+    * the same container-agnostic arm as the gate's incoming side
+    * ([[rasterAHashAnyOf]]) — the r12 weak item: a P5-only corpus arm
+    * builds an EMPTY index for PNG/JPEG canonical images (the
+    * dominant real-web case) and the gate silently never flags their
+    * duplicates. version 3 = the AnyOf switch + the container-mixed
+    * fixture arms (changed build logic MUST bump, or the store serves
+    * the stale P5-only index). */
   private[graft] def rasterAHashIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "raster_ahash", s"$dir/documents.parquet", version = 2)(
+      s, "raster_ahash", s"$dir/documents.parquet", version = 3)(
       files => {
         val sess = s
         import sess.implicits._
@@ -1986,7 +2063,8 @@ object Multimodal {
           .withColumnRenamed("raster_id", "doc_id")
           .as[RasterRow]
           .mapPartitions(rows => rows.flatMap(r =>
-            rasterAHashOf(r.payload).iterator.map(hsh => (r.doc_id, hsh))))
+            rasterAHashAnyOf(r.payload).iterator.map(hsh =>
+              (r.doc_id, hsh))))
           .toDF("raster_id", "ahash")
       })
 
@@ -2003,16 +2081,17 @@ object Multimodal {
          k -> struct(k AS b,
            shiftright($hc, CAST(32 * k AS INT)) & 4294967295 AS bh))"""
 
-  /** Raster corpus size for the relative band-stop threshold — base
-    * rows plus the planted %6 exposure re-masters, ONE doc_id-column
-    * aggregate (shared by q164, the q165 gate, and the df probe). */
-  private[graft] def nRasterCorpus(s: SparkSession, dir: String): Long = {
-    val cnt = Tables.load(s, dir, "documents")
-      .agg(count(lit(1)).as("n"),
-        sum(when(pmod(col("doc_id"), lit(6)) === 0, 1L)
-          .otherwise(0L)).as("n6")).head()
-    cnt.getLong(0) + cnt.getLong(1)
-  }
+  /** Raster corpus size for the relative band-stop threshold — ONE
+    * metadata-cheap count over the persisted signature artifact
+    * (shared by q164, the q165 gate, and the df probe). The threshold
+    * is SIGNATURE-relative by definition (band df is a property of
+    * the signature relation), so counting the artifact tracks
+    * whatever arms the fixture plants — a parallel arithmetic twin
+    * drifted the moment the corpus went container-mixed (the JPEG arm
+    * is popcount-restricted, which arithmetic over `documents` alone
+    * cannot see without re-deriving the word). */
+  private[graft] def nRasterCorpus(s: SparkSession, dir: String): Long =
+    rasterAHashIdx(s, dir).count()
 
   /** q164: perceptual near-dup over the REAL raster pixels — pairs
     * whose 8×8 average-hash signatures sit within Hamming distance 1
@@ -2053,8 +2132,12 @@ object Multimodal {
     * q165 gate: a gate START reads a tiny parquet instead of
     * re-folding the band relation — the audioStopFps rationale. */
   private def rasterBandStops(s: SparkSession, dir: String): DataFrame =
+    // version 2: the upstream signature artifact went container-
+    // agnostic (raster_ahash v3) — the stop list derives from it, so
+    // its OWN version must move or the store serves stops folded over
+    // the stale P5-only signature population
     graft.observe.IndexStore.readOrBuild(
-      s, "raster_band_stops", s"$dir/documents.parquet", version = 1)(
+      s, "raster_band_stops", s"$dir/documents.parquet", version = 2)(
       rasterAHashIdx(s, dir)
         .select(explode(expr(rasterBandExpr("ahash"))).as("e"))
         .select(col("e.b").as("b"), col("e.bh").as("bh"))
@@ -2166,7 +2249,14 @@ object Multimodal {
     * a different cross term). Both re-derivable in SQL from
     * arithmetic alone. */
   private[graft] def rasterIncomingFixture(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    rasterIncomingFixtureOf(Tables.load(s, dir, "documents"))
+
+  /** The q165 incoming arms over an explicit documents frame — the
+    * file-decomposable core the audit LEDGER builds per source
+    * segment (E205): an incoming row derives from one document row,
+    * so a crawl batch's flags excise with its file. */
+  private[graft] def rasterIncomingFixtureOf(docsDf: DataFrame): DataFrame = {
     def pgm(px: String): Column = concat(
       encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
         col("h").cast("string"), lit("\n255\n")), "UTF-8"),
@@ -2179,7 +2269,7 @@ object Multimodal {
     val novel = "pmod(doc_id * 47 + (i div w) * (5 + doc_id % 11)" +
       " + (i % w) * (11 + doc_id % 13)" +
       " + (i div w) * (i % w) * (2 + doc_id % 5), 256)"
-    Tables.load(s, dir, "documents")
+    docsDf
       .withColumn("w", lit(9L) + pmod(col("doc_id"), lit(16L)))
       .withColumn("h", lit(9L) + pmod(col("doc_id"), lit(12L)))
       .select(explode(array(
@@ -2254,6 +2344,19 @@ object Multimodal {
     * can't express): bit j of doc_id's pattern. */
   private[graft] def jpegNovelBit(id: Long, j: Int): Boolean =
     ((id * 1103515245L + (j + 1) * 2654435761L) % 4294967291L) % 2 == 1
+
+  /** The JPEG-containered CORPUS arm's planted bit pattern (doc_id %
+    * 9 == 7 in [[rasterVariantTableOf]]) — the [[jpegNovelBit]]
+    * discipline with distinct multipliers, so corpus words and q169's
+    * incoming novel words are unrelated pseudo-random families, both
+    * re-derivable by the oracle from integer arithmetic alone. */
+  private[graft] def jpegCorpusBit(id: Long, j: Int): Boolean =
+    ((id * 2246822519L + (j + 1) * 3266489917L) % 4294967291L) % 2 == 1
+
+  /** The full 64-bit corpus word for one doc_id. */
+  private[graft] def jpegCorpusWord(id: Long): Long =
+    (0 until 64).foldLeft(0L)((acc, j) =>
+      if (jpegCorpusBit(id, j)) acc | (1L << j) else acc)
 
   /** Deterministic JPEG incoming fixture for the LOSSY-codec
     * cross-container face (q169): for doc_id % 9 == 4, a 40×40
@@ -2342,6 +2445,115 @@ object Multimodal {
     rasterAdmission(s, dir, jpegIncomingFixture(s, dir))
       .orderBy(col("in_id"), col("corpus_id"))
 
+  /** Deterministic P5 incoming fixture for the MIXED-CORPUS face
+    * (q175 — the INVERSE of q167/q169: there the corpus was P5 and
+    * the incoming was PNG/JPEG; here the corpus's canonical images
+    * live as PNG/JPEG and a plain-raster incoming must still flag
+    * them). Arms: doc_id % 9 == 6 → a HALF-BRIGHTNESS P5 re-master
+    * of the PNG corpus arm's family-C pixels (`raster_id = doc_id +
+    * 9_600_000`, must flag `+ 8_100_000`); % 9 == 7 → a P5 railed at
+    * 220/30 per the corpus word (`+ 9_650_000`, must flag the JPEG
+    * corpus arm `+ 8_200_000` at Hamming 0 — rails are exact in a
+    * lossless container, and the corpus side's decoded ahash is the
+    * word by the q169 determinism contract); % 9 == 8 → NOVEL
+    * family-D imagery (`+ 9_700_000`, must pass silently). */
+  private[graft] def mixedCorpusIncomingFixture(
+      s: SparkSession, dir: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    Tables.load(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(9)) >= 6)
+      .select(col("doc_id"),
+        (lit(9L) + pmod(col("doc_id"), lit(16L))).as("w"),
+        (lit(9L) + pmod(col("doc_id"), lit(12L))).as("h"))
+      .as[(Long, Long, Long)]
+      .mapPartitions(rows => rows.flatMap { case (id, w, h) =>
+        def pgmOf(pw: Int, ph: Int, px: (Int, Int) => Int): Array[Byte] = {
+          val hdr = s"P5\n$pw $ph\n255\n".getBytes("US-ASCII")
+          val out = new Array[Byte](hdr.length + pw * ph)
+          System.arraycopy(hdr, 0, out, 0, hdr.length)
+          var y = 0
+          while (y < ph) {
+            var x = 0
+            while (x < pw) {
+              out(hdr.length + y * pw + x) = (px(y, x) & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+        id % 9 match {
+          case 6 =>
+            Iterator.single((id + 9600000L, pgmOf(w.toInt, h.toInt,
+              (y, x) => (((id * 53 + y.toLong * (7 + id % 8)
+                + x.toLong * (13 + id % 7)
+                + y.toLong * x * (3 + id % 5)) % 256) / 2).toInt)))
+          case 7 =>
+            val bits = jpegCorpusWord(id)
+            val pc = java.lang.Long.bitCount(bits)
+            if (pc < 8 || pc > 56) Iterator.empty
+            else Iterator.single((id + 9650000L, pgmOf(40, 40, (y, x) => {
+              val cell = (y / 5) * 8 + (x / 5)
+              if ((bits & (1L << cell)) != 0L) 220 else 30
+            })))
+          case _ =>
+            Iterator.single((id + 9700000L, pgmOf(w.toInt, h.toInt,
+              (y, x) => ((id * 59 + y.toLong * (3 + id % 7)
+                + x.toLong * (9 + id % 8)
+                + y.toLong * x * (4 + id % 3)) % 256).toInt)))
+        }
+      })
+      .toDF("raster_id", "payload")
+  }
+
+  /** q175: the MIXED-CORPUS perceptual admission face — the same gate
+    * ([[rasterAdmission]]) proving the CORPUS index is container-
+    * agnostic (the r12 weak item closed from the index side): a
+    * corpus whose canonical images exist only as PNG or JPEG still
+    * flags plain-raster re-masters of them, because
+    * [[rasterAHashIdx]] hashes the corpus with the same
+    * [[rasterAHashAnyOf]] arm the incoming side uses. Novel-family
+    * incoming passes silently. */
+  def mixedCorpusAdmission(s: SparkSession, dir: String): DataFrame =
+    rasterAdmission(s, dir, mixedCorpusIncomingFixture(s, dir))
+      .orderBy(col("in_id"), col("corpus_id"))
+
+  /** The raster gate's audit-face flags PERSISTED as a segmented
+    * artifact (`raster_gate_audit`, E205 — r12 verdict task 7): the
+    * all-pairs audit view is the relation that GROWS with corpus-side
+    * duplicate mass (551k rows at the 100× decade), so recomputing it
+    * per consumer is the q149 class one layer up; persisting it gives
+    * it the same retention/compaction/takedown semantics as every
+    * other corpus-derived relation. Segments are keyed by the SOURCE
+    * files the incoming rows derive from — an incoming row's flags
+    * excise with its crawl batch's file (takedown on the incoming
+    * axis), and a new crawl batch appends one delta segment gated
+    * against the corpus artifacts.
+    *
+    * SEMANTICS — an ARRIVAL-TIME ledger, stated explicitly: each
+    * segment records the flags its incoming batch earned against the
+    * corpus AS OF that batch's arrival (exactly what the streaming
+    * gate would have emitted). Corpus rows added LATER do not
+    * retro-flag an old batch — that is admission-ledger truth, not
+    * staleness; a from-scratch rebuild coincides with the incremental
+    * chain whenever all segments saw the same corpus state (the
+    * single-state fixture the oracle runs on; IndexStoreSpec pins
+    * both the coincidence and the takedown). */
+  private[graft] def rasterAuditLedger(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "raster_gate_audit", s"$dir/documents.parquet", version = 1)(
+      files =>
+        rasterAdmission(s, dir,
+          rasterIncomingFixtureOf(s.read.parquet(files: _*))))
+
+  /** q176: the audit ledger face — the q165 flag relation served FROM
+    * the persisted artifact instead of recomputed per consumer. */
+  def rasterAuditLedgerFace(s: SparkSession, dir: String): DataFrame =
+    rasterAuditLedger(s, dir)
+      .orderBy(col("in_id"), col("corpus_id"))
+
   // ---- q170–q172: the gates' DECISION faces (r11 missing #2) -------------
   //
   // One row per incoming item — flag + best evidence — where
@@ -2395,6 +2607,8 @@ object Multimodal {
     "q170_raster_admission_decision" -> rasterAdmissionDecision,
     "q171_audio_admission_decision" -> audioAdmissionDecision,
     "q172_media_admission_decision" -> mediaAdmissionDecision,
+    "q175_mixed_corpus_admission" -> mixedCorpusAdmission,
+    "q176_raster_audit_ledger" -> rasterAuditLedgerFace,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -2485,6 +2699,44 @@ object Multimodal {
        |  UNION ALL
        |  SELECT doc_id + 2000000, payload, hex(encode(text))
        |  FROM m WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Shared corpus-extension fragments for every raster-gate oracle
+    * (q164/q165/q167/q169/q175): the container-mixed corpus arms.
+    * `duckRvPng` extends the rv CTE with the PNG arm (hv = 6, pixel
+    * family C); `duckFamC` is its pixel formula for the cells CASE;
+    * `duckJpegCorpus` derives the JPEG arm's ahash (= the planted
+    * [[jpegCorpusWord]], popcount-restricted on both sides) and its
+    * banded form `jcb`; `duckRasterNr` is the corpus signature count
+    * the stop threshold is relative to ([[nRasterCorpus]] counts the
+    * artifact engine-side — these terms enumerate the same rows). */
+  private val duckRvPng: String =
+    "SELECT doc_id + 8100000, doc_id, w, h, 6 FROM g WHERE doc_id % 9 = 6"
+  private val duckFamC: String =
+    """(r.doc_id * 53
+      |          + yy.y * (7 + r.doc_id % 8)
+      |          + xx.x * (13 + r.doc_id % 7)
+      |          + yy.y * xx.x * (3 + r.doc_id % 5)) % 256""".stripMargin
+  private val duckJpegCorpus: String =
+    s"""jc AS (SELECT doc_id + 8200000 AS rid,
+       |    CAST(sum(CASE WHEN ((doc_id * 2246822519
+       |        + (j + 1) * 3266489917) % 4294967291) % 2 = 1
+       |      THEN CASE WHEN j = 63
+       |        THEN CAST(-9223372036854775808 AS BIGINT)
+       |        ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END
+       |      ELSE 0 END) AS BIGINT) AS ahash
+       |  FROM g, LATERAL unnest(generate_series(0, 63)) t(j)
+       |  WHERE doc_id % 9 = 7 GROUP BY 1
+       |  HAVING sum(CASE WHEN ((doc_id * 2246822519
+       |      + (j + 1) * 3266489917) % 4294967291) % 2 = 1
+       |    THEN 1 ELSE 0 END) BETWEEN 8 AND 56),
+       |jcb AS (SELECT rid, ahash, k.k AS b,
+       |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
+       |  FROM jc, LATERAL unnest(generate_series(0, 1)) k(k))""".stripMargin
+  private val duckRasterNr: String =
+    s"""nr AS (SELECT (SELECT count(*) FROM g)
+       |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0)
+       |    + (SELECT count(*) FROM g WHERE doc_id % 9 = 6)
+       |    + (SELECT count(*) FROM jc) AS n)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     // q156: keep-first exact dedup over the reconstructed corpus
@@ -2756,7 +3008,9 @@ object Multimodal {
          |rv AS (SELECT doc_id AS raster_id, doc_id, w, h, 0 AS hv FROM g
          |  UNION ALL
          |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
-         |  WHERE doc_id % 6 = 0),
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  $duckRvPng),
          |cells AS (SELECT raster_id,
          |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
          |    CAST(sum(p) // count(*) AS BIGINT) AS cell
@@ -2765,6 +3019,7 @@ object Multimodal {
          |        THEN (r.doc_id * 31 + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
          |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256
+         |        WHEN hv = 6 THEN $duckFamC
          |        ELSE ((r.doc_id * 31 + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
          |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 2
@@ -2781,11 +3036,12 @@ object Multimodal {
          |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
          |      ELSE 0 END) AS BIGINT) AS ahash
          |  FROM cells c JOIN mn USING (raster_id) GROUP BY 1),
+         |$duckJpegCorpus,
          |bd AS (SELECT raster_id, ahash, k.k AS b,
          |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
-         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
-         |nr AS (SELECT (SELECT count(*) FROM g)
-         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)
+         |  UNION ALL SELECT rid, ahash, b, bh FROM jcb),
+         |$duckRasterNr,
          |stop AS (SELECT b, bh FROM bd GROUP BY 1, 2
          |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
          |rare AS (SELECT * FROM bd t WHERE NOT EXISTS (
@@ -2812,7 +3068,9 @@ object Multimodal {
          |rv AS (SELECT doc_id AS rid, doc_id, w, h, 0 AS hv FROM g
          |  UNION ALL
          |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
-         |  WHERE doc_id % 6 = 0),
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  $duckRvPng),
          |iv AS (SELECT doc_id + 9000000 AS rid, doc_id, w, h, 2 AS hv
          |  FROM g WHERE doc_id % 9 = 0
          |  UNION ALL
@@ -2836,6 +3094,7 @@ object Multimodal {
          |          + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
          |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 4
+         |        WHEN hv = 6 THEN $duckFamC
          |        ELSE (r.doc_id * 47
          |          + yy.y * (5 + r.doc_id % 11)
          |          + xx.x * (11 + r.doc_id % 13)
@@ -2853,13 +3112,14 @@ object Multimodal {
          |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
          |      ELSE 0 END) AS BIGINT) AS ahash
          |  FROM cells c JOIN mn USING (rid, hv) GROUP BY 1, 2),
+         |$duckJpegCorpus,
          |bd AS (SELECT rid, hv, ahash, k.k AS b,
          |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
          |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
-         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv <= 1),
-         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv >= 2),
-         |nr AS (SELECT (SELECT count(*) FROM g)
-         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (0, 1, 6)
+         |  UNION ALL SELECT rid, ahash, b, bh FROM jcb),
+         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (2, 3)),
+         |$duckRasterNr,
          |stop AS (SELECT b, bh FROM cbd GROUP BY 1, 2
          |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
          |crare AS (SELECT * FROM cbd t WHERE NOT EXISTS (
@@ -2884,7 +3144,9 @@ object Multimodal {
          |rv AS (SELECT doc_id AS rid, doc_id, w, h, 0 AS hv FROM g
          |  UNION ALL
          |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
-         |  WHERE doc_id % 6 = 0),
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  $duckRvPng),
          |iv AS (SELECT doc_id + 9800000 AS rid, doc_id, w, h, 4 AS hv
          |  FROM g WHERE doc_id % 9 = 2
          |  UNION ALL
@@ -2904,6 +3166,7 @@ object Multimodal {
          |          + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
          |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 2
+         |        WHEN hv = 6 THEN $duckFamC
          |        ELSE (r.doc_id * 47
          |          + yy.y * (5 + r.doc_id % 11)
          |          + xx.x * (11 + r.doc_id % 13)
@@ -2921,13 +3184,14 @@ object Multimodal {
          |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
          |      ELSE 0 END) AS BIGINT) AS ahash
          |  FROM cells c JOIN mn USING (rid, hv) GROUP BY 1, 2),
+         |$duckJpegCorpus,
          |bd AS (SELECT rid, hv, ahash, k.k AS b,
          |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
          |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
-         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv <= 1),
-         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv >= 4),
-         |nr AS (SELECT (SELECT count(*) FROM g)
-         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (0, 1, 6)
+         |  UNION ALL SELECT rid, ahash, b, bh FROM jcb),
+         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (4, 5)),
+         |$duckRasterNr,
          |stop AS (SELECT b, bh FROM cbd GROUP BY 1, 2
          |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
          |crare AS (SELECT * FROM cbd t WHERE NOT EXISTS (
@@ -2953,7 +3217,9 @@ object Multimodal {
          |rv AS (SELECT doc_id AS rid, doc_id, w, h, 0 AS hv FROM g
          |  UNION ALL
          |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
-         |  WHERE doc_id % 6 = 0),
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  $duckRvPng),
          |cells AS (SELECT rid, hv,
          |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
          |    CAST(sum(p) // count(*) AS BIGINT) AS cell
@@ -2963,6 +3229,7 @@ object Multimodal {
          |          + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
          |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256
+         |        WHEN hv = 6 THEN $duckFamC
          |        ELSE ((r.doc_id * 31
          |          + yy.y * (11 + r.doc_id % 13)
          |          + xx.x * (5 + r.doc_id % 11)
@@ -2998,17 +3265,95 @@ object Multimodal {
          |ihs AS (SELECT rid, ahash FROM ih0
          |  UNION ALL
          |  SELECT rid, ahash FROM nv WHERE pc BETWEEN 8 AND 56),
+         |$duckJpegCorpus,
          |bd AS (SELECT rid, ahash, k.k AS b,
          |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
-         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
+         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)
+         |  UNION ALL SELECT rid, ahash, b, bh FROM jcb),
          |ibd AS (SELECT rid, ahash, k.k AS b,
          |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
          |  FROM ihs, LATERAL unnest(generate_series(0, 1)) k(k)),
-         |nr AS (SELECT (SELECT count(*) FROM g)
-         |    + (SELECT count(*) FROM g WHERE doc_id % 6 = 0) AS n),
+         |$duckRasterNr,
          |stop AS (SELECT b, bh FROM bd GROUP BY 1, 2
          |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
          |crare AS (SELECT * FROM bd t WHERE NOT EXISTS (
+         |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh)),
+         |irare AS (SELECT * FROM ibd t WHERE NOT EXISTS (
+         |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh))
+         |SELECT DISTINCT i.rid AS in_id, c.rid AS corpus_id,
+         |  CAST(bit_count(xor(i.ahash, c.ahash)) AS BIGINT) AS hamming
+         |FROM irare i JOIN crare c ON i.b = c.b AND i.bh = c.bh
+         |WHERE bit_count(xor(i.ahash, c.ahash)) <= 1
+         |ORDER BY in_id, corpus_id""".stripMargin,
+    // q175: the MIXED-CORPUS face (the r12 weak item's receipt — the
+    // inverse of q167/q169): the CORPUS's canonical images live as
+    // PNG (pixel family C, hv=6 — lossless, so the oracle re-derives
+    // its ahash from arithmetic) and railed JPEG (the jc word arm —
+    // lossy-deterministic by the q169 contract); the INCOMING is
+    // plain P5: a half-brightness re-master of family C (hv=8), a
+    // railed P5 of the SAME corpus word (iw = jc shifted to the
+    // incoming id space — Hamming 0 by construction), and novel
+    // family D (hv=9, passes silently). Bands/stop/verify are q165's.
+    "q175_mixed_corpus_admission" ->
+      s"""WITH g AS (SELECT doc_id, CAST(9 + doc_id % 16 AS BIGINT) AS w,
+         |    CAST(9 + doc_id % 12 AS BIGINT) AS h FROM documents),
+         |rv AS (SELECT doc_id AS rid, doc_id, w, h, 0 AS hv FROM g
+         |  UNION ALL
+         |  SELECT doc_id + 8000000, doc_id, w, h, 1 FROM g
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  $duckRvPng),
+         |iv AS (SELECT doc_id + 9600000 AS rid, doc_id, w, h, 8 AS hv
+         |  FROM g WHERE doc_id % 9 = 6
+         |  UNION ALL
+         |  SELECT doc_id + 9700000, doc_id, w, h, 9 FROM g
+         |  WHERE doc_id % 9 = 8),
+         |allr AS (SELECT * FROM rv UNION ALL SELECT * FROM iv),
+         |cells AS (SELECT rid, hv,
+         |    (8 * y + 7) // h AS ty, (8 * x + 7) // w AS tx,
+         |    CAST(sum(p) // count(*) AS BIGINT) AS cell
+         |  FROM (SELECT r.rid, r.hv, r.w, r.h, yy.y, xx.x,
+         |      CASE
+         |        WHEN hv = 0 THEN (r.doc_id * 31
+         |          + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256
+         |        WHEN hv = 1 THEN ((r.doc_id * 31
+         |          + yy.y * (11 + r.doc_id % 13)
+         |          + xx.x * (5 + r.doc_id % 11)
+         |          + yy.y * xx.x * (1 + r.doc_id % 7)) % 256) // 2
+         |        WHEN hv = 6 THEN $duckFamC
+         |        WHEN hv = 8 THEN ($duckFamC) // 2
+         |        ELSE (r.doc_id * 59
+         |          + yy.y * (3 + r.doc_id % 7)
+         |          + xx.x * (9 + r.doc_id % 8)
+         |          + yy.y * xx.x * (4 + r.doc_id % 3)) % 256
+         |        END AS p
+         |    FROM allr r,
+         |      LATERAL unnest(generate_series(0, r.h - 1)) yy(y),
+         |      LATERAL unnest(generate_series(0, r.w - 1)) xx(x))
+         |  GROUP BY 1, 2, 3, 4),
+         |mn AS (SELECT rid, hv, CAST(sum(cell) // 64 AS BIGINT) AS mean
+         |  FROM cells GROUP BY 1, 2),
+         |hs AS (SELECT c.rid, c.hv, CAST(sum(CASE WHEN cell > mean THEN
+         |      CASE WHEN ty * 8 + tx = 63
+         |        THEN CAST(-9223372036854775808 AS BIGINT)
+         |        ELSE CAST(1 AS BIGINT) << CAST(ty * 8 + tx AS INT) END
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells c JOIN mn USING (rid, hv) GROUP BY 1, 2),
+         |$duckJpegCorpus,
+         |bd AS (SELECT rid, hv, ahash, k.k AS b,
+         |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
+         |  FROM hs, LATERAL unnest(generate_series(0, 1)) k(k)),
+         |cbd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (0, 1, 6)
+         |  UNION ALL SELECT rid, ahash, b, bh FROM jcb),
+         |ibd AS (SELECT rid, ahash, b, bh FROM bd WHERE hv IN (8, 9)
+         |  UNION ALL
+         |  SELECT rid + 1450000, ahash, b, bh FROM jcb),
+         |$duckRasterNr,
+         |stop AS (SELECT b, bh FROM cbd GROUP BY 1, 2
+         |  HAVING count(*) > greatest(64, (SELECT n FROM nr) // 5)),
+         |crare AS (SELECT * FROM cbd t WHERE NOT EXISTS (
          |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh)),
          |irare AS (SELECT * FROM ibd t WHERE NOT EXISTS (
          |  SELECT 1 FROM stop st WHERE st.b = t.b AND st.bh = t.bh))
@@ -3193,6 +3538,11 @@ object Multimodal {
        |WHERE rn = 1 ORDER BY in_id""".stripMargin
 
   val oracles: Map[String, String] = baseOracles ++ Map(
+    // q176 serves the SAME relation as q165 from the persisted ledger
+    // (single-state fixture ⇒ the incremental chain coincides with the
+    // batch backfill — the arrival-time coincidence IndexStoreSpec
+    // pins), so the oracle is q165's verbatim
+    "q176_raster_audit_ledger" -> baseOracles("q165_raster_admission"),
     "q170_raster_admission_decision" -> decisionOracle(
       "q165_raster_admission",
       "corpus_id, hamming", "hamming, corpus_id"),

@@ -56,6 +56,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.contendedVerdict(1.2, 5.0, 0.0, 6.0, r8Snapshot))
   }
 
+  test("the headline's adjudication record: snapshot_ref names the " +
+    "judged-against snapshot with its numbers, r1_clean carries the " +
+    "clean basis, and both are null-honest when absent or hot") {
+    val (ref, clean) = Bench.adjudicationJson(
+      "bench-detail-abc123.json", Some((6.4596, 1.6439, false)))
+    assert(ref ===
+      """{"file":"bench-detail-abc123.json","total_r1":6.4596,""" +
+        """"median_spread":1.6439,"contended":false}""")
+    assert(clean === "6.4596")
+    // a snapshot that was itself contended is no clean basis
+    val (refHot, cleanHot) = Bench.adjudicationJson(
+      "bench-detail-abc123.json", Some((6.46, 1.64, true)))
+    assert(refHot.contains("\"contended\":true"))
+    assert(cleanHot === "null")
+    // no snapshot at all
+    assert(Bench.adjudicationJson("x", None) === (("null", "null")))
+  }
+
   test("snapshot parse round-trips the detail+headline file shape") {
     val text =
       """{"detail":"materialized","median_spread":1.6438,"pre_load":2.4}""" +

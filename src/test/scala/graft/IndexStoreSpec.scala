@@ -1246,6 +1246,52 @@ class IndexStoreSpec extends SparkSuite {
     assert(excised.nonEmpty)
   }
 
+  test("raster audit LEDGER (E205): segments append per crawl batch " +
+    "at arrival-time corpus state, takedown excises exactly one " +
+    "batch's flags, and the single-state chain coincides with the " +
+    "recomputed backfill") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-ledger").toString
+    val docsDir = s"$wh/documents.parquet"
+    val all = Tables.load(s, sf, "documents").filter(col("doc_id") < 120)
+    all.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ledger1 = rows(graft.ops.Multimodal.rasterAuditLedger(s, wh))
+    assert(ledger1.nonEmpty, "batch 1 must plant flags")
+    // single corpus state: the ledger IS the recomputed backfill
+    assert(ledger1 ===
+      rows(graft.ops.Multimodal.rasterAdmissionBackfill(s, wh)))
+    Thread.sleep(5)
+    val before2 = dataFiles(docsDir).map(_.getName).toSet
+    all.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(docsDir)
+    val seg2File = (dataFiles(docsDir).map(_.getName).toSet -- before2).head
+    val ledger2 = rows(graft.ops.Multimodal.rasterAuditLedger(s, wh))
+    // ARRIVAL-TIME semantics: batch 1's recorded flags are retained
+    // verbatim (corpus rows added later never retro-flag an old
+    // batch), and every appended flag's INCOMING row derives from the
+    // new batch
+    assert(ledger1.subsetOf(ledger2),
+      "an append must never rewrite recorded admission history")
+    val delta = ledger2 -- ledger1
+    assert(delta.nonEmpty, "batch 2 must plant flags")
+    delta.foreach { case (in, _, _) =>
+      val d = if (in >= 9500000L) in - 9500000L else in - 9000000L
+      assert(d % 2 === 1,
+        s"delta flag for in_id $in must derive from the new batch")
+    }
+    // takedown of the crawl batch excises exactly its segment
+    assert(new java.io.File(docsDir, seg2File).delete())
+    assert(rows(graft.ops.Multimodal.rasterAuditLedger(s, wh)) === ledger1,
+      "deleting a crawl batch must excise exactly its flags")
+    IndexStore.invalidate(s, "raster_gate_audit")
+    assert(rows(graft.ops.Multimodal.rasterAuditLedger(s, wh)) === ledger1,
+      "the from-scratch rebuild coincides at a single corpus state")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

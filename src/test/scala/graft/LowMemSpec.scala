@@ -77,6 +77,20 @@ class LowMemSpec extends SparkSuite {
       .coalesce(1)
       .write.parquet(s"$dir/_gate_feed")
 
+    // the decision-face backlog (r12 missing #3): a duplicate-heavy
+    // raster feed — every incoming fixture payload redelivered 2000×
+    // under fresh ids inside one watermark window, so every group is
+    // simultaneously OPEN. State must stay one min_by struct per open
+    // group (~224k tiny rows), never O(candidate pairs); a pair-
+    // buffering regression dies in the 512m child
+    val rfeed = graft.ops.Multimodal.rasterIncomingFixture(s, sf)
+    rfeed.crossJoin(s.range(2000).select(col("id").as("rep")))
+      .select((col("raster_id") * 10000L + col("rep")).as("raster_id"),
+        col("payload"),
+        timestamp_micros(lit(1704067200000000L) + col("rep") * 100000L)
+          .as("arr_ts"))
+      .write.parquet(s"$dir/_raster_feed")
+
     // child JVM: tiny heap, same classpath, isolated index store (the
     // artifacts it builds under pressure are part of the gate)
     val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -93,7 +107,7 @@ class LowMemSpec extends SparkSuite {
       "-Dspark.ui.enabled=false",
       s"-Dspark.graft.indexDir=$dir/_index") ++ addOpens ++ Seq(
       "-cp", System.getProperty("java.class.path"),
-      "graft.LowMemRun", dir, s"$dir/_gate_feed")
+      "graft.LowMemRun", dir, s"$dir/_gate_feed", s"$dir/_raster_feed")
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
@@ -114,6 +128,12 @@ class LowMemSpec extends SparkSuite {
       s"missing OK marker:\n$out")
     assert(out.toString.contains("drained=2000000"),
       s"the gate must drain the whole 2M backlog in the tiny heap:\n$out")
+    val decLine = out.toString.linesIterator
+      .find(_.contains("[lowmem] decision "))
+    assert(decLine.exists(_.contains(s"drained=${rfeed.count() * 2000}")),
+      s"the decision face must drain the whole raster backlog:\n$out")
+    assert(decLine.exists(_.contains("stateOps=1")),
+      s"the decision face must run exactly one stateful operator:\n$out")
     // the bot user must have been truncated-and-flagged by the funnel,
     // not silently dropped: verify the planted key is present in the
     // parent session too (same plan, roomy heap)

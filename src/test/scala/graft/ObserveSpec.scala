@@ -337,6 +337,63 @@ class ObserveSpec extends SparkSuite {
         "(this is the saturation class E178 retires)")
   }
 
+  test("hostile COMPRESSED-audio payloads (MP3 frame-sync, ID3, AAC " +
+    "ADTS, RIFF-wrapped MP3) route through T5 on every audio leg: " +
+    "emit nothing, never crash, never hang — the documented MP3/AAC " +
+    "boundary's enforcement arms") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // MP3 frame sync (0xFFFB), ID3v2-tagged MP3, AAC ADTS (0xFFF1),
+    // and the deepest arm: a VALID RIFF/WAVE container whose fmt tag
+    // is 0x0055 (MPEG layer 3) — magic-byte gates alone pass it, only
+    // the canonical-PCM header check routes it to T5 instead of
+    // "decoding" entropy-coded bytes as garbage PCM
+    val junk = Array.tabulate[Byte](400)(i => ((i * 37 + 11) % 251).toByte)
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++ junk
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, 60) ++ junk
+    val aac = Array[Byte](0xFF.toByte, 0xF1.toByte, 0x4C.toByte,
+      0x80.toByte, 0x1E.toByte, 0x7F.toByte, 0xFC.toByte) ++ junk
+    val wavMp3 = {
+      val p = ("RIFF" + "    " + "WAVEfmt ")
+        .getBytes("US-ASCII") ++ Array.fill[Byte](28)(0) ++ junk
+      p(20) = 0x55; p(21) = 0x00 // wFormatTag = MPEG layer 3
+      p(34) = 0x10; p(35) = 0x00
+      p
+    }
+    val hostile = Seq(mp3, id3, aac, wavMp3)
+    // kernel leg (q161 features / q162-q163-q171 fingerprints): T5 is
+    // "emit nothing" — zero-feature rows and empty fingerprint sets
+    hostile.foreach { p =>
+      assert(Multimodal.audioFpSeqOf(p).isEmpty,
+        "a compressed-audio payload must emit NO fingerprints")
+    }
+    val feats = Multimodal.audioDecode(hostile.zipWithIndex.map {
+      case (p, i) => Multimodal.MediaRow(i.toLong, "audio", p)
+    }.iterator).toSeq
+    assert(feats.forall(f => f.n_samples == 0L && f.peak_abs == 0L),
+      "compressed audio must decode to the zero-feature row, not " +
+        "garbage PCM features")
+    // gate leg (q163 batch + q171 decision): zero flags, zero
+    // decisions, and — the FDICT lesson — bounded by a timed join so
+    // a regression FAILS instead of hanging the suite
+    val in = hostile.zipWithIndex
+      .map { case (p, i) => (5500000L + i, p) }
+      .toDF("media_id", "payload")
+    @volatile var counts: Option[(Long, Long)] = None
+    val t = new Thread(() => {
+      counts = Some((
+        graft.ops.Multimodal.audioAdmission(s, sf, in).count(),
+        graft.ops.Multimodal.audioAdmission(s, sf, in, decision = true)
+          .count()))
+    })
+    t.setDaemon(true); t.start(); t.join(120000)
+    assert(counts.contains((0L, 0L)),
+      "hostile compressed audio must flag nothing and decide nothing " +
+        "on both gate faces, within the time bound")
+  }
+
   test("audio gain near-dup recall: every eligible planted re-master " +
     "pairs with its base via energy fingerprints (and the byte-block " +
     "path provably CANNOT pair them)") {
@@ -630,6 +687,38 @@ class ObserveSpec extends SparkSuite {
         "hash on margin-robust pixels")
   }
 
+  test("the raster perceptual CORPUS index is container-agnostic " +
+    "(r12 weak item): it carries signatures for the PNG and JPEG " +
+    "corpus arms, the PNG arm's hash equals its P5 pixel twin's, " +
+    "and the JPEG arm's hash IS the planted corpus word") {
+    val s = spark
+    val idx = Multimodal.rasterAHashIdx(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pngIds = idx.keys.filter(id => id >= 8100000L && id < 8200000L)
+    val jpgIds = idx.keys.filter(id => id >= 8200000L && id < 8300000L)
+    assert(pngIds.nonEmpty, "the corpus index must carry the PNG arm")
+    assert(jpgIds.nonEmpty, "the corpus index must carry the JPEG arm")
+    // the JPEG arm's decoded ahash is the planted word EXACTLY (the
+    // q169 rails/popcount determinism contract, now on the CORPUS)
+    jpgIds.foreach { rid =>
+      val id = rid - 8200000L
+      assert(idx(rid) === Multimodal.jpegCorpusWord(id),
+        s"JPEG corpus arm $rid must hash to its planted word")
+    }
+    // the PNG arm's hash equals the SAME pixels hashed as raw P5 —
+    // the container contributes nothing to the signature
+    pngIds.take(8).foreach { rid =>
+      val id = rid - 8100000L
+      val w = (9 + id % 16).toInt; val h = (9 + id % 12).toInt
+      val hdr = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val pix = (0 until h).flatMap(y => (0 until w).map(x =>
+        ((id * 53 + y.toLong * (7 + id % 8) + x.toLong * (13 + id % 7)
+          + y.toLong * x * (3 + id % 5)) % 256).toByte))
+      assert(Multimodal.rasterAHashOf(hdr ++ pix) === Some(idx(rid)),
+        s"PNG corpus arm $rid must hash as its P5 twin")
+    }
+  }
+
   test("raster perceptual dedup recall: planted exposure re-masters " +
     "pair with their base within Hamming 1 (and neither the payload " +
     "bytes nor the q159 resample bytes could)") {
@@ -643,7 +732,10 @@ class ObserveSpec extends SparkSuite {
     val hashOf = corpus.flatMap { case (id, p) =>
       Multimodal.rasterAHashOf(p).map(id -> _)
     }
-    val variants = hashOf.keys.filter(_ >= 8000000L).toSeq
+    // the %6 exposure re-masters only — the PNG/JPEG corpus arms live
+    // at +8.1M/+8.2M and carry their own imagery, not a re-master
+    val variants =
+      hashOf.keys.filter(v => v >= 8000000L && v < 8100000L).toSeq
     assert(variants.nonEmpty, "fixture must plant exposure re-masters")
     val pairs = Multimodal.rasterPerceptualDups(s, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
