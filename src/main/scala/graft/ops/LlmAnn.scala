@@ -463,6 +463,29 @@ trait LlmAnnOps {
       .orderBy(col("in_id"))
   }
 
+  /** The vector gate's audit flags as the arrival-time segmented
+    * ledger (E205 — semantics at
+    * [[graft.ops.Multimodal.rasterAuditLedger]]). The source axis is
+    * `embeddings.parquet` — the ledger discipline is not
+    * documents-specific: an embedding batch's flags excise with ITS
+    * file. */
+  private[graft] def vectorAuditLedger(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "vector_gate_audit", s"$dir/embeddings.parquet", version = 1)(
+      files => {
+        val incoming = s.read.parquet(files: _*)
+          .filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding"))
+        vectorAdmission(s, dir, incoming)
+      })
+
+  /** q180: the vector audit-ledger face. */
+  def vectorAuditLedgerFace(s: SparkSession, dir: String): DataFrame =
+    vectorAuditLedger(s, dir)
+      .orderBy(col("in_id"), col("corpus_id"))
+
   /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li,
     * VLDB 2007) over the persisted [[hyperplaneBucketsIdx]] chain: a
     * query probes its OWN bucket plus the buckets reached by flipping

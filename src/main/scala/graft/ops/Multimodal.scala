@@ -956,8 +956,14 @@ object Multimodal {
     * so the sample stream and its profile differ). Both arms
     * re-derivable in SQL sample by sample. */
   private[graft] def audioIncomingFixture(
-      s: SparkSession, dir: String): DataFrame = {
-    val aud = Tables.load(s, dir, "documents")
+      s: SparkSession, dir: String): DataFrame =
+    audioIncomingFixtureOf(Tables.load(s, dir, "documents"))
+
+  /** The q163 incoming arms over an explicit documents frame — the
+    * file-decomposable core the audio audit ledger builds per source
+    * segment (E205). */
+  private[graft] def audioIncomingFixtureOf(docsDf: DataFrame): DataFrame = {
+    val aud = docsDf
       .filter(pmod(col("doc_id"), lit(3)) === 1)
       .withColumn("rate", lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L)
     val inv = aud.filter(pmod(col("doc_id"), lit(4)) === 0)
@@ -1286,7 +1292,13 @@ object Multimodal {
     * bytes — no 64-byte chunk matches any forward chunk). Both arms
     * re-derivable in SQL. */
   private[graft] def mediaIncomingFixture(
-      s: SparkSession, dir: String): DataFrame = {
+      s: SparkSession, dir: String): DataFrame =
+    mediaIncomingFixtureOf(Tables.load(s, dir, "documents"))
+
+  /** The q160 incoming arms over an explicit documents frame — the
+    * file-decomposable core the media audit ledger builds per source
+    * segment (E205). */
+  private[graft] def mediaIncomingFixtureOf(docsDf: DataFrame): DataFrame = {
     val body = encode(col("text"), "UTF-8")
     val bodyLen = length(body).cast("bigint")
     val half = body.substr(lit(1), floor(bodyLen / 2).cast("int"))
@@ -1301,7 +1313,7 @@ object Multimodal {
     val novel = concat(
       unhex(lit("FFD8FFC0")), be(lit(11L), 2), unhex(lit("08")),
       be(nh, 2), be(nw, 2), unhex(lit("01011100")), novelBody)
-    Tables.load(s, dir, "documents")
+    docsDf
       .select(explode(array(
         struct((col("doc_id") + 3000000L).as("media_id"),
           reenc.as("payload"),
@@ -2554,6 +2566,37 @@ object Multimodal {
     rasterAuditLedger(s, dir)
       .orderBy(col("in_id"), col("corpus_id"))
 
+  /** The media gate's audit flags as the same arrival-time segmented
+    * ledger (E205 — see [[rasterAuditLedger]] for the semantics; the
+    * ledger discipline covers all five admission modalities, not one). */
+  private[graft] def mediaAuditLedger(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "media_gate_audit", s"$dir/documents.parquet", version = 1)(
+      files =>
+        mediaAdmission(s, dir,
+          mediaIncomingFixtureOf(s.read.parquet(files: _*))))
+
+  /** q177: the media audit-ledger face. */
+  def mediaAuditLedgerFace(s: SparkSession, dir: String): DataFrame =
+    mediaAuditLedger(s, dir)
+      .orderBy(col("in_id"), col("corpus_id"))
+
+  /** The audio gate's audit flags as the arrival-time segmented
+    * ledger (E205). */
+  private[graft] def audioAuditLedger(
+      s: SparkSession, dir: String): DataFrame =
+    graft.observe.IndexStore.readOrBuildSegmented(
+      s, "audio_gate_audit", s"$dir/documents.parquet", version = 1)(
+      files =>
+        audioAdmission(s, dir,
+          audioIncomingFixtureOf(s.read.parquet(files: _*))))
+
+  /** q178: the audio audit-ledger face. */
+  def audioAuditLedgerFace(s: SparkSession, dir: String): DataFrame =
+    audioAuditLedger(s, dir)
+      .orderBy(col("in_id"), col("corpus_id"))
+
   // ---- q170–q172: the gates' DECISION faces (r11 missing #2) -------------
   //
   // One row per incoming item — flag + best evidence — where
@@ -2609,6 +2652,8 @@ object Multimodal {
     "q172_media_admission_decision" -> mediaAdmissionDecision,
     "q175_mixed_corpus_admission" -> mixedCorpusAdmission,
     "q176_raster_audit_ledger" -> rasterAuditLedgerFace,
+    "q177_media_audit_ledger" -> mediaAuditLedgerFace,
+    "q178_audio_audit_ledger" -> audioAuditLedgerFace,
   )
 
   /** DuckDB CTE chain turning a (id, i, s) sample relation `src` into
@@ -3543,6 +3588,8 @@ object Multimodal {
     // batch backfill — the arrival-time coincidence IndexStoreSpec
     // pins), so the oracle is q165's verbatim
     "q176_raster_audit_ledger" -> baseOracles("q165_raster_admission"),
+    "q177_media_audit_ledger" -> baseOracles("q160_media_admission"),
+    "q178_audio_audit_ledger" -> baseOracles("q163_audio_admission"),
     "q170_raster_admission_decision" -> decisionOracle(
       "q165_raster_admission",
       "corpus_id, hamming", "hamming, corpus_id"),

@@ -1292,6 +1292,43 @@ class IndexStoreSpec extends SparkSuite {
       "the from-scratch rebuild coincides at a single corpus state")
   }
 
+  test("vector audit LEDGER (E205): the ledger discipline on the " +
+    "EMBEDDINGS source axis — an embedding batch's flags append at " +
+    "arrival-time and excise with its file") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft-vledger").toString
+    val embDir = s"$wh/embeddings.parquet"
+    val all = Tables.load(s, sf, "embeddings")
+      .filter(col("vec_id") < 400)
+    all.filter(col("vec_id") % 100 < 50).coalesce(1)
+      .write.mode("append").parquet(embDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ledger1 = rows(graft.ops.Llm.vectorAuditLedger(s, wh))
+    assert(ledger1.nonEmpty, "batch 1 must plant flags")
+    assert(ledger1 ===
+      rows(graft.ops.Llm.vectorAdmissionBackfill(s, wh)),
+      "single corpus state: the ledger IS the recomputed backfill")
+    Thread.sleep(5)
+    val before2 = dataFiles(embDir).map(_.getName).toSet
+    all.filter(col("vec_id") % 100 >= 50).coalesce(1)
+      .write.mode("append").parquet(embDir)
+    val seg2File = (dataFiles(embDir).map(_.getName).toSet -- before2).head
+    val ledger2 = rows(graft.ops.Llm.vectorAuditLedger(s, wh))
+    assert(ledger1.subsetOf(ledger2),
+      "an append must never rewrite recorded admission history")
+    val delta = ledger2 -- ledger1
+    assert(delta.nonEmpty, "batch 2 must plant flags")
+    delta.foreach { case (in, _, _) =>
+      assert((in - 1000000L) % 100 === 50,
+        s"delta flag for in_id $in must derive from the new batch")
+    }
+    assert(new java.io.File(embDir, seg2File).delete())
+    assert(rows(graft.ops.Llm.vectorAuditLedger(s, wh)) === ledger1,
+      "deleting an embedding batch must excise exactly its flags")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark
