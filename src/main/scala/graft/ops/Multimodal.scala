@@ -1951,10 +1951,17 @@ object Multimodal {
         if (id % 9 == 6) {
           // family-C pixels, coefficients disjoint from the base
           // (*31) and novel (*47) families so corpus containers carry
-          // their OWN imagery, not a re-master of an existing arm
+          // their OWN imagery, not a re-master of an existing arm.
+          // PRIME moduli (17/19/23) keep the family's formula space
+          // large (lcm with the 16/12 dims law ≫ any fixture decade):
+          // small moduli (8/7/5) gave only ~27k distinct formulas, so
+          // at the 100× decade family-C images genuinely duplicated
+          // cross-id and the df/pair grids measured the FIXTURE's
+          // entropy, not the engine (the low-entropy-imagery realism
+          // bug this fixture's own base-family comment names)
           val px: (Int, Int) => Int = (y, x) =>
-            ((id * 53 + y.toLong * (7 + id % 8) + x.toLong * (13 + id % 7)
-              + y.toLong * x * (3 + id % 5)) % 256).toInt
+            ((id * 53 + y.toLong * (7 + id % 17) + x.toLong * (13 + id % 19)
+              + y.toLong * x * (3 + id % 23)) % 256).toInt
           Iterator.single((id + 8100000L, pngOf(w.toInt, h.toInt, px)))
         } else {
           val bits = jpegCorpusWord(id)
@@ -2061,12 +2068,14 @@ object Multimodal {
     * builds an EMPTY index for PNG/JPEG canonical images (the
     * dominant real-web case) and the gate silently never flags their
     * duplicates. version 3 = the AnyOf switch + the container-mixed
-    * fixture arms (changed build logic MUST bump, or the store serves
-    * the stale P5-only index). */
+    * fixture arms; versions 4-5 = the fixture-entropy fixes (family-C
+    * prime moduli, md5-parity planted words)
+    * (changed build logic MUST bump, or the store serves the stale
+    * index). */
   private[graft] def rasterAHashIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "raster_ahash", s"$dir/documents.parquet", version = 3)(
+      s, "raster_ahash", s"$dir/documents.parquet", version = 5)(
       files => {
         val sess = s
         import sess.implicits._
@@ -2149,7 +2158,7 @@ object Multimodal {
     // its OWN version must move or the store serves stops folded over
     // the stale P5-only signature population
     graft.observe.IndexStore.readOrBuild(
-      s, "raster_band_stops", s"$dir/documents.parquet", version = 2)(
+      s, "raster_band_stops", s"$dir/documents.parquet", version = 4)(
       rasterAHashIdx(s, dir)
         .select(explode(expr(rasterBandExpr("ahash"))).as("e"))
         .select(col("e.b").as("b"), col("e.bh").as("bh"))
@@ -2354,16 +2363,36 @@ object Multimodal {
     * deterministic 64-bit pseudo-random value re-derivable by the
     * oracle from integer arithmetic alone (no hashing the SQL side
     * can't express): bit j of doc_id's pattern. */
+  /** One planted-word bit from an md5 parity — the E178 discipline
+    * (collision-free digest universes) applied to the raster word
+    * fixtures. The previous arithmetic generators ((id·A + (j+1)·B)
+    * mod p, parity) are NOT usable here: the parity sequence along j
+    * is a wrap-pattern whose shape correlates across ids (measured:
+    * hundreds of chance Hamming ≤ 1 word pairs at the 100× synth
+    * decade, where truly random 64-bit words would produce none), any
+    * sub-id-range modulus folds the synth fixtures' strided id grid
+    * into outright word collisions, and id·A overflows a 64-bit long
+    * at synth-stride ids while the oracle's unbounded integers would
+    * not — a latent cross-engine divergence. md5 of a decimal string
+    * is the generator the audio family already pins cross-engine:
+    * bit j of id's word = parity of the FIRST hex digit of
+    * md5("<id>|<salt>|<j>"), identical text on both engines. */
+  private def plantedWordBit(id: Long, salt: String, j: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$id|$salt|$j".getBytes("US-ASCII"))
+    ((d(0) >> 4) & 1) == 1
+  }
+
+  /** q169's NOVEL incoming arm word (salt `n`). */
   private[graft] def jpegNovelBit(id: Long, j: Int): Boolean =
-    ((id * 1103515245L + (j + 1) * 2654435761L) % 4294967291L) % 2 == 1
+    plantedWordBit(id, "n", j)
 
   /** The JPEG-containered CORPUS arm's planted bit pattern (doc_id %
-    * 9 == 7 in [[rasterVariantTableOf]]) — the [[jpegNovelBit]]
-    * discipline with distinct multipliers, so corpus words and q169's
-    * incoming novel words are unrelated pseudo-random families, both
-    * re-derivable by the oracle from integer arithmetic alone. */
+    * 9 == 7 in [[rasterVariantTableOf]], salt `c`) — a distinct salt,
+    * so corpus words and q169's incoming novel words are unrelated
+    * families, both re-derivable by the oracle. */
   private[graft] def jpegCorpusBit(id: Long, j: Int): Boolean =
-    ((id * 2246822519L + (j + 1) * 3266489917L) % 4294967291L) % 2 == 1
+    plantedWordBit(id, "c", j)
 
   /** The full 64-bit corpus word for one doc_id. */
   private[graft] def jpegCorpusWord(id: Long): Long =
@@ -2498,9 +2527,9 @@ object Multimodal {
         id % 9 match {
           case 6 =>
             Iterator.single((id + 9600000L, pgmOf(w.toInt, h.toInt,
-              (y, x) => (((id * 53 + y.toLong * (7 + id % 8)
-                + x.toLong * (13 + id % 7)
-                + y.toLong * x * (3 + id % 5)) % 256) / 2).toInt)))
+              (y, x) => (((id * 53 + y.toLong * (7 + id % 17)
+                + x.toLong * (13 + id % 19)
+                + y.toLong * x * (3 + id % 23)) % 256) / 2).toInt)))
           case 7 =>
             val bits = jpegCorpusWord(id)
             val pc = java.lang.Long.bitCount(bits)
@@ -2555,7 +2584,7 @@ object Multimodal {
   private[graft] def rasterAuditLedger(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "raster_gate_audit", s"$dir/documents.parquet", version = 1)(
+      s, "raster_gate_audit", s"$dir/documents.parquet", version = 3)(
       files =>
         rasterAdmission(s, dir,
           rasterIncomingFixtureOf(s.read.parquet(files: _*))))
@@ -2758,21 +2787,23 @@ object Multimodal {
     "SELECT doc_id + 8100000, doc_id, w, h, 6 FROM g WHERE doc_id % 9 = 6"
   private val duckFamC: String =
     """(r.doc_id * 53
-      |          + yy.y * (7 + r.doc_id % 8)
-      |          + xx.x * (13 + r.doc_id % 7)
-      |          + yy.y * xx.x * (3 + r.doc_id % 5)) % 256""".stripMargin
+      |          + yy.y * (7 + r.doc_id % 17)
+      |          + xx.x * (13 + r.doc_id % 19)
+      |          + yy.y * xx.x * (3 + r.doc_id % 23)) % 256""".stripMargin
   private val duckJpegCorpus: String =
     s"""jc AS (SELECT doc_id + 8200000 AS rid,
-       |    CAST(sum(CASE WHEN ((doc_id * 2246822519
-       |        + (j + 1) * 3266489917) % 4294967291) % 2 = 1
+       |    CAST(sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR),
+       |        '|c|', CAST(j AS VARCHAR))), 1, 1)
+       |        IN ('1','3','5','7','9','b','d','f')
        |      THEN CASE WHEN j = 63
        |        THEN CAST(-9223372036854775808 AS BIGINT)
        |        ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END
        |      ELSE 0 END) AS BIGINT) AS ahash
        |  FROM g, LATERAL unnest(generate_series(0, 63)) t(j)
        |  WHERE doc_id % 9 = 7 GROUP BY 1
-       |  HAVING sum(CASE WHEN ((doc_id * 2246822519
-       |      + (j + 1) * 3266489917) % 4294967291) % 2 = 1
+       |  HAVING sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR),
+       |      '|c|', CAST(j AS VARCHAR))), 1, 1)
+       |      IN ('1','3','5','7','9','b','d','f')
        |    THEN 1 ELSE 0 END) BETWEEN 8 AND 56),
        |jcb AS (SELECT rid, ahash, k.k AS b,
        |    (ahash >> CAST(32 * k.k AS INT)) & 4294967295 AS bh
@@ -3296,14 +3327,16 @@ object Multimodal {
          |  WHERE hv = 0 AND rid % 9 = 4
          |    AND bit_count(ahash) BETWEEN 8 AND 56),
          |nv AS (SELECT doc_id + 9970000 AS rid,
-         |    CAST(sum(CASE WHEN ((doc_id * 1103515245
-         |        + (j + 1) * 2654435761) % 4294967291) % 2 = 1
+         |    CAST(sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |        '|n|', CAST(j AS VARCHAR))), 1, 1)
+         |        IN ('1','3','5','7','9','b','d','f')
          |      THEN CASE WHEN j = 63
          |        THEN CAST(-9223372036854775808 AS BIGINT)
          |        ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END
          |      ELSE 0 END) AS BIGINT) AS ahash,
-         |    CAST(sum(CASE WHEN ((doc_id * 1103515245
-         |        + (j + 1) * 2654435761) % 4294967291) % 2 = 1
+         |    CAST(sum(CASE WHEN substr(md5(concat(CAST(doc_id AS VARCHAR),
+         |        '|n|', CAST(j AS VARCHAR))), 1, 1)
+         |        IN ('1','3','5','7','9','b','d','f')
          |      THEN 1 ELSE 0 END) AS BIGINT) AS pc
          |  FROM g, LATERAL unnest(generate_series(0, 63)) t(j)
          |  WHERE doc_id % 9 = 5 GROUP BY 1),

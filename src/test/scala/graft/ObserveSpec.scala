@@ -712,8 +712,8 @@ class ObserveSpec extends SparkSuite {
       val w = (9 + id % 16).toInt; val h = (9 + id % 12).toInt
       val hdr = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
       val pix = (0 until h).flatMap(y => (0 until w).map(x =>
-        ((id * 53 + y.toLong * (7 + id % 8) + x.toLong * (13 + id % 7)
-          + y.toLong * x * (3 + id % 5)) % 256).toByte))
+        ((id * 53 + y.toLong * (7 + id % 17) + x.toLong * (13 + id % 19)
+          + y.toLong * x * (3 + id % 23)) % 256).toByte))
       assert(Multimodal.rasterAHashOf(hdr ++ pix) === Some(idx(rid)),
         s"PNG corpus arm $rid must hash as its P5 twin")
     }
