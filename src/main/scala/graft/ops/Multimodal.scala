@@ -832,10 +832,15 @@ object Multimodal {
     * paid once per audio row ever; file-decomposable (a row's
     * fingerprints, including its planted re-masters', derive from one
     * source document file), so an audio takedown excises only the
-    * touched segments (E157/E163 discipline). */
+    * touched segments (E157/E163 discipline). version 5 (fp sets 4,
+    * stops 5 — co-versioned): the decode kernel gained the
+    * canonical-PCM header gate (E200), which changes what a
+    * non-canonical RIFF payload contributes — a store populated
+    * before the gate would otherwise keep serving garbage-PCM
+    * fingerprints for RIFF-wrapped compressed audio. */
   private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fps", s"$dir/documents.parquet", version = 4)(
+      s, "audio_fps", s"$dir/documents.parquet", version = 5)(
       files => {
         val sess = s
         import sess.implicits._
@@ -889,7 +894,7 @@ object Multimodal {
   private[graft] def audioFpSetsIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fp_sets", s"$dir/documents.parquet", version = 3)(
+      s, "audio_fp_sets", s"$dir/documents.parquet", version = 4)(
       files => audioFpIdx(s, dir)
         .join(audioVariantIdsOf(s.read.parquet(files: _*)),
           Seq("media_id"), "left_semi")
@@ -908,7 +913,7 @@ object Multimodal {
     * the corpus does, which is exactly what the fingerprint keys. */
   private def audioStopFpsDf(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuild(
-      s, "audio_stop_fps", s"$dir/documents.parquet", version = 4)(
+      s, "audio_stop_fps", s"$dir/documents.parquet", version = 5)(
       audioFpIdx(s, dir)
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") > audioFpDfThreshold(nAudioCorpus(s, dir)))
@@ -1909,6 +1914,21 @@ object Multimodal {
     * (`+ 8_200_000`) — the q169 lossy-determinism contract (popcount
     * ∈ [8, 56] on both engine and oracle sides), so its decoded
     * ahash IS the word exactly. */
+  /** Family-C pixels — the PNG corpus arm's imagery, shared by the
+    * corpus synthesis and the q175 incoming re-master so the two
+    * Scala sides cannot drift (`duckFamC` is the SQL twin, and the
+    * ObserveSpec index arm keeps its own independent re-derivation).
+    * Coefficients are disjoint from the base (*31) and novel (*47)
+    * families so corpus containers carry their OWN imagery, and the
+    * moduli are PRIME (17/19/23) to keep the formula space large
+    * (E206: small moduli gave only ~27k distinct formulas, so at the
+    * 100× decade family-C images genuinely duplicated cross-id and
+    * the df/pair grids measured the FIXTURE's entropy, not the
+    * engine — the low-entropy-imagery realism bug). */
+  private[graft] def famCPixel(id: Long)(y: Int, x: Int): Int =
+    ((id * 53 + y.toLong * (7 + id % 17) + x.toLong * (13 + id % 19)
+      + y.toLong * x * (3 + id % 23)) % 256).toInt
+
   private[graft] def rasterVariantTableOf(docsDf: DataFrame): DataFrame = {
     def pgm(px: String): Column = concat(
       encode(concat(lit("P5\n"), col("w").cast("string"), lit(" "),
@@ -1949,20 +1969,8 @@ object Multimodal {
       .as[(Long, Long, Long)]
       .mapPartitions(rows => rows.flatMap { case (id, w, h) =>
         if (id % 9 == 6) {
-          // family-C pixels, coefficients disjoint from the base
-          // (*31) and novel (*47) families so corpus containers carry
-          // their OWN imagery, not a re-master of an existing arm.
-          // PRIME moduli (17/19/23) keep the family's formula space
-          // large (lcm with the 16/12 dims law ≫ any fixture decade):
-          // small moduli (8/7/5) gave only ~27k distinct formulas, so
-          // at the 100× decade family-C images genuinely duplicated
-          // cross-id and the df/pair grids measured the FIXTURE's
-          // entropy, not the engine (the low-entropy-imagery realism
-          // bug this fixture's own base-family comment names)
-          val px: (Int, Int) => Int = (y, x) =>
-            ((id * 53 + y.toLong * (7 + id % 17) + x.toLong * (13 + id % 19)
-              + y.toLong * x * (3 + id % 23)) % 256).toInt
-          Iterator.single((id + 8100000L, pngOf(w.toInt, h.toInt, px)))
+          Iterator.single((id + 8100000L,
+            pngOf(w.toInt, h.toInt, famCPixel(id))))
         } else {
           val bits = jpegCorpusWord(id)
           val pc = java.lang.Long.bitCount(bits)
@@ -2359,11 +2367,7 @@ object Multimodal {
     rasterAdmission(s, dir, pngIncomingFixture(s, dir))
       .orderBy(col("in_id"), col("corpus_id"))
 
-  /** The novel-arm bit pattern for [[jpegIncomingFixture]] — a
-    * deterministic 64-bit pseudo-random value re-derivable by the
-    * oracle from integer arithmetic alone (no hashing the SQL side
-    * can't express): bit j of doc_id's pattern. */
-  /** One planted-word bit from an md5 parity — the E178 discipline
+  /** A planted 64-bit word from md5 parities — the E178 discipline
     * (collision-free digest universes) applied to the raster word
     * fixtures. The previous arithmetic generators ((id·A + (j+1)·B)
     * mod p, parity) are NOT usable here: the parity sequence along j
@@ -2377,27 +2381,26 @@ object Multimodal {
     * is the generator the audio family already pins cross-engine:
     * bit j of id's word = parity of the FIRST hex digit of
     * md5("<id>|<salt>|<j>"), identical text on both engines. */
-  private def plantedWordBit(id: Long, salt: String, j: Int): Boolean = {
+  private def plantedWordOf(id: Long, salt: String): Long = {
+    // ONE digest instance per word, not per bit (digest() auto-resets
+    // between calls — the md5Local rationale at word granularity)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s"$id|$salt|$j".getBytes("US-ASCII"))
-    ((d(0) >> 4) & 1) == 1
+    (0 until 64).foldLeft(0L) { (acc, j) =>
+      val d = md.digest(s"$id|$salt|$j".getBytes("US-ASCII"))
+      if (((d(0) >> 4) & 1) == 1) acc | (1L << j) else acc
+    }
   }
 
   /** q169's NOVEL incoming arm word (salt `n`). */
-  private[graft] def jpegNovelBit(id: Long, j: Int): Boolean =
-    plantedWordBit(id, "n", j)
+  private[graft] def jpegNovelWord(id: Long): Long =
+    plantedWordOf(id, "n")
 
-  /** The JPEG-containered CORPUS arm's planted bit pattern (doc_id %
-    * 9 == 7 in [[rasterVariantTableOf]], salt `c`) — a distinct salt,
-    * so corpus words and q169's incoming novel words are unrelated
+  /** The JPEG-containered CORPUS arm's planted word (doc_id % 9 == 7
+    * in [[rasterVariantTableOf]], salt `c`) — a distinct salt, so
+    * corpus words and q169's incoming novel words are unrelated
     * families, both re-derivable by the oracle. */
-  private[graft] def jpegCorpusBit(id: Long, j: Int): Boolean =
-    plantedWordBit(id, "c", j)
-
-  /** The full 64-bit corpus word for one doc_id. */
   private[graft] def jpegCorpusWord(id: Long): Long =
-    (0 until 64).foldLeft(0L)((acc, j) =>
-      if (jpegCorpusBit(id, j)) acc | (1L << j) else acc)
+    plantedWordOf(id, "c")
 
   /** Deterministic JPEG incoming fixture for the LOSSY-codec
     * cross-container face (q169): for doc_id % 9 == 4, a 40×40
@@ -2407,7 +2410,7 @@ object Multimodal {
     * change + a contrast stretch + a lossy re-encode at once, which
     * preserves exactly the perceptual bit pattern and nothing else;
     * for doc_id % 9 == 5, a NOVEL 40×40 JPEG whose cell pattern is
-    * the [[jpegNovelBit]] pseudo-random word (must pass silently).
+    * the [[jpegNovelWord]] md5-parity word (must pass silently).
     *
     * DETERMINISM UNDER A LOSSY CODEC (the E188 honesty split, applied
     * to a GATE): JPEG reconstruction error can flip exactly the ahash
@@ -2436,9 +2439,7 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { case (id, w, h) =>
         val planted = id % 9 == 4
         val bits: Long =
-          if (!planted)
-            (0 until 64).foldLeft(0L)((acc, j) =>
-              if (jpegNovelBit(id, j)) acc | (1L << j) else acc)
+          if (!planted) jpegNovelWord(id)
           else {
             // the BASE raster's ahash — synthesized from the same
             // formula rasterVariantTableOf plants, hashed by the same
@@ -2527,9 +2528,7 @@ object Multimodal {
         id % 9 match {
           case 6 =>
             Iterator.single((id + 9600000L, pgmOf(w.toInt, h.toInt,
-              (y, x) => (((id * 53 + y.toLong * (7 + id % 17)
-                + x.toLong * (13 + id % 19)
-                + y.toLong * x * (3 + id % 23)) % 256) / 2).toInt)))
+              (y, x) => famCPixel(id)(y, x) / 2)))
           case 7 =>
             val bits = jpegCorpusWord(id)
             val pc = java.lang.Long.bitCount(bits)
@@ -2540,9 +2539,9 @@ object Multimodal {
             })))
           case _ =>
             Iterator.single((id + 9700000L, pgmOf(w.toInt, h.toInt,
-              (y, x) => ((id * 59 + y.toLong * (3 + id % 7)
-                + x.toLong * (9 + id % 8)
-                + y.toLong * x * (4 + id % 3)) % 256).toInt)))
+              (y, x) => ((id * 59 + y.toLong * (3 + id % 29)
+                + x.toLong * (9 + id % 31)
+                + y.toLong * x * (4 + id % 37)) % 256).toInt)))
         }
       })
       .toDF("raster_id", "payload")
@@ -3285,8 +3284,9 @@ object Multimodal {
     // margins dwarf the measured codec error, popcount-restricted on
     // both sides — the E188 honesty split applied to a gate): the
     // planted arm's ahash IS its base raster's ahash (hv=0 chain),
-    // the novel arm's is the jpegNovelBit word from integer
-    // arithmetic. Bands/stop/Hamming chain identical to q165/q167.
+    // the novel arm's is the jpegNovelWord md5-parity word (E206),
+    // re-derived from the same md5-of-decimal-string text the engine
+    // hashes. Bands/stop/Hamming chain identical to q165/q167.
     "q169_jpeg_cross_container" ->
       s"""WITH g AS (SELECT doc_id, CAST(9 + doc_id % 16 AS BIGINT) AS w,
          |    CAST(9 + doc_id % 12 AS BIGINT) AS h FROM documents),
@@ -3403,9 +3403,9 @@ object Multimodal {
          |        WHEN hv = 6 THEN $duckFamC
          |        WHEN hv = 8 THEN ($duckFamC) // 2
          |        ELSE (r.doc_id * 59
-         |          + yy.y * (3 + r.doc_id % 7)
-         |          + xx.x * (9 + r.doc_id % 8)
-         |          + yy.y * xx.x * (4 + r.doc_id % 3)) % 256
+         |          + yy.y * (3 + r.doc_id % 29)
+         |          + xx.x * (9 + r.doc_id % 31)
+         |          + yy.y * xx.x * (4 + r.doc_id % 37)) % 256
          |        END AS p
          |    FROM allr r,
          |      LATERAL unnest(generate_series(0, r.h - 1)) yy(y),

@@ -356,7 +356,7 @@ class ObserveSpec extends SparkSuite {
     val aac = Array[Byte](0xFF.toByte, 0xF1.toByte, 0x4C.toByte,
       0x80.toByte, 0x1E.toByte, 0x7F.toByte, 0xFC.toByte) ++ junk
     val wavMp3 = {
-      val p = ("RIFF" + "    " + "WAVEfmt ")
+      val p = ("RIFF" + "\u0000\u0000\u0000\u0000" + "WAVEfmt ")
         .getBytes("US-ASCII") ++ Array.fill[Byte](28)(0) ++ junk
       p(20) = 0x55; p(21) = 0x00 // wFormatTag = MPEG layer 3
       p(34) = 0x10; p(35) = 0x00
