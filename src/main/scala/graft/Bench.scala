@@ -43,6 +43,51 @@ object Bench {
     } yield (r1, sp, c)
   }
 
+  /** Parse the PER-QUERY stats map out of a bench-detail file's
+    * `queries_stats` block: name → (median, spread) of that pass's
+    * three count runs — the per-query reference the outlier gate
+    * judges against. Same no-dep regex discipline as
+    * [[parseSnapshot]] over our own output shape. */
+  private[graft] def parseSnapshotStats(
+      text: String): Map[String, (Double, Double)] =
+    // no trailing '}' in the pattern: current stats entries append
+    // per-query steal after the spread, r13-and-earlier ones did not —
+    // both shapes must parse (the gate's whole value is judging the
+    // NEXT pass against LAST round's keyed file)
+    ("\"([A-Za-z0-9_]+)\":\\{\"min\":[-0-9.eE]+," +
+      "\"median\":([-0-9.eE]+),\"spread\":([-0-9.eE]+)").r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+
+  /** A query's outlier gate against its snapshot record: the snapshot
+    * MEDIAN scaled by that query's own recorded spread, floored at
+    * 1.25 (a spread of 1.0 would flag plain measurement noise) — the
+    * E146/E153 pass-level rule applied PER QUERY. */
+  private[graft] def outlierGate(snapMedian: Double,
+      snapSpread: Double): Double =
+    snapMedian * math.max(snapSpread, 1.25)
+
+  /** Per-query outliers of this pass vs a fingerprint-matched CLEAN
+    * snapshot (r13 verdict task 2 — the q165 blind spot): a query is
+    * an outlier when its in-pass MIN (min-of-3 already absorbed
+    * one-run noise and any cold run-1 artifact build) still exceeds
+    * its snapshot gate, AND the excess is material (≥ 0.25 s over the
+    * snapshot median — sub-150 ms queries jitter past any ratio gate
+    * on this host's ambient steal; the absolute floor keeps the
+    * q102-class watch items out of the alarm). Returns name →
+    * (thisMin, gate). The r13 official pass replayed through this
+    * gate flags exactly q165 (55.86 s vs a ~2.9 s gate) — BenchSpec
+    * pins the replay. */
+  private[graft] def outliersVs(mins: Map[String, Double],
+      snapStats: Map[String, (Double, Double)]): Map[String, (Double, Double)] =
+    mins.flatMap { case (name, m) =>
+      snapStats.get(name).collect {
+        case (med, sp) if m > outlierGate(med, sp) && m - med >= 0.25 =>
+          name -> (m, outlierGate(med, sp))
+      }
+    }
+
   /** The adjudication RECORD (r12 verdict task 6) as headline JSON
     * fragments: `snapshot_ref` says WHICH snapshot the contention
     * verdict was judged against (the fingerprint-keyed detail file's
@@ -85,6 +130,12 @@ object Bench {
         .trim.split("\\s+").drop(1).map(_.toLong)
       (f(7), f.sum - f(3)) // steal, non-idle
     }.toOption
+    def stealOf(a: Option[(Long, Long)], b: Option[(Long, Long)]): Double =
+      (a, b) match {
+        case (Some((s0, b0)), Some((s1, b1))) if b1 > b0 =>
+          100.0 * (s1 - s0) / (b1 - b0)
+        case _ => 0.0
+      }
     val stat0 = cpuStat()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -118,16 +169,38 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // Per-query attribution plane (r13 verdict tasks 1-3): the r13
+    // official artifact carried a 25× outlier on q165 (55.9 s min, all
+    // three runs, neighbors normal) that the committed record could
+    // not adjudicate between "plan regression", "artifact rebuild
+    // charged to the query", and "host contention burst over exactly
+    // that query's 3-run window" (consecutive runs share one ~minutes
+    // window, so a steal burst poisons ALL THREE runs of one query
+    // while the pass average stays low). Three signals now land in the
+    // record per query: its OWN steal% across its run window, every
+    // IndexStore build the store performed during its runs (drained
+    // from the build ledger, tagged with the run index), and the
+    // outlier verdict vs the fingerprint-matched snapshot.
+    graft.observe.IndexStore.drainBuildLog() // warm-up builds: not ours
+    val qBuilds = scala.collection.mutable.Map
+      .empty[String, Seq[(Int, graft.observe.IndexStore.BuildEvent)]]
+    val qSteal = scala.collection.mutable.Map.empty[String, Double]
     val timed = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val qStat0 = cpuStat()
+      val times = (1 to runs).map { r =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        val built = graft.observe.IndexStore.drainBuildLog()
+        if (built.nonEmpty)
+          qBuilds(name) = qBuilds.getOrElse(name, Nil) ++ built.map((r, _))
+        dt
       }
+      qSteal(name) = stealOf(qStat0, cpuStat())
       name -> times
     }
     val results = timed.map { case (name, times) => name -> times.min }
@@ -144,7 +217,7 @@ object Bench {
     // and discards rows at the sink. Headline stays count-based for
     // round-over-round comparability; this is the honest per-row cost.
     val matResults = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { r =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -152,7 +225,16 @@ object Bench {
           if (!errors.contains(name)) errors += name
           System.err.println(s"[bench] $name (materialized) failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // a build in the materialized pass means the count pass's
+        // artifact was invalidated mid-pass — exactly the thrash class
+        // the ledger exists to catch (run index offset past the count
+        // pass's 1..runs)
+        val built = graft.observe.IndexStore.drainBuildLog()
+        if (built.nonEmpty)
+          qBuilds(name) = qBuilds.getOrElse(name, Nil) ++
+            built.map((runs + r, _))
+        dt
       }
       name -> times.min
     }
@@ -200,13 +282,36 @@ object Bench {
     // that pass's recorded spread; hard steal>5% only as the fallback.
     val keyedPath =
       java.nio.file.Paths.get(s"target/bench-detail-$fixtureFp.json")
+    val snapshotText: Option[String] =
+      scala.util.Try(java.nio.file.Files.readString(keyedPath)).toOption
     val snapshot: Option[(Double, Double, Boolean)] =
-      scala.util.Try(java.nio.file.Files.readString(keyedPath))
-        .toOption.flatMap(parseSnapshot)
+      snapshotText.flatMap(parseSnapshot)
     val contended =
       contendedVerdict(medianSpread, preLoad, stealPct, totalR1, snapshot)
     val (snapshotRef, r1Clean) =
       adjudicationJson(keyedPath.getFileName.toString, snapshot)
+    // Per-query outlier adjudication (r13 verdict task 2): judged
+    // against the CLEAN fingerprint-matched snapshot only (a contended
+    // snapshot is no reference — the pass-level rule). Each flagged
+    // query carries its own steal% and build ms, so the record NAMES
+    // the likely cause instead of shipping an unexplained 25×.
+    val snapStats: Map[String, (Double, Double)] =
+      if (snapshot.exists(!_._3))
+        snapshotText.map(parseSnapshotStats).getOrElse(Map.empty)
+      else Map.empty
+    val outliers = outliersVs(results.toMap, snapStats)
+    val outliersJson = outliers.toSeq.sortBy(_._1).map {
+      case (name, (m, gate)) =>
+        val bms = qBuilds.getOrElse(name, Nil).map(_._2.ms).sum
+        "\"" + name + "\":" + s"""{"min":$m,"gate":$gate,"steal_pct":""" +
+          s"""${qSteal.getOrElse(name, 0.0)},"build_ms":$bms}"""
+    }.mkString("{", ",", "}")
+    val buildsJson = qBuilds.toSeq.sortBy(_._1).map { case (name, evs) =>
+      "\"" + name + "\":" + evs.map { case (r, e) =>
+        s"""{"artifact":"${e.artifact}","mode":"${e.mode}","ms":${e.ms},"run":$r}"""
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val buildMsTotal = qBuilds.values.flatten.map(_._2.ms).sum
     // Compact per-query map (qNNN key prefix, integer milliseconds of
     // the count-pass min) sized to SURVIVE the driver's ~2000-char
     // stdout-tail capture: the full-name map up front loses ~110 of
@@ -236,12 +341,18 @@ object Bench {
       val med = sorted(sorted.size / 2)
       val spread = if (sorted.head > 0) sorted.last / sorted.head else 1.0
       "\"" + name +
-        s"""":{"min":${sorted.head},"median":$med,"spread":$spread}"""
+        s"""":{"min":${sorted.head},"median":$med,"spread":$spread,""" +
+        s""""steal_pct":${qSteal.getOrElse(name, 0.0)}}"""
     }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"detail":"materialized","fixture_fp":"$fixtureFp","sf":"$sfDir","queries_materialized":$qsMat,"queries_stats":$qsStats,"total_materialized":$totalMat,"median_spread":$medianSpread,"pre_load":$preLoad,"steal_pct":$stealPct}"""
+      s"""{"detail":"materialized","fixture_fp":"$fixtureFp","sf":"$sfDir","queries_materialized":$qsMat,"queries_stats":$qsStats,"builds":$buildsJson,"total_materialized":$totalMat,"median_spread":$medianSpread,"pre_load":$preLoad,"steal_pct":$stealPct}"""
+    // Field placement (ADVICE r13): the adjudication record
+    // (snapshot_ref, r1_clean — ~130 chars) sits BEFORE queries_ms so
+    // the driver's ~2000-char stdout-tail capture spends its budget on
+    // the per-query map and the headline scalars AFTER it (outliers,
+    // totals, flags); the keyed file keeps the full line either way.
     val headline =
-      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","queries_ms":$qsMs,"total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"snapshot_ref":$snapshotRef,"r1_clean":$r1Clean,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","queries":$qs,"errors":$errJson,"runs":$runs,"sf":"$sfDir","fixture_fp":"$fixtureFp","snapshot_ref":$snapshotRef,"r1_clean":$r1Clean,"queries_ms":$qsMs,"outliers":$outliersJson,"build_ms":$buildMsTotal,"total_materialized":$totalMat,"total_r1_query_set":$totalR1,"n_queries":${results.size},"pre_load":$preLoad,"steal_pct":$stealPct,"contended":$contended,"value":$total}"""
     // Durability: the driver's stdout capture truncates to the last
     // ~2,000 chars, which historically ate most per-query entries; the
     // FULL detail also lands in a file, so cross-round attribution
@@ -262,8 +373,14 @@ object Bench {
       // replace the full-pass reference with a partial one and break
       // both the contention verdict (its total_r1 is ~0) and the
       // cross-round compare (the round-7 clobber lesson, one level
-      // deeper).
-      if (!contended && only.isEmpty)
+      // deeper). Nor may a pass carrying PER-QUERY OUTLIERS (E208):
+      // the r13 official pass was pass-level clean (contended:false)
+      // yet carried q165 at 25× — it overwrote the snapshot and
+      // poisoned that query's reference stats for every later gate.
+      // An outlier-free clean pass self-heals the snapshot afterwards
+      // (outliers only flag SLOWER-than-reference, so recovery passes
+      // always qualify).
+      if (!contended && only.isEmpty && outliers.isEmpty)
         java.nio.file.Files.writeString(keyedPath,
           detailLine + "\n" + headline + "\n")
       // Retention: keyed files accumulate one per fixture regeneration;

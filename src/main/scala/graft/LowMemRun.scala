@@ -92,7 +92,10 @@ object LowMemRun {
       println(s"[lowmem] decision drained=$drained stateOps=$maxOps " +
         s"stateRowsMax=$maxState sec=${(System.nanoTime() - t0) / 1e9}")
       require(drained > 0, "decision face drained nothing")
-      require(maxOps <= 1,
+      // == not <=: the invariant is EXACTLY one stateful operator — a
+      // regression that drops the min_by state entirely (0 operators)
+      // must fail HERE, not only in LowMemSpec's log-string assert
+      require(maxOps == 1,
         s"decision face must run exactly ONE stateful operator, saw $maxOps")
     }
     println("[lowmem] OK")

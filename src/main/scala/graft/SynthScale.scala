@@ -44,8 +44,17 @@ object SynthScale {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: SynthScale <srcSfDir> <outDir> <copies> [zipf]")
+      "usage: SynthScale <srcSfDir> <outDir> <copies> [zipf] " +
+        "[tables=a,b,..]")
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    // optional table filter (tables=embeddings,documents): a probe
+    // that scales ONE modality three-plus decades (the E118/E214
+    // discipline) need not pay a 15 GB lineitem synthesis for a
+    // 500 MB embeddings question
+    val tablesFilter: Option[Set[String]] = args.drop(3)
+      .find(_.startsWith("tables="))
+      .map(_.stripPrefix("tables=").split(",").toSet)
+    def want(n: String): Boolean = tablesFilter.forall(_.contains(n))
     // zipf mode: ~30% of event rows land on ONE user, ~30% of documents
     // on ONE source/domain with ONE dominant token — the adversarial
     // fixture for the skew-targeted operators (salted token freq,
@@ -64,13 +73,22 @@ object SynthScale {
     spark.sparkContext.setLogLevel("ERROR")
 
     def off(c: Column, i: Int): Column = c + lit(i * stride)
-    def cp(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until copies).map(i => f(base, i)).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+    def cp(name: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      if (want(name)) {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        // batched union + append: a single N-way union is an N-node
+        // linear plan whose analysis cost explodes past a few hundred
+        // copies (the 1000× probe fixtures) — 50-copy batches keep
+        // every plan shallow at identical output
+        (0 until copies).grouped(50).zipWithIndex.foreach {
+          case (is, bi) =>
+            is.map(i => f(base, i)).reduce(_ unionByName _)
+              .write.mode(if (bi == 0) "overwrite" else "append")
+              .parquet(s"$out/$name.parquet")
+        }
+      }
 
-    Seq("region", "nation").foreach { n => // shared dims: one copy
+    Seq("region", "nation").filter(want).foreach { n => // shared dims
       spark.read.parquet(s"$src/$n.parquet")
         .write.mode("overwrite").parquet(s"$out/$n.parquet")
     }

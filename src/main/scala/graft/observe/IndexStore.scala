@@ -146,8 +146,50 @@ object IndexStore {
     * live artifact are always kept): enough that warehouses at several
     * scale factors (tests, verify, bench) coexist without
     * rebuild-thrash, small enough that superseded source states are
-    * eventually reclaimed. */
+    * eventually reclaimed. The bound is derived from the LIVE working
+    * set a round actually runs: verify (sf0.01) + bench (sf0.1) +
+    * specs (sf0.001) + one synth fixture = 4 simultaneous source
+    * states per artifact name; IndexStoreSpec's working-set arm pins
+    * that 4 interleaved states re-read with ZERO rebuilds and
+    * documents that a 5th evicts the oldest (the bounded trade). */
   private val keepFingerprints = 4
+
+  // ---- build ledger (r13 verdict tasks 1-3) ------------------------------
+
+  /** One recorded artifact BUILD — any event that paid real work
+    * inside the store (a full rebuild, an append delta, an excision
+    * segment, a delete-carry republish, a chain fold). `mode` names
+    * which lifecycle path ran; `ms` is wall-clock of the build+publish.
+    * The ledger exists because a store-triggered build is invisible to
+    * whoever timed the query that touched the artifact first: the r13
+    * official bench shipped a 25× single-query outlier (q165) that
+    * could not be adjudicated between "plan regression", "artifact
+    * rebuild charged to the query", and "host contention" from the
+    * committed record alone. With the ledger drained per query,
+    * build-vs-serve attribution is in the artifact, not in forensics. */
+  final case class BuildEvent(artifact: String, fingerprint: String,
+      mode: String, ms: Long)
+
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[BuildEvent]()
+
+  private def recordBuild(artifact: String, fp: String, mode: String,
+      t0Nanos: Long): Unit =
+    buildLog.add(BuildEvent(artifact, fp, mode,
+      (System.nanoTime() - t0Nanos) / 1000000L))
+
+  /** Drain (return and clear) every build event recorded in this JVM
+    * since the previous drain — the consumer owns attribution (Bench
+    * drains between queries; the working-set spec drains between
+    * passes and asserts the second drain is EMPTY). Thread-safe; a
+    * concurrent build landing mid-drain is simply returned by the
+    * next drain. */
+  def drainBuildLog(): Seq[BuildEvent] = {
+    val out = scala.collection.mutable.ListBuffer.empty[BuildEvent]
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toList
+  }
 
   // One lock per artifact name: concurrent suites/queries in this JVM
   // build an artifact once instead of racing the directory rename.
@@ -336,6 +378,7 @@ object IndexStore {
         // commits. With rename-commit the loser just reads the
         // winner's finished artifact.
         val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+        val tBuild = System.nanoTime()
         val delta: Option[(String, DataFrame)] = parent.flatMap {
           case (pfp, plines) =>
             val added = manifest.filterNot(plines.toSet)
@@ -349,6 +392,8 @@ object IndexStore {
           case None => // no parent, or incr declined (e.g. drift retrain)
             full.write.mode("overwrite").parquet(tmp.toString)
         }
+        recordBuild(name, fp,
+          if (delta.isDefined) "delta" else "full", tBuild)
         writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
         // Publish. If a concurrent builder in ANOTHER process finished
         // first (its _SUCCESS appeared since our check above), its
@@ -557,6 +602,11 @@ object IndexStore {
                     if (f.exists(newDir)) f.delete(newDir, true) // debris
                     val tmp = new Path(base,
                       s".build-$fpNew-${System.nanoTime()}")
+                    val tBuild = System.nanoTime()
+                    val mode =
+                      if (windowNew == window) "excise-reuse"
+                      else if (windowNew.isEmpty) "excise-empty"
+                      else "excise-rebuild"
                     if (windowNew == window) {
                       // window intact, only the lineage below changed:
                       // borrow the donor segment's data, zero copy
@@ -589,6 +639,7 @@ object IndexStore {
                       mNew.mkString("\n"))
                     parentNew.foreach(p =>
                       writeSmall(f, new Path(tmp, "_PARENT"), p))
+                    recordBuild(name, fpNew, mode, tBuild)
                     if (f.exists(new Path(newDir, "_SUCCESS")))
                       f.delete(tmp, true) // concurrent equivalent build
                     else if (!f.rename(tmp, newDir)) f.delete(tmp, true)
@@ -682,6 +733,7 @@ object IndexStore {
         }
         val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
         val data = new Path(tmp, "data")
+        val tBuild = System.nanoTime()
         touched match {
           case Some((g, parts)) =>
             if (parts.nonEmpty)
@@ -710,6 +762,8 @@ object IndexStore {
         writeSmall(f, new Path(tmp, "_EXTRA"), extra)
         writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
         writeSmall(f, new Path(tmp, "_SUCCESS"), "")
+        recordBuild(name, fp,
+          if (touched.isDefined) "part-delta" else "part-full", tBuild)
         if (f.exists(new Path(dest, "_SUCCESS"))) f.delete(tmp, true)
         else if (!f.rename(tmp, dest)) f.delete(tmp, true)
         // retention: same bounded-head policy as the chain store,
@@ -863,10 +917,12 @@ object IndexStore {
         if (accept(deleted, added)) {
           if (f.exists(dest)) f.delete(dest, true) // unfinished debris
           val tmp = new Path(base, s".build-$fp-${System.nanoTime()}")
+          val tBuild = System.nanoTime()
           readChain(s, base, afp)
             .write.mode("overwrite").parquet(tmp.toString)
           writeSmall(f, new Path(tmp, "_MANIFEST"), manifest.mkString("\n"))
           writeSmall(f, new Path(tmp, "_FROZEN"), afp)
+          recordBuild(name, fp, "carry", tBuild)
           if (f.exists(new Path(dest, "_SUCCESS"))) f.delete(tmp, true)
           else if (!f.rename(tmp, dest)) f.delete(tmp, true)
         }
@@ -1093,11 +1149,13 @@ object IndexStore {
         val manifest = readSmall(f, new Path(dest, "_MANIFEST"))
           .getOrElse(sourceManifest(s, srcDir).mkString("\n"))
         val seg = new Path(base, s"seg-$fp-${System.nanoTime()}")
+        val tBuild = System.nanoTime()
         // the committer writes _SUCCESS last, so a half-written segment
         // is never resolvable even if a pointer somehow named it
         s.read.parquet(chain.map(_.toString): _*)
           .write.mode("overwrite").parquet(seg.toString)
         writeSmall(f, new Path(seg, "_MANIFEST"), manifest)
+        recordBuild(name, fp, "compact", tBuild)
         // atomic pointer swap: temp file + one rename
         val headTmp = new Path(dest, s"_HEAD.tmp-${System.nanoTime()}")
         writeSmall(f, headTmp, seg.getName)
@@ -1108,6 +1166,64 @@ object IndexStore {
           f.exists(new Path(dest, "_HEAD"))
         }
       }
+    }
+  }
+
+  // ---- streaming ledger: epoch-idempotent foreachBatch append ------------
+
+  /** Append one micro-batch's rows as the EPOCH SEGMENT of a
+    * streaming ledger (r13 verdict task 6 — the live-crawler half of
+    * the E205 audit ledgers): the batch ledgers segment by SOURCE
+    * FILE (a crawl batch's flags excise with its file); a live
+    * crawler has no source file per trigger, so its history segments
+    * by the stream's own epoch counter instead. Layout is
+    * `<root>/<name>/epoch=<id>` with the same stage-then-rename
+    * publish discipline as every artifact.
+    *
+    * IDEMPOTENCE is the whole contract (the E79 foreachBatch
+    * discipline): Structured Streaming redelivers a failed epoch
+    * under the SAME epochId, so a segment whose `_SUCCESS` is already
+    * published makes the append a NO-OP — replays append nothing,
+    * exactly-once lands in the ledger without a transactional sink.
+    * Returns true when this call wrote the segment, false for the
+    * replay no-op. */
+  def appendEpoch(s: SparkSession, name: String, epochId: Long,
+      batch: DataFrame): Boolean = {
+    val base = new Path(s"${root(s)}/$name")
+    val dest = new Path(base, s"epoch=$epochId")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, dest)
+      if (f.exists(new Path(dest, "_SUCCESS"))) false // replayed epoch
+      else {
+        if (f.exists(dest)) f.delete(dest, true) // torn previous attempt
+        val tmp = new Path(base, s".build-epoch-$epochId-${System.nanoTime()}")
+        val tBuild = System.nanoTime()
+        batch.write.mode("overwrite").parquet(tmp.toString)
+        recordBuild(name, s"epoch=$epochId", "epoch", tBuild)
+        if (f.exists(new Path(dest, "_SUCCESS"))) { f.delete(tmp, true); false }
+        else if (f.rename(tmp, dest)) true
+        else { f.delete(tmp, true); false } // lost a cross-process race
+      }
+    }
+  }
+
+  /** The streaming ledger's full history: one multi-path scan over
+    * every published epoch segment, with the epoch id as a column
+    * (partition-style dir naming keeps per-epoch pruning free). None
+    * when no epoch has ever committed — the caller's empty case. */
+  def readEpochs(s: SparkSession, name: String): Option[DataFrame] = {
+    val base = new Path(s"${root(s)}/$name")
+    val f = fs(s, base)
+    if (!f.exists(base)) None
+    else {
+      val segs = f.listStatus(base).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("epoch=") &&
+          f.exists(new Path(st.getPath, "_SUCCESS")))
+      if (segs.isEmpty) None
+      else Some(s.read.option("basePath", base.toString)
+        .parquet(segs.map(_.getPath.toString): _*))
     }
   }
 

@@ -526,38 +526,22 @@ object Multimodal {
   /** Samples per analysis frame — the hop of the energy profile. */
   private val audioFrame = 100
 
-  /** GENUINE PCM kernel inside the decode `mapPartitions` boundary:
-    * parses the RIFF/WAVE header from the bytes (the fmt chunk's
-    * sample rate; the data chunk's extent via [[parseContainer]]),
-    * reads the body as little-endian signed 16-bit samples, and folds
-    * peak / energy / per-frame energies in one pass. Non-audio or
-    * unparseable payloads emit zeros (T5). Map-only, zero shuffles —
-    * the feature-extraction stage of an audio training pipeline, with
-    * a real decoder swap (FLAC/MP3 → JNI) confined to this same
-    * boundary. */
-  private[graft] def audioDecode(
-      rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
-    rows.map { r =>
-      val p = r.payload
-      def ascii(i: Int, sTag: String): Boolean =
-        i + sTag.length <= p.length &&
-          sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-      // canonical PCM only: wFormatTag == 1 and 16-bit samples. A
-      // RIFF container can legally wrap COMPRESSED codecs (MP3 is
-      // wFormatTag 0x55) — without the tag check those bytes would
-      // "decode" as garbage PCM instead of routing through T5, the
-      // same silent-wrong-answer class the raster kernels gate with
-      // magic bytes per codec.
-      if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
-          p(20) == 1 && p(21) == 0 && p(34) == 16 && p(35) == 0))
-        AudioFeatures(r.doc_id, 0L, 0L, 0L, 0L, 0L, 0L)
-      else {
-        def le32(i: Int): Long =
-          ((p(i + 3) & 0xFFL) << 24) | ((p(i + 2) & 0xFFL) << 16) |
-            ((p(i + 1) & 0xFFL) << 8) | (p(i) & 0xFFL)
-        val rate = le32(24)
-        val body = 44
-        val n = (p.length - body) / 2
+  /** GENUINE PCM feature kernel inside the decode `mapPartitions`
+    * boundary: decodes the payload through the CODEC SEAM
+    * ([[AudioCodec]] — canonical mono PCM16 WAV in-tree, registered
+    * codecs extend the chain without touching this fold; the E200
+    * header gate lives in [[CanonicalPcmWav]], so a RIFF container
+    * wrapping a COMPRESSED codec, or a stereo PCM whose interleave
+    * would silently corrupt the stream, routes to T5 unless a codec
+    * that understands it is registered) and folds peak / energy /
+    * per-frame energies in one pass over the samples. Payloads no
+    * codec accepts emit zeros (T5). Map-only, zero shuffles. */
+  private[graft] def audioFeaturesWith(codecs: Seq[AudioCodec])(
+      r: MediaRow): AudioFeatures =
+    AudioCodecs.decodeWith(codecs, r.payload) match {
+      case None => AudioFeatures(r.doc_id, 0L, 0L, 0L, 0L, 0L, 0L)
+      case Some(DecodedPcm(rate, smp)) =>
+        val n = smp.length
         var peak = 0L
         var sumSq = 0L
         var frameSum = 0L
@@ -565,15 +549,12 @@ object Multimodal {
         var bestEnergy = -1L
         var i = 0
         while (i < n) {
-          val lo = p(body + 2 * i) & 0xFF
-          val hi = p(body + 2 * i + 1) & 0xFF
-          val u = hi * 256 + lo
-          val s = if (u >= 32768) u - 65536L else u.toLong
+          val s = smp(i).toLong
           val a = math.abs(s)
           if (a > peak) peak = a
           sumSq += s * s
           frameSum += s * s
-          if ((i + 1) % audioFrame == 0 || i + 1 == n.toInt) {
+          if ((i + 1) % audioFrame == 0 || i + 1 == n) {
             if (frameSum > bestEnergy) {
               bestEnergy = frameSum; bestFrame = i / audioFrame
             }
@@ -585,16 +566,27 @@ object Multimodal {
           peak, if (n > 0) sumSq / n else 0L,
           if (bestEnergy < 0) 0L else bestFrame,
           math.max(bestEnergy, 0L))
-      }
     }
+
+  /** [[audioFeaturesWith]] over the registry's CURRENT chain — the
+    * spec-facing shape (production plans capture the chain at plan
+    * time instead; see [[audioEnergy]]). */
+  private[graft] def audioDecode(
+      rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+    rows.map(audioFeaturesWith(AudioCodecs.registered))
 
   /** q161: the audio feature relation over the corpus' WAV rows —
     * every integer re-derived by the oracle from independently
-    * reconstructed bytes, sample by sample. */
+    * reconstructed bytes, sample by sample. The codec chain is
+    * captured HERE, at plan time, and ships inside the task closure
+    * (the [[AudioCodec]] serialization contract — executors run
+    * exactly the driver's registered chain). */
   def audioEnergy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val codecs = AudioCodecs.registered
     mediaTable(s, dir).filter(col("modality") === "audio")
-      .as[MediaRow].mapPartitions(audioDecode _)
+      .as[MediaRow]
+      .mapPartitions(rows => rows.map(audioFeaturesWith(codecs)))
       .toDF()
       .orderBy(col("doc_id"))
   }
@@ -767,60 +759,65 @@ object Multimodal {
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  private[graft] def audioFpSeqOf(p: Array[Byte]): Seq[String] = {
-    def ascii(i: Int, sTag: String): Boolean =
-      i + sTag.length <= p.length &&
-        sTag.indices.forall(j => p(i + j) == sTag.charAt(j).toByte)
-    if (!(p.length >= 44 && ascii(0, "RIFF") && ascii(8, "WAVE") &&
-        p(20) == 1 && p(21) == 0 && p(34) == 16 && p(35) == 0)) Nil
-    else {
-      val body = 44
-      val n = (p.length - body) / 2
-      // FULL frames only — the partial tail frame is length-parity
-      // noise, not signal, and it is a SCALE hazard: a boilerplate
-      // population of identical audio at varying lengths all shares
-      // one constant-level profile (one fp, df-pruned as stop), but
-      // the tail frame's energy encodes `length mod frame`, slicing
-      // that population into ~frame-many subgroups that each duck
-      // the corpus-relative threshold and then pair quadratically
-      // (measured on the zipf fixture: 99× pair growth across one
-      // decade through the tail split; full-frame fingerprints
-      // stop-prune the hot population to zero pairs). q161's feature
-      // kernel keeps its partial-frame semantics — features describe
-      // one row, fingerprints must bucket a corpus.
-      val nFull = (n / gainFrame) * gainFrame
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var frameSum = 0L
-      var i = 0
-      while (i < nFull) {
-        val lo = p(body + 2 * i) & 0xFF
-        val hi = p(body + 2 * i + 1) & 0xFF
-        val u = hi * 256 + lo
-        val s = if (u >= 32768) u - 65536L else u.toLong
-        frameSum += s * s
-        if ((i + 1) % gainFrame == 0) {
-          frames += frameSum; frameSum = 0L
+  /** The gain-invariant fingerprint kernel over the CODEC SEAM: the
+    * payload decodes through `codecs` (canonical mono PCM16 in-tree;
+    * a registered codec extends the chain — fingerprints, gates, and
+    * ledgers downstream are codec-independent by construction, the
+    * ObserveSpec stub-codec arm pins it); payloads no codec accepts
+    * emit nothing (T5). */
+  private[graft] def audioFpSeqWith(codecs: Seq[AudioCodec])(
+      p: Array[Byte]): Seq[String] =
+    AudioCodecs.decodeWith(codecs, p) match {
+      case None => Nil
+      case Some(DecodedPcm(_, smp)) =>
+        val n = smp.length
+        // FULL frames only — the partial tail frame is length-parity
+        // noise, not signal, and it is a SCALE hazard: a boilerplate
+        // population of identical audio at varying lengths all shares
+        // one constant-level profile (one fp, df-pruned as stop), but
+        // the tail frame's energy encodes `length mod frame`, slicing
+        // that population into ~frame-many subgroups that each duck
+        // the corpus-relative threshold and then pair quadratically
+        // (measured on the zipf fixture: 99× pair growth across one
+        // decade through the tail split; full-frame fingerprints
+        // stop-prune the hot population to zero pairs). q161's feature
+        // kernel keeps its partial-frame semantics — features describe
+        // one row, fingerprints must bucket a corpus.
+        val nFull = (n / gainFrame) * gainFrame
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var frameSum = 0L
+        var i = 0
+        while (i < nFull) {
+          val s = smp(i).toLong
+          frameSum += s * s
+          if ((i + 1) % gainFrame == 0) {
+            frames += frameSum; frameSum = 0L
+          }
+          i += 1
         }
-        i += 1
-      }
-      if (frames.length < gainShingle) Nil
-      else {
-        val emax = frames.max
-        val lv = frames.map(f =>
-          if (emax == 0L) 0L else f * gainLevels / emax)
-        val md = md5Local.get()
-        // defensive reset at acquisition: the hoist's invariant is
-        // "every prior digest() completed"; an exception between
-        // update() and digest() anywhere on this thread would
-        // otherwise leak residual state into THIS row's fingerprints
-        md.reset()
-        (0 to lv.length - gainShingle)
-          .map(j => gainFpOf(md,
-            ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64 + lv(j + 3)))
-          .distinct.sorted.take(audioFpCap)
-      }
+        if (frames.length < gainShingle) Nil
+        else {
+          val emax = frames.max
+          val lv = frames.map(f =>
+            if (emax == 0L) 0L else f * gainLevels / emax)
+          val md = md5Local.get()
+          // defensive reset at acquisition: the hoist's invariant is
+          // "every prior digest() completed"; an exception between
+          // update() and digest() anywhere on this thread would
+          // otherwise leak residual state into THIS row's fingerprints
+          md.reset()
+          (0 to lv.length - gainShingle)
+            .map(j => gainFpOf(md,
+              ((lv(j) * 64 + lv(j + 1)) * 64 + lv(j + 2)) * 64 + lv(j + 3)))
+            .distinct.sorted.take(audioFpCap)
+        }
     }
-  }
+
+  /** [[audioFpSeqWith]] over the registry's CURRENT chain — the
+    * spec-facing shape (production plans capture the chain at plan
+    * time; see [[audioFpIdx]] / [[audioAdmission]]). */
+  private[graft] def audioFpSeqOf(p: Array[Byte]): Seq[String] =
+    audioFpSeqWith(AudioCodecs.registered)(p)
 
   private[graft] def audioFpsOf(
       rows: Iterator[MediaRow]): Iterator[(Long, String)] =
@@ -832,23 +829,34 @@ object Multimodal {
     * paid once per audio row ever; file-decomposable (a row's
     * fingerprints, including its planted re-masters', derive from one
     * source document file), so an audio takedown excises only the
-    * touched segments (E157/E163 discipline). version 5 (fp sets 4,
-    * stops 5 — co-versioned): the decode kernel gained the
-    * canonical-PCM header gate (E200), which changes what a
-    * non-canonical RIFF payload contributes — a store populated
-    * before the gate would otherwise keep serving garbage-PCM
-    * fingerprints for RIFF-wrapped compressed audio. */
+    * touched segments (E157/E163 discipline). Version walk — the
+    * co-versioning rule: a DECODE-KERNEL semantics change must bump
+    * every artifact built through the kernel (fps, fp_sets, stops,
+    * gate_audit move together): v5 (sets 4, stops 5) = the E200
+    * canonical-PCM header gate; v6 (sets 5, stops 6, audit 2) = the
+    * codec-seam lift plus the MONO requirement (ADVICE r13 — a
+    * canonical stereo WAV previously decoded its interleave as one
+    * mono stream, the silent-wrong-features class). */
   private[graft] def audioFpIdx(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fps", s"$dir/documents.parquet", version = 5)(
+      s, "audio_fps", s"$dir/documents.parquet", version = 6)(
       files => {
         val sess = s
         import sess.implicits._
+        // codec chain captured at BUILD time: the artifact's content
+        // is a function of (source state, version, codec chain) — a
+        // session that registers a codec and needs it reflected in
+        // the corpus artifacts bumps the artifact version with the
+        // codec registration (the same co-versioning rule)
+        val codecs = AudioCodecs.registered
         audioVariantCorpusOf(s.read.parquet(files: _*)
             .repartition(s.sparkContext.defaultParallelism))
           .withColumnRenamed("media_id", "doc_id")
           .withColumn("modality", lit("audio"))
-          .as[MediaRow].mapPartitions(audioFpsOf _)
+          .as[MediaRow]
+          .mapPartitions(rows => rows.flatMap(r =>
+            audioFpSeqWith(codecs)(r.payload).iterator.map(fp =>
+              (r.doc_id, fp))))
           .toDF("media_id", "fp")
       })
 
@@ -894,7 +902,7 @@ object Multimodal {
   private[graft] def audioFpSetsIdx(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_fp_sets", s"$dir/documents.parquet", version = 4)(
+      s, "audio_fp_sets", s"$dir/documents.parquet", version = 5)(
       files => audioFpIdx(s, dir)
         .join(audioVariantIdsOf(s.read.parquet(files: _*)),
           Seq("media_id"), "left_semi")
@@ -913,7 +921,7 @@ object Multimodal {
     * the corpus does, which is exactly what the fingerprint keys. */
   private def audioStopFpsDf(s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuild(
-      s, "audio_stop_fps", s"$dir/documents.parquet", version = 5)(
+      s, "audio_stop_fps", s"$dir/documents.parquet", version = 6)(
       audioFpIdx(s, dir)
         .groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") > audioFpDfThreshold(nAudioCorpus(s, dir)))
@@ -941,7 +949,8 @@ object Multimodal {
     val stopCol = typedLit(stop)
     containmentGate(s, incoming, decision = decision,
       metricsName = "audio_gate",
-      sigsOf = audioFpSeqOf _,
+      // codec chain captured at plan time, shipped in the closure
+      sigsOf = audioFpSeqWith(AudioCodecs.registered),
       stop = stop,
       posts = audioFpIdx(s, dir)
         .select(col("fp").as("sig"), col("media_id").as("corpus_id")),
@@ -2161,10 +2170,12 @@ object Multimodal {
     * q165 gate: a gate START reads a tiny parquet instead of
     * re-folding the band relation — the audioStopFps rationale. */
   private def rasterBandStops(s: SparkSession, dir: String): DataFrame =
-    // version 2: the upstream signature artifact went container-
-    // agnostic (raster_ahash v3) — the stop list derives from it, so
-    // its OWN version must move or the store serves stops folded over
-    // the stale P5-only signature population
+    // CO-VERSIONED with rasterAHashIdx (the stop list derives from the
+    // signature artifact, so every upstream bump moves this version
+    // too, or the store serves stops folded over a stale signature
+    // population): v2 = the container-agnostic AnyOf switch
+    // (raster_ahash v3), v3-v4 = the two E206 fixture-entropy bumps
+    // (raster_ahash v4-v5)
     graft.observe.IndexStore.readOrBuild(
       s, "raster_band_stops", s"$dir/documents.parquet", version = 4)(
       rasterAHashIdx(s, dir)
@@ -2615,7 +2626,7 @@ object Multimodal {
   private[graft] def audioAuditLedger(
       s: SparkSession, dir: String): DataFrame =
     graft.observe.IndexStore.readOrBuildSegmented(
-      s, "audio_gate_audit", s"$dir/documents.parquet", version = 1)(
+      s, "audio_gate_audit", s"$dir/documents.parquet", version = 2)(
       files =>
         audioAdmission(s, dir,
           audioIncomingFixtureOf(s.read.parquet(files: _*))))
@@ -2624,6 +2635,36 @@ object Multimodal {
   def audioAuditLedgerFace(s: SparkSession, dir: String): DataFrame =
     audioAuditLedger(s, dir)
       .orderBy(col("in_id"), col("corpus_id"))
+
+  /** The STREAMING half of the E205 ledgers (r13 verdict task 6): a
+    * `foreachBatch` body that appends each micro-batch's gate output
+    * (flags on an audit face, decisions on a decision face — the sink
+    * is face-agnostic, it persists whatever relation the gate emits)
+    * as an epoch segment of the named streaming ledger. Composes the
+    * two existing pieces: the E79 epoch-idempotence discipline (a
+    * redelivered epoch appends NOTHING — `IndexStore.appendEpoch`
+    * skips a published `_SUCCESS`) and the segmented-ledger read
+    * (`IndexStore.readEpochs` is one multi-path scan). Usage:
+    *
+    * {{{
+    * rasterAdmission(s, dir, feed)
+    *   .writeStream
+    *   .foreachBatch(Multimodal.gateLedgerSink("raster_gate_stream"))
+    *   .outputMode("append").start()
+    * }}}
+    *
+    * A live crawler's audit history is then served by the ledger scan
+    * — the batch twin no longer needs re-running to reconstruct what
+    * the stream already decided (StreamingSpec pins streamed ledger ≡
+    * the batch ledger on the same feed, and that a replayed epoch is
+    * a no-op). Works for all five modalities — the sink never looks
+    * inside the rows. */
+  def gateLedgerSink(name: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) => {
+      graft.observe.IndexStore
+        .appendEpoch(batch.sparkSession, name, epochId, batch)
+      ()
+    }
 
   // ---- q170–q172: the gates' DECISION faces (r11 missing #2) -------------
   //

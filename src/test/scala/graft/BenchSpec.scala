@@ -83,4 +83,63 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseSnapshot(text) === Some((6.4595, 1.6438, false)))
     assert(Bench.parseSnapshot("not a snapshot") === None)
   }
+
+  // ---- per-query outlier gate (r13 verdict task 2) -----------------------
+
+  test("per-query stats parse both shapes: the r13-and-earlier entry " +
+    "(min/median/spread) and the current one with appended steal_pct") {
+    val old = """"queries_stats":{"q165_raster_admission":{"min":2.23,""" +
+      """"median":2.41,"spread":1.12},"q164_raster_phash_dups":""" +
+      """{"min":0.43,"median":0.45,"spread":1.09}}"""
+    val cur = """"queries_stats":{"q165_raster_admission":{"min":2.23,""" +
+      """"median":2.41,"spread":1.12,"steal_pct":3.4}}"""
+    assert(Bench.parseSnapshotStats(old) === Map(
+      "q165_raster_admission" -> ((2.41, 1.12)),
+      "q164_raster_phash_dups" -> ((0.45, 1.09))))
+    assert(Bench.parseSnapshotStats(cur) === Map(
+      "q165_raster_admission" -> ((2.41, 1.12))))
+    assert(Bench.parseSnapshotStats("no stats here") === Map.empty)
+  }
+
+  test("the r13 official pass replayed through the per-query gate " +
+    "flags exactly q165: 55.86 s min vs a clean-snapshot 2.41 s " +
+    "median, while its normal neighbors pass") {
+    // clean r13a builder-pass stats for the raster family (median,
+    // spread) and the official driver pass's mins — the incident the
+    // gate exists for: E153/E203 judged the PASS clean because only
+    // the round-1 set is compared, and the 25x single-query outlier
+    // shipped as contended:false with no annotation at all.
+    val snap = Map(
+      "q164_raster_phash_dups" -> ((0.45, 1.31)),
+      "q165_raster_admission" -> ((2.41, 1.12)),
+      "q170_raster_admission_decision" -> ((2.10, 1.24)),
+      "q175_mixed_corpus_admission" -> ((1.20, 1.40)))
+    val mins = Map(
+      "q164_raster_phash_dups" -> 0.429,
+      "q165_raster_admission" -> 55.861,
+      "q170_raster_admission_decision" -> 2.120,
+      "q175_mixed_corpus_admission" -> 1.168)
+    val out = Bench.outliersVs(mins, snap)
+    assert(out.keySet === Set("q165_raster_admission"))
+    val (m, gate) = out("q165_raster_admission")
+    assert(m === 55.861)
+    // gate = median x max(spread, 1.25) = 2.41 x 1.25
+    assert(math.abs(gate - 2.41 * 1.25) < 1e-9)
+  }
+
+  test("the outlier gate's floors: spread floored at 1.25x, and a " +
+    "sub-quarter-second excess is jitter, not an outlier (the " +
+    "q102-class sub-150 ms watch items must not alarm)") {
+    // spread 1.0 recorded -> the 1.25 floor applies, 1.2x is clean
+    assert(Bench.outliersVs(Map("q" -> 3.0),
+      Map("q" -> ((2.5, 1.0)))).isEmpty)
+    // ratio cleared but absolute excess is 90 ms -> jitter, clean
+    assert(Bench.outliersVs(Map("q102_bpe_merges" -> 0.126),
+      Map("q102_bpe_merges" -> ((0.086, 1.08)))).isEmpty)
+    // both cleared -> flagged
+    assert(Bench.outliersVs(Map("q" -> 3.2),
+      Map("q" -> ((2.5, 1.0)))).nonEmpty)
+    // a query with no snapshot record cannot be judged
+    assert(Bench.outliersVs(Map("new_q" -> 60.0), Map.empty).isEmpty)
+  }
 }

@@ -1329,6 +1329,92 @@ class IndexStoreSpec extends SparkSuite {
       "deleting an embedding batch must excise exactly its flags")
   }
 
+  // ---- build ledger + working-set retention (r13 verdict tasks 3-4) -----
+
+  test("build ledger: a first build records one 'full' event, a " +
+    "re-read records none, a pure append records a 'delta'") {
+    val name = freshName("ledger")
+    val src = scratch("ledger")
+    writeSource(src, 1L to 10L)
+    def get() = IndexStore.readOrBuildIncremental(spark, name, src)(
+      spark.read.parquet(src).agg(sum(col("x")).as("s")))(
+      (prev, added) => spark.read.parquet(added: _*)
+        .agg(sum(col("x")).as("s")))
+    IndexStore.drainBuildLog() // other suites' noise is not ours
+    get().count()
+    val first = IndexStore.drainBuildLog().filter(_.artifact == name)
+    assert(first.map(_.mode) === Seq("full"))
+    assert(first.head.ms >= 0)
+    get().count()
+    assert(IndexStore.drainBuildLog().filter(_.artifact == name).isEmpty,
+      "a served read must record NO build event — build-vs-serve " +
+        "attribution is the ledger's whole point")
+    // pure append → delta segment, recorded as such
+    val s2 = spark
+    import s2.implicits._
+    Seq(11L, 12L).toDF("x").coalesce(1).write.mode("append").parquet(src)
+    get().count()
+    assert(IndexStore.drainBuildLog().filter(_.artifact == name)
+      .map(_.mode) === Seq("delta"))
+  }
+
+  test("working-set retention: four interleaved source states re-read " +
+    "with ZERO rebuilds — retention never evicts a live head of the " +
+    "round's real working set (verify sf0.01 + bench sf0.1 + spec " +
+    "sf0.001 + one synth fixture); a fifth state evicts the oldest, " +
+    "the documented bounded trade") {
+    val name = freshName("workset")
+    val srcs = (1 to 5).map { i =>
+      val d = scratch(s"workset$i")
+      writeSource(d, 1L to (10L * i))
+      d
+    }
+    def get(src: String) = IndexStore.readOrBuild(spark, name, src)(
+      spark.read.parquet(src).agg(sum(col("x")).as("s")))
+    IndexStore.drainBuildLog()
+    // pass 1: the four-state working set builds once each (mtimes must
+    // be distinct for the retention order — the store sorts heads by
+    // modification time)
+    srcs.take(4).foreach { d => get(d).count(); Thread.sleep(20) }
+    assert(IndexStore.drainBuildLog().count(_.artifact == name) === 4)
+    // pass 2: the SAME working set re-reads with zero rebuilds — the
+    // q165-anomaly mechanism "retention thrash forces rebuilds
+    // mid-pass" is structurally ruled out at the round's real
+    // working-set size
+    srcs.take(4).foreach(d => get(d).count())
+    assert(IndexStore.drainBuildLog().filter(_.artifact == name).isEmpty,
+      "retention (keepFingerprints=4) must hold the round's live " +
+        "working set without a single rebuild")
+    // a FIFTH state exceeds the bound: the oldest head is reclaimed,
+    // and re-reading it pays one rebuild — bounded, documented
+    get(srcs(4)).count()
+    IndexStore.drainBuildLog()
+    get(srcs.head).count()
+    assert(IndexStore.drainBuildLog().filter(_.artifact == name)
+      .map(_.mode) === Seq("full"),
+      "the 5th state must evict exactly the oldest head — the " +
+        "retention bound is real, just sized above the working set")
+  }
+
+  test("suite-level zero-rebuild receipt: every admission-gate and " +
+    "ledger artifact family the bench touches serves a SECOND pass " +
+    "entirely from the store — no build event anywhere") {
+    // the artifact-heavy query set: all five modalities' gates +
+    // ledgers (raster q165/q176, audio q163/q178, media q160/q177,
+    // text q179, vector q180) — between them they exercise every
+    // readOrBuild flavor the suite uses (segmented, gated, plain)
+    val qs = Seq("q165_raster_admission", "q163_audio_admission",
+      "q160_media_admission", "q176_raster_audit_ledger",
+      "q177_media_audit_ledger", "q178_audio_audit_ledger",
+      "q179_text_audit_ledger", "q180_vector_audit_ledger")
+    qs.foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    IndexStore.drainBuildLog()
+    qs.foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    val second = IndexStore.drainBuildLog()
+    assert(second.isEmpty,
+      s"second pass must be build-free, saw: ${second.mkString(", ")}")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark

@@ -381,17 +381,170 @@ class ObserveSpec extends SparkSuite {
     val in = hostile.zipWithIndex
       .map { case (p, i) => (5500000L + i, p) }
       .toDF("media_id", "payload")
-    @volatile var counts: Option[(Long, Long)] = None
+    // capture the whole Try (ADVICE r13): a Spark-side crash must
+    // surface AS the failure, distinguishable from a hang (None) or a
+    // wrong count — the bare Option swallowed the exception and every
+    // failure mode read as the generic time-bound message
+    @volatile var counts: Option[scala.util.Try[(Long, Long)]] = None
     val t = new Thread(() => {
-      counts = Some((
+      counts = Some(scala.util.Try((
         graft.ops.Multimodal.audioAdmission(s, sf, in).count(),
         graft.ops.Multimodal.audioAdmission(s, sf, in, decision = true)
-          .count()))
+          .count())))
     })
     t.setDaemon(true); t.start(); t.join(120000)
-    assert(counts.contains((0L, 0L)),
+    assert(counts.nonEmpty,
+      "hostile compressed audio hung the gate past the time bound")
+    assert(counts.get === scala.util.Success((0L, 0L)),
       "hostile compressed audio must flag nothing and decide nothing " +
-        "on both gate faces, within the time bound")
+        s"on both gate faces; saw ${counts.get}")
+  }
+
+  test("AudioCodec seam: a registered stub codec decodes a non-PCM " +
+    "container through the SAME kernels — identical fingerprints, " +
+    "features, and gate flags as the canonical WAV of the same " +
+    "samples; with the codec absent the payload stays T5") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // a toy compressed-ish container: magic 'STUB', 4-byte LE rate,
+    // then DELTA-coded samples (each byte a signed delta) — cheap to
+    // decode, impossible for the canonical PCM parser to accept
+    def stubPayload(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val deltas = samples.zip(0 +: samples.dropRight(1))
+        .map { case (v, prev) => (v - prev).toByte }
+      val b = java.nio.ByteBuffer.allocate(8 + deltas.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("STUB".getBytes("US-ASCII")).putInt(rate)
+      deltas.foreach(b.put)
+      b.array()
+    }
+    // decodes BOTH stub containers: 'STUB' = byte-delta-coded samples,
+    // 'STUW' = absolute 16-bit LE samples (for arbitrary-amplitude
+    // corpus rows the one-byte delta cannot carry)
+    object StubCodec extends graft.ops.AudioCodec {
+      override def decode(p: Array[Byte]) =
+        if (p.length < 8 || !(p(0) == 'S' && p(1) == 'T' && p(2) == 'U'))
+          None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(p)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val rate = bb.getInt(4).toLong
+          if (p(3) == 'B') {
+            val out = new Array[Int](p.length - 8)
+            var acc = 0
+            var i = 0
+            while (i < out.length) {
+              acc += p(8 + i); out(i) = acc; i += 1
+            }
+            Some(graft.ops.DecodedPcm(rate, out))
+          } else if (p(3) == 'W') {
+            val out = new Array[Int]((p.length - 8) / 2)
+            var i = 0
+            while (i < out.length) {
+              out(i) = bb.getShort(8 + 2 * i).toInt; i += 1
+            }
+            Some(graft.ops.DecodedPcm(rate, out))
+          } else None
+        }
+    }
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val body = samples.flatMap { v =>
+        val u = v & 0xFFFF
+        Seq((u % 256).toByte, (u / 256).toByte)
+      }.toArray
+      val b = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + body.length)
+      b.put("WAVEfmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      b.putInt(8000).putInt(16000).putShort(2).putShort(16)
+      b.put("data".getBytes).putInt(body.length).put(body)
+      b.array()
+    }
+    // small-amplitude ramp/wave: delta-codable within a byte
+    val samples = (0 until 120).map(i => (i % 40) - 20)
+    val asWav = wav(samples)
+    val asStub = stubPayload(8000, samples)
+    // ABSENT codec: the stub container is T5 on every leg
+    assert(graft.ops.Multimodal.audioFpSeqOf(asStub).isEmpty,
+      "an unregistered container must emit no fingerprints (T5)")
+    assert(graft.ops.Multimodal.audioDecode(Iterator(
+      graft.ops.Multimodal.MediaRow(1L, "audio", asStub)))
+      .next().n_samples === 0L)
+    // REGISTERED codec: the seam feeds the same folds — fingerprints
+    // and features equal the canonical WAV's, and the GATE flags the
+    // stub payload against the corpus exactly as it would the WAV
+    graft.ops.AudioCodecs.withCodec(StubCodec) {
+      assert(graft.ops.Multimodal.audioFpSeqOf(asStub) ===
+        graft.ops.Multimodal.audioFpSeqOf(asWav),
+        "stub-decoded samples must fingerprint identically to the WAV")
+      val f = graft.ops.Multimodal.audioDecode(Iterator(
+        graft.ops.Multimodal.MediaRow(1L, "audio", asStub))).next()
+      val g = graft.ops.Multimodal.audioDecode(Iterator(
+        graft.ops.Multimodal.MediaRow(2L, "audio", asWav))).next()
+      assert(f.n_samples === g.n_samples && f.peak_abs === g.peak_abs &&
+        f.mean_sq === g.mean_sq && f.top_frame_energy === g.top_frame_energy)
+      assert(f.n_samples === 120L)
+      // gate leg: re-container a REAL corpus audio row as a stub
+      // payload; the admission gate must flag it against its base —
+      // the codec swap is a config, the gate plan does not change
+      val corpusRow = graft.ops.Multimodal.audioVariantCorpus(s, sf)
+        .orderBy(col("media_id")).limit(1).collect().head
+      val baseId = corpusRow.getLong(0)
+      val pcm = graft.ops.CanonicalPcmWav
+        .decode(corpusRow.getAs[Array[Byte]](1)).get
+      val reStub = stubPayloadWide(pcm.rate.toInt, pcm.samples)
+      val flags = graft.ops.Multimodal.audioAdmission(s, sf,
+        Seq((8800000L, reStub)).toDF("media_id", "payload"))
+        .select(col("in_id"), col("corpus_id")).collect()
+      assert(flags.exists(r => r.getLong(0) == 8800000L &&
+        r.getLong(1) == baseId),
+        s"the stub re-container of corpus row $baseId must be flagged " +
+          s"against its base; saw ${flags.mkString(",")}")
+    }
+    // restored after withCodec: the stub container is T5 again
+    assert(graft.ops.Multimodal.audioFpSeqOf(asStub).isEmpty)
+  }
+
+  /** Stub container with 16-bit little-endian ABSOLUTE samples (magic
+    * 'STUW') for arbitrary-amplitude corpus rows — the wide twin of
+    * the delta-coded 'STUB' arm; the test's StubCodec decodes both. */
+  private def stubPayloadWide(rate: Int, samples: Array[Int]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 2 * samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("STUW".getBytes("US-ASCII")).putInt(rate)
+    samples.foreach(v => b.putShort(v.toShort))
+    b.array()
+  }
+
+  test("canonical STEREO PCM16 WAV routes to T5 (ADVICE r13): the " +
+    "mono requirement is part of the canonical gate — an interleaved " +
+    "L/R stream must not silently decode as one mono stream") {
+    def stereoWav(frames: Seq[(Int, Int)]): Array[Byte] = {
+      val body = frames.flatMap { case (l, r) =>
+        Seq(l, r).flatMap { v =>
+          val u = v & 0xFFFF
+          Seq((u % 256).toByte, (u / 256).toByte)
+        }
+      }.toArray
+      val b = java.nio.ByteBuffer.allocate(44 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + body.length)
+      b.put("WAVEfmt ".getBytes).putInt(16).putShort(1)
+        .putShort(2) // nChannels = 2
+        .putInt(8000).putInt(32000).putShort(4).putShort(16)
+      b.put("data".getBytes).putInt(body.length).put(body)
+      b.array()
+    }
+    val p = stereoWav((0 until 100).map(i => (i * 3, -i * 3)))
+    assert(graft.ops.CanonicalPcmWav.decode(p).isEmpty)
+    assert(graft.ops.Multimodal.audioFpSeqOf(p).isEmpty,
+      "stereo canonical PCM must emit no fingerprints until a " +
+        "downmixing codec is registered")
+    assert(graft.ops.Multimodal.audioDecode(Iterator(
+      graft.ops.Multimodal.MediaRow(1L, "audio", p))).next()
+      .n_samples === 0L,
+      "stereo canonical PCM must decode to the zero-feature row")
   }
 
   test("audio gain near-dup recall: every eligible planted re-master " +

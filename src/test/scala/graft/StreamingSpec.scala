@@ -1494,6 +1494,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming gate LEDGER (r13 verdict task 6): a foreachBatch " +
+    "sink appends each micro-batch's flags as an epoch segment — the " +
+    "streamed ledger equals the batch gate on the same feed, a " +
+    "redelivered epoch appends NOTHING, and a genuinely new epoch " +
+    "appends its rows") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ledger = "spec_raster_gate_stream_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val feed = graft.ops.Multimodal.rasterIncomingFixture(s, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.ops.Multimodal.rasterAdmission(s, sf,
+      in.toDF().toDF("raster_id", "payload"))
+      .writeStream
+      .foreachBatch(graft.ops.Multimodal.gateLedgerSink(ledger))
+      .outputMode("append").start()
+    val third = math.max(feed.length / 3, 1)
+    withQuery(q) {
+      feed.grouped(third).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    }
+    val led = graft.observe.IndexStore.readEpochs(s, ledger)
+    assert(led.nonEmpty, "the streamed ledger must have committed epochs")
+    val streamed = led.get
+      .select("in_id", "corpus_id", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchFlags = graft.ops.Multimodal
+      .rasterAdmissionBackfill(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batchFlags,
+      s"the streamed ledger must equal the batch gate " +
+        s"(missing=${(batchFlags -- streamed).take(3)}, " +
+        s"extra=${(streamed -- batchFlags).take(3)})")
+    val epochs = led.get.select(col("epoch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(epochs.length >= 2,
+      "the feed's chunks must land as separate epoch segments")
+    // REDELIVERY: the same epochId arrives again (the foreachBatch
+    // failure-replay contract) — the append must be a no-op
+    val before = led.get.count()
+    val replay = graft.ops.Multimodal.rasterAdmission(s, sf,
+      feed.take(third).toSeq.toDF("raster_id", "payload"))
+    graft.ops.Multimodal.gateLedgerSink(ledger)(replay, epochs.head)
+    assert(graft.observe.IndexStore.readEpochs(s, ledger).get.count()
+      === before, "a redelivered epoch must append nothing")
+    // and a NEW epoch appends exactly its rows
+    val replayRows = replay.count()
+    assert(replayRows > 0, "the replay chunk must carry flags")
+    graft.ops.Multimodal.gateLedgerSink(ledger)(replay, epochs.max + 100L)
+    assert(graft.observe.IndexStore.readEpochs(s, ledger).get.count()
+      === before + replayRows)
+  }
+
   test("streaming SpaceSaving: sketch merges across micro-batches") {
     // The mergeable-summary property is what makes the sketch usable in
     // Structured Streaming: each micro-batch folds into the same bounded
