@@ -255,11 +255,7 @@ object Bench {
       "q24_schema_catalog", "q25_segment_defaults",
       "q26_non_open_order_counts", "q27_event_gaps")
     val totalR1 = results.collect { case (k, v) if r1Set(k) => v }.sum
-    val stealPct = (stat0, cpuStat()) match {
-      case (Some((s0, b0)), Some((s1, b1))) if b1 > b0 =>
-        100.0 * (s1 - s0) / (b1 - b0)
-      case _ => 0.0
-    }
+    val stealPct = stealOf(stat0, cpuStat())
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMat = matResults.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -154,11 +154,21 @@ object SynthScale {
           when(col("doc_id") % 10 < 3, length(col("text")).cast("long"))
             .otherwise(col("n_chars")))
     })
+    // per-copy epsilon BOUNDED at 0.1 total shift regardless of copy
+    // count (the E206 fixture-entropy class, vector edition): the
+    // fixed /1000 denominator was sized for ≤100 copies — at 1000
+    // copies the highest-index copies gained ~1.0 on component 0,
+    // dragging DISTINCT bases toward a shared axis and fabricating
+    // ~6× extra cross-base cos ≥ 0.4 "near-dups" (measured: 324.9M
+    // audit rows where the copy trend predicts ~40M). Denominator
+    // max(1000, copies·10) keeps every existing ≤100-copy fixture
+    // byte-identical and caps the shift at 0.1 at ANY copy count.
+    val epsDen = math.max(1000.0, copies * 10.0)
     cp("embeddings")((d, i) => d
       .withColumn("vec_id", off(col("vec_id"), i))
       .withColumn("embedding",
         transform(col("embedding"), (x, j) =>
-          x + when(j === 0, lit(i / 1000.0)).otherwise(lit(0.0)))
+          x + when(j === 0, lit(i / epsDen)).otherwise(lit(0.0)))
           .cast("array<float>")))
     spark.stop()
   }

@@ -1041,7 +1041,11 @@ object IndexStore {
               (st.getPath.getName.startsWith(".build-") ||
                 st.getPath.getName.startsWith(".old-") ||
                 (st.getPath.getName.startsWith("seg-") &&
-                  !referencedSegs(st.getPath.getName))) &&
+                  !referencedSegs(st.getPath.getName)) ||
+                // a compactor that crashed mid-fold leaves an
+                // UNPUBLISHED fold dir (no _SUCCESS) no reader resolves
+                (st.getPath.getName.startsWith("fold-") &&
+                  !f.exists(new Path(st.getPath, "_SUCCESS")))) &&
               st.getModificationTime < cutoff)
             .map { st =>
               val bytes = f.getContentSummary(st.getPath).getLength
@@ -1098,7 +1102,27 @@ object IndexStore {
               }
             }
           }
-          staging ++ tmpHeads ++ deferred
+          // streaming-ledger reclamation behind the same age floor:
+          // epoch segments at or below the latest fold's watermark
+          // (their rows live in the fold; appendEpoch's replay no-op
+          // consults the watermark, not the dir) and superseded fold
+          // dirs (a newer published fold covers a strict superset)
+          val foldHead = latestFold(f, art.getPath)
+          val foldStale = foldHead.toSeq.flatMap { case (upTo, headName) =>
+            entries.filter(st => st.isDirectory && {
+              val n = st.getPath.getName
+              val foldedEpoch = n.startsWith("epoch=") &&
+                scala.util.Try(n.stripPrefix("epoch=").toLong)
+                  .toOption.exists(_ <= upTo)
+              val oldFold = n.startsWith("fold-") && n != headName
+              (foldedEpoch || oldFold) && st.getModificationTime < cutoff
+            }).map { st =>
+              val bytes = f.getContentSummary(st.getPath).getLength
+              f.delete(st.getPath, true)
+              (art.getPath.getName, st.getPath.getName, bytes)
+            }
+          }
+          staging ++ tmpHeads ++ deferred ++ foldStale
         }
     rows.toDF("artifact", "staging", "bytes")
       .orderBy(col("artifact"), col("staging"))
@@ -1186,7 +1210,15 @@ object IndexStore {
     * published makes the append a NO-OP — replays append nothing,
     * exactly-once lands in the ledger without a transactional sink.
     * Returns true when this call wrote the segment, false for the
-    * replay no-op. */
+    * replay no-op.
+    *
+    * The fold watermark ([[compactEpochs]]) additionally relies on
+    * foreachBatch's IN-ORDER commit contract: a streaming query
+    * commits epoch N before starting N+1 (batch ids stay monotone
+    * across restarts), so an id at or below a published fold's
+    * watermark can only ever be a REDELIVERY of folded history —
+    * never a first delivery that skipped ahead — and dropping it is
+    * exactly the idempotence the sink promises. */
   def appendEpoch(s: SparkSession, name: String, epochId: Long,
       batch: DataFrame): Boolean = {
     val base = new Path(s"${root(s)}/$name")
@@ -1194,7 +1226,11 @@ object IndexStore {
     val lock = locks.getOrElseUpdate(name, new Object)
     lock.synchronized {
       val f = fs(s, dest)
-      if (f.exists(new Path(dest, "_SUCCESS"))) false // replayed epoch
+      // a FOLDED epoch is as committed as a published one: its dir may
+      // already be vacuumed, so the replay no-op must consult the fold
+      // watermark or a late redelivery would re-append folded history
+      if (latestFold(f, base).exists(_._1 >= epochId)) false
+      else if (f.exists(new Path(dest, "_SUCCESS"))) false // replayed
       else {
         if (f.exists(dest)) f.delete(dest, true) // torn previous attempt
         val tmp = new Path(base, s".build-epoch-$epochId-${System.nanoTime()}")
@@ -1208,22 +1244,145 @@ object IndexStore {
     }
   }
 
-  /** The streaming ledger's full history: one multi-path scan over
-    * every published epoch segment, with the epoch id as a column
-    * (partition-style dir naming keeps per-epoch pruning free). None
-    * when no epoch has ever committed — the caller's empty case. */
+  /** The published fold with the highest (covered-epoch, nanos) — the
+    * streaming ledger's compaction head. A fold dir is named
+    * `fold-<upTo>-<nanos>` and is PUBLISHED the moment its parquet
+    * commit writes `_SUCCESS` (no separate pointer file: publication
+    * is one atomic commit, a crashed compactor leaves an unpublished
+    * dir no reader resolves, concurrent compactors both publish and
+    * the higher (upTo, nanos) simply wins — the loser is vacuum
+    * fodder). Returns (upTo, dirName). */
+  private def latestFold(f: FileSystem, base: Path): Option[(Long, String)] =
+    if (!f.exists(base)) None
+    else f.listStatus(base).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("fold-") &&
+        f.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap { st =>
+        st.getPath.getName.split('-') match {
+          case Array(_, upTo, nanos) =>
+            scala.util.Try((upTo.toLong, nanos.toLong)).toOption
+              .map { case (u, n) => (u, n, st.getPath.getName) }
+          case _ => None
+        }
+      }
+      .sortBy { case (u, n, _) => (-u, -n) }
+      .headOption
+      .map { case (u, _, d) => (u, d) }
+
+  /** Published epoch segment dirs with id > `after`, as (id, path). */
+  private def epochSegs(f: FileSystem, base: Path,
+      after: Long): Seq[(Long, Path)] =
+    if (!f.exists(base)) Seq.empty
+    else f.listStatus(base).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("epoch=") &&
+        f.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("epoch=").toLong).toOption
+        .map((_, st.getPath)))
+      .filter(_._1 > after)
+      .sortBy(_._1)
+
+  /** The streaming ledger's full history: the latest FOLD (if any)
+    * plus every published epoch segment above its watermark — read
+    * amplification is O(1 + epochs-since-last-fold), not O(all epochs
+    * ever). The epoch id survives as a `epoch` long column in both
+    * halves (partition-style dir naming on the live segments, a
+    * materialized column inside the fold). None when nothing has ever
+    * committed — the caller's empty case. */
   def readEpochs(s: SparkSession, name: String): Option[DataFrame] = {
     val base = new Path(s"${root(s)}/$name")
     val f = fs(s, base)
-    if (!f.exists(base)) None
-    else {
-      val segs = f.listStatus(base).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("epoch=") &&
-          f.exists(new Path(st.getPath, "_SUCCESS")))
+    val fold = latestFold(f, base)
+    val upTo = fold.map(_._1).getOrElse(Long.MinValue)
+    val segs = epochSegs(f, base, upTo)
+    val foldDf = fold.map { case (_, d) =>
+      s.read.parquet(new Path(base, d).toString) }
+    val segDf =
       if (segs.isEmpty) None
       else Some(s.read.option("basePath", base.toString)
-        .parquet(segs.map(_.getPath.toString): _*))
+        .parquet(segs.map(_._2.toString): _*)
+        .withColumn("epoch", col("epoch").cast("long")))
+    (foldDf, segDf) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Fold the streaming ledger's published epochs into ONE segment
+    * (the compaction step [[appendEpoch]] needs at scale: a live
+    * crawler appends one segment per trigger FOREVER, so without a
+    * fold the ledger's file count and read fan-in grow without bound
+    * — the same read-amplification argument as [[compactChain]], on
+    * the epoch axis). The fold unions the previous fold with every
+    * epoch above its watermark, materializing the epoch id as a data
+    * column, and publishes by parquet-commit atomicity (see
+    * [[latestFold]]). Folded epoch dirs and superseded folds are NOT
+    * deleted here — readers that resolved the old layout finish their
+    * scan; [[vacuumStaging]] reclaims them behind its age floor (the
+    * deferred-delete discipline). Replay stays a no-op across the
+    * fold: [[appendEpoch]] consults the fold watermark, so a
+    * redelivered folded epoch appends nothing even after its dir is
+    * vacuumed. Returns true when a fold was written. */
+  def compactEpochs(s: SparkSession, name: String): Boolean = {
+    val base = new Path(s"${root(s)}/$name")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, base)
+      val fold = latestFold(f, base)
+      val upTo = fold.map(_._1).getOrElse(Long.MinValue)
+      val segs = epochSegs(f, base, upTo)
+      if (segs.isEmpty) false
+      else {
+        val newUpTo = segs.map(_._1).max
+        val tBuild = System.nanoTime()
+        val segDf = s.read.option("basePath", base.toString)
+          .parquet(segs.map(_._2.toString): _*)
+          .withColumn("epoch", col("epoch").cast("long"))
+        val all = fold.map { case (_, d) =>
+          s.read.parquet(new Path(base, d).toString).unionByName(segDf)
+        }.getOrElse(segDf)
+        val seg = new Path(base, s"fold-$newUpTo-${System.nanoTime()}")
+        // parquet commit writes _SUCCESS last — publication is atomic
+        all.write.mode("overwrite").parquet(seg.toString)
+        recordBuild(name, s"fold<=$newUpTo", "compact", tBuild)
+        true
+      }
+    }
+  }
+
+  /** Takedown on the STREAMING ledger (the epoch axis of the batch
+    * ledgers' per-source-file excision): epoch segments have no
+    * source-file axis to excise by, so a retraction is a ROW-level
+    * rewrite — the full history minus `drop` rows is republished as a
+    * fold covering every committed epoch (one ledger-sized rewrite,
+    * never a recompute of any gate; the fold machinery then owns the
+    * layout — superseded segments are vacuum fodder, replays of any
+    * folded epoch stay no-ops). A crawl-batch retraction is
+    * `col("epoch") === n`; a corpus-row retraction is
+    * `col("corpus_id") === id`. Returns true when anything was
+    * rewritten (rows dropped or segments folded); false on an empty
+    * or untouched ledger. */
+  def exciseEpochs(s: SparkSession, name: String,
+      drop: org.apache.spark.sql.Column): Boolean = {
+    val base = new Path(s"${root(s)}/$name")
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      val f = fs(s, base)
+      val fold = latestFold(f, base)
+      val upTo = fold.map(_._1).getOrElse(Long.MinValue)
+      val segs = epochSegs(f, base, upTo)
+      if (fold.isEmpty && segs.isEmpty) false
+      else {
+        val newUpTo = math.max(upTo, segs.map(_._1).foldLeft(Long.MinValue)(math.max))
+        val tBuild = System.nanoTime()
+        val all = readEpochs(s, name).get.filter(!drop)
+        val seg = new Path(base, s"fold-$newUpTo-${System.nanoTime()}")
+        all.write.mode("overwrite").parquet(seg.toString)
+        recordBuild(name, s"fold<=$newUpTo", "excise-rebuild", tBuild)
+        true
+      }
     }
   }
 
@@ -1261,7 +1420,7 @@ object IndexStore {
       if (!f.exists(base)) Seq.empty
       else
         tryList(base).filter(_.isDirectory).flatMap { art =>
-          tryList(art.getPath)
+          val heads = tryList(art.getPath)
             .filter(_.getPath.getName.startsWith("fp="))
             .flatMap { head =>
               try {
@@ -1279,6 +1438,32 @@ object IndexStore {
                 case _: java.io.FileNotFoundException => None // reclaimed
               }
             }
+          // a STREAMING ledger (epoch segments, E212) describes itself
+          // too: one row per ledger — "fingerprint" names the live
+          // layout (fold watermark + epochs above it), depth = live
+          // segment count (the read fan-in compactEpochs bounds)
+          val ledger = try {
+            val fold = latestFold(f, art.getPath)
+            val upTo = fold.map(_._1).getOrElse(Long.MinValue)
+            val segs = epochSegs(f, art.getPath, upTo)
+            if (fold.isEmpty && segs.isEmpty) None
+            else {
+              val live = fold.map { case (_, d) =>
+                new Path(art.getPath, d) }.toSeq ++ segs.map(_._2)
+              val files = live.flatMap(p =>
+                tryList(p).filterNot(st =>
+                  st.getPath.getName.startsWith("_") ||
+                    st.getPath.getName.startsWith(".")))
+              val label = fold.map(fd => s"epochs:fold<=${fd._1}+${segs.size}")
+                .getOrElse(s"epochs:${segs.size}")
+              Some((art.getPath.getName, label, true, fold.nonEmpty,
+                live.size, true, files.size.toLong,
+                files.map(_.getLen).sum))
+            }
+          } catch {
+            case _: java.io.FileNotFoundException => None // reclaimed
+          }
+          heads ++ ledger
         }
     rows.toDF("artifact", "fingerprint", "published", "chained",
       "chain_depth", "chain_intact", "n_files", "bytes")

@@ -1415,6 +1415,63 @@ class IndexStoreSpec extends SparkSuite {
       s"second pass must be build-free, saw: ${second.mkString(", ")}")
   }
 
+  test("streaming ledger fold (the epoch axis of compactChain): " +
+    "content is invariant across the fold, a FOLDED epoch's replay " +
+    "stays a no-op even after vacuum reclaims its dir, new epochs " +
+    "append above the watermark, and a second fold absorbs them") {
+    val s = spark
+    import s.implicits._
+    val name = freshName("epochfold")
+    def batch(vals: Seq[Long]) = vals.toDF("x")
+    def content(): Set[(Long, Long)] =
+      IndexStore.readEpochs(spark, name).get
+        .select(col("epoch").cast("long"), col("x").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(IndexStore.appendEpoch(spark, name, 0L, batch(Seq(1, 2))))
+    assert(IndexStore.appendEpoch(spark, name, 1L, batch(Seq(3))))
+    assert(IndexStore.appendEpoch(spark, name, 2L, batch(Seq(4, 5))))
+    val before = content()
+    assert(before === Set((0L, 1L), (0L, 2L), (1L, 3L), (2L, 4L), (2L, 5L)))
+    // fold: one segment, identical content (epoch id materialized)
+    assert(IndexStore.compactEpochs(spark, name))
+    assert(content() === before, "the fold must preserve the ledger " +
+      "verbatim, including each row's epoch id")
+    // vacuum with age floor 0 reclaims the folded epoch dirs...
+    IndexStore.vacuumStaging(spark, olderThanMs = 0L).collect()
+    assert(content() === before,
+      "the ledger must survive reclamation of its folded epoch dirs")
+    // ...and the replay contract survives THEIR reclamation: a
+    // redelivered folded epoch must consult the watermark, not the dir
+    assert(!IndexStore.appendEpoch(spark, name, 1L, batch(Seq(99))),
+      "a folded epoch's redelivery must be a no-op after vacuum")
+    assert(content() === before)
+    // new epochs land above the watermark; a second fold absorbs them
+    assert(IndexStore.appendEpoch(spark, name, 3L, batch(Seq(6))))
+    val grown = before + ((3L, 6L))
+    assert(content() === grown)
+    assert(IndexStore.compactEpochs(spark, name))
+    IndexStore.vacuumStaging(spark, olderThanMs = 0L).collect()
+    assert(content() === grown)
+    // nothing left to fold
+    assert(!IndexStore.compactEpochs(spark, name))
+    // TAKEDOWN on the epoch axis: a row-level excision republishes
+    // the history minus the dropped rows; folded-epoch replays stay
+    // no-ops afterwards (the watermark survives the rewrite)
+    assert(IndexStore.exciseEpochs(spark, name, col("x") === 3L))
+    assert(content() === grown.filterNot(_._2 == 3L),
+      "the excised row must leave the ledger; everything else stays")
+    assert(!IndexStore.appendEpoch(spark, name, 1L, batch(Seq(77))),
+      "replay idempotence must survive the excision rewrite")
+    // the store describes the ledger: one inventory row, folded, with
+    // the bounded live-segment count
+    val inv = IndexStore.inventory(spark)
+      .filter(col("artifact") === name).collect()
+    assert(inv.length === 1 && inv.head.getAs[Boolean]("chained") &&
+      inv.head.getAs[Int]("chain_depth") === 1,
+      s"post-fold the ledger must read as ONE live segment; saw " +
+        s"${inv.mkString(",")}")
+  }
+
   test("media takedown: the block-postings artifact excises the " +
     "deleted crawl batch and equals the from-scratch rebuild") {
     val s = spark
